@@ -1,0 +1,94 @@
+"""Delta + variable-byte codec, vectorized with numpy.
+
+Wire-format parity with the reference ``index/inverted/DeltaVarLenCompressor.java:14-64``:
+sorted ints are gap-encoded (first value kept absolute), each gap written as
+big-endian 7-bit groups where every byte except the last has the MSB
+continuation bit set. Golden vectors (``positional/Team3CompressorTest.java``):
+
+- ``[1,2,3,4,5,6]``            -> ``01 01 01 01 01 01``
+- ``[128,384,896,1920,3968]``  -> ``81 00 82 00 84 00 88 00 90 00``
+- ``[2147483647]``             -> ``87 ff ff ff 7f``
+
+Unsorted input raises (the reference throws "array is not sorted").
+``decode(data, start, length)`` supports the reference's partial-range mode:
+decoding restarts the delta base at 0 from ``start`` (boundary-aligned).
+
+A "naive" raw-int32 big-endian codec is kept for compression-ratio
+benchmarks, mirroring ``NaiveCompressor.java:14-28``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 5  # 31-bit values need at most ceil(31/7) = 5 groups
+
+
+def encode(values) -> bytes:
+    """Delta + varbyte encode a sorted sequence of non-negative ints."""
+    arr = np.asarray(values, dtype=np.int64)
+    if arr.size == 0:
+        return b""
+    gaps = np.empty_like(arr)
+    gaps[0] = arr[0]
+    np.subtract(arr[1:], arr[:-1], out=gaps[1:])
+    if gaps.min() < 0:
+        raise ValueError("array is not sorted")
+
+    nbytes = np.ones(arr.size, dtype=np.int64)
+    for shift in range(7, 7 * _MAX_BYTES, 7):
+        nbytes += gaps >= (1 << shift)
+    ends = np.cumsum(nbytes)  # index one past each value's last byte
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for back in range(_MAX_BYTES):
+        mask = nbytes > back
+        pos = ends[mask] - 1 - back
+        chunk = (gaps[mask] >> (7 * back)) & 0x7F
+        if back > 0:
+            chunk |= 0x80
+        out[pos] = chunk.astype(np.uint8)
+    return out.tobytes()
+
+
+def decode(data: bytes, start: int = 0, length: int | None = None) -> np.ndarray:
+    """Decode to an int64 array. With (start, length), decodes only that byte
+    range with the delta base reset to 0 (reference partial-read semantics)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if length is None:
+        length = buf.size - start
+    if length <= 0 or start >= buf.size:
+        return np.empty(0, dtype=np.int64)
+    buf = buf[start : start + length]
+    payload = (buf & 0x7F).astype(np.int64)
+    is_last = (buf & 0x80) == 0
+    if not is_last[-1]:
+        raise ValueError("truncated varbyte stream")
+    # group index per byte: 0,0,..,1,1,.. where a group ends at each is_last
+    group = np.zeros(buf.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_last)[:-1]
+    n = int(group[-1]) + 1
+    # distance (in bytes) from each byte to its group's terminator
+    term_pos = np.flatnonzero(is_last)
+    dist = term_pos[group] - np.arange(buf.size)
+    gaps = np.zeros(n, dtype=np.int64)
+    np.add.at(gaps, group, payload << (7 * dist))
+    return np.cumsum(gaps)
+
+
+def encode_raw(values) -> bytes:
+    """Uncompressed 4-byte big-endian ints (``NaiveCompressor`` parity)."""
+    return np.asarray(values, dtype=">i4").tobytes()
+
+
+def decode_raw(data: bytes, start: int = 0, length: int | None = None) -> np.ndarray:
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if length is None:
+        length = buf.size - start
+    sub = buf[start : start + length]
+    return sub.view(">i4").astype(np.int64)
+
+
+CODECS = {
+    "deltavar": (encode, decode),
+    "raw": (encode_raw, decode_raw),
+}
