@@ -1,0 +1,245 @@
+"""Logical inverted index: build + query over Spark DataFrames.
+
+This is the engine's core. The "index" is not a hand-rolled page file (the
+reference's ``InvertedIndex.java:816-975`` flush layout); it is a pair of
+DataFrames that Catalyst can push filters into:
+
+- ``postings``: one row per (doc_id, term) —
+  ``(doc_id: string, term: string, tf: int, positions: array<int>, dl: int)``
+  where ``positions`` are 0-based indices into the analyzed token stream
+  (reference ``InvertedIndexManager.addDocument``, ``:303-322``) and ``dl``
+  is the document's total analyzed token count (BM25 length normalization).
+- ``term_stats``: ``(term, df, cf)`` — document frequency / collection
+  frequency; the reference's term-dictionary header (``InvertedIndex.java:
+  184-268``) reduced to the only fields queries actually need.
+
+plus two scalars ``(n_docs, avgdl)``. Postings construction is shuffle-free:
+one Arrow-vectorized pandas UDF emits per-document term/position structs,
+then ``explode``. All aggregations that follow are partial-aggregate-friendly
+(map-side combine), so hot terms skew only the artifact-packing stage, which
+salts explicitly (see ``artifact.py``).
+
+DocIDs are global strings (``conv_id:turn_idx`` for transcripts; any unique
+key otherwise) — this kills the reference's segment-local docID re-basing
+(``InvertedIndex.java:678``) and the whole header/pointer layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import BM25_K1, BM25_B
+from ..analysis import get_analyzer
+from ..analysis.porter import stem
+from ..analysis.tokenizers import punctuation_tokenize
+
+TERM_POSITIONS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("term", StringType()),
+            StructField("positions", ArrayType(IntegerType())),
+        ]
+    )
+)
+
+
+def make_term_positions_udf(analyzer: str = "composable"):
+    """pandas UDF: text -> array<struct<term, positions>> (per-document
+    postings, built entirely inside one Arrow batch — no groupBy needed)."""
+    analyzer_name = analyzer
+
+    def _batch(texts: pd.Series) -> pd.Series:
+        fn = get_analyzer(analyzer_name)
+        out = []
+        if analyzer_name == "composable":
+            # stem via a per-batch memo over unique raw tokens
+            memo: dict[str, str] = {}
+            for text in texts:
+                tokens = punctuation_tokenize(text) if text is not None else []
+                acc: dict[str, list[int]] = {}
+                for i, raw in enumerate(tokens):
+                    t = memo.get(raw)
+                    if t is None:
+                        t = stem(raw)
+                        memo[raw] = t
+                    acc.setdefault(t, []).append(i)
+                out.append([{"term": t, "positions": p} for t, p in acc.items()])
+        else:
+            for text in texts:
+                tokens = fn(text) if text is not None else []
+                acc = {}
+                for i, t in enumerate(tokens):
+                    acc.setdefault(t, []).append(i)
+                out.append([{"term": t, "positions": p} for t, p in acc.items()])
+        return pd.Series(out)
+
+    return pandas_udf(_batch, TERM_POSITIONS_SCHEMA)
+
+
+@dataclass
+class Index:
+    """A built logical index. ``postings``/``term_stats`` may be freshly
+    computed DataFrames or reads of the persisted artifact."""
+
+    spark: SparkSession
+    postings: DataFrame  # (doc_id, term, tf, positions, dl)
+    term_stats: DataFrame  # (term, df, cf)
+    n_docs: int
+    avgdl: float
+    analyzer: str = "composable"
+    k1: float = BM25_K1
+    b: float = BM25_B
+    corpus: DataFrame | None = None  # optional, for hydration
+    doc_id_col: str = "doc_id"
+    text_col: str = "text"
+    _qstats_cache: dict = field(default_factory=dict, repr=False)
+
+    # --- query-string analysis (driver-side, same chain as the build) ---
+    def analyze_query(self, query: str | Iterable[str]) -> list[str]:
+        if not isinstance(query, str):
+            # reference joins multi-keyword queries with spaces and re-analyzes
+            # (InvertedIndexManager.java:492-495)
+            query = " ".join(query)
+        return get_analyzer(self.analyzer)(query)
+
+    def query_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """{term: (df, cf)} for the given terms (tiny driver-side collect)."""
+        missing = [t for t in set(terms) if t not in self._qstats_cache]
+        if missing:
+            rows = self.term_stats.where(F.col("term").isin(missing)).collect()
+            got = {r["term"]: (r["df"], r["cf"]) for r in rows}
+            for t in missing:
+                self._qstats_cache[t] = got.get(t, (0, 0))
+        return {t: self._qstats_cache[t] for t in set(terms)}
+
+    # --- query operators (implemented in query/, bound here for ergonomics) ---
+    def search_keyword(self, query: str) -> DataFrame:
+        from ..query.boolean import search_keyword
+
+        return search_keyword(self, query)
+
+    def search_and(self, keywords) -> DataFrame:
+        from ..query.boolean import search_and
+
+        return search_and(self, keywords)
+
+    def search_or(self, keywords) -> DataFrame:
+        from ..query.boolean import search_or
+
+        return search_or(self, keywords)
+
+    def search_phrase(self, phrase: str) -> DataFrame:
+        from ..query.phrase import search_phrase
+
+        return search_phrase(self, phrase)
+
+    def search_bm25(self, query: str, k: int | None = None) -> DataFrame:
+        from ..query.ranked import search_bm25
+
+        return search_bm25(self, query, k)
+
+    def search_tfidf(self, query: str, k: int | None = None) -> DataFrame:
+        from ..query.ranked import search_tfidf
+
+        return search_tfidf(self, query, k)
+
+    def document_frequency(self, token: str) -> int:
+        """Reference ``getDocumentFrequency`` (InvertedIndexManager.java:660-670),
+        global (no segments to sum over)."""
+        return self.query_term_stats([token])[token][0]
+
+    def hydrate(self, results: DataFrame) -> DataFrame:
+        """Join matched doc_ids back to the corpus (reference readDocuments,
+        InvertedIndex.java:1367-1389) with stable doc_id ordering."""
+        if self.corpus is None:
+            raise ValueError("index built without corpus reference")
+        return results.join(self.corpus, on=self.doc_id_col, how="inner")
+
+
+def build_postings(
+    corpus: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "composable",
+) -> DataFrame:
+    """Shuffle-free postings extraction: (doc_id, term, tf, positions, dl)."""
+    udf = make_term_positions_udf(analyzer)
+    tp = corpus.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        udf(F.col(text_col)).alias("tp"),
+    ).withColumn(
+        "dl", F.expr("aggregate(tp, 0, (a, x) -> a + size(x.positions))")
+    )
+    return tp.select(
+        "doc_id",
+        "dl",
+        F.explode("tp").alias("e"),
+    ).select(
+        "doc_id",
+        F.col("e.term").alias("term"),
+        F.size("e.positions").alias("tf"),
+        F.col("e.positions").alias("positions"),
+        "dl",
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "composable",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    cache: bool = True,
+) -> Index:
+    """Build the logical index from a corpus DataFrame.
+
+    ``cache=True`` persists the postings (they back every query); for the
+    persisted-artifact path use ``manager.IndexManager`` instead.
+    """
+    postings = build_postings(corpus, doc_id_col, text_col, analyzer)
+    if cache:
+        postings = postings.persist()
+    # df = rows per term (one row per (doc, term)); cf = total term count.
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    # n_docs counts every corpus row (docs whose analyzed text is empty still
+    # count toward N, matching the reference's docNum accounting).
+    agg = corpus.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    n_docs = agg["n"]
+    dl_agg = (
+        postings.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.sum("dl").alias("total"))
+        .collect()[0]
+    )
+    total_tokens = dl_agg["total"] or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    return Index(
+        spark=spark,
+        postings=postings,
+        term_stats=term_stats,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        analyzer=analyzer,
+        k1=k1,
+        b=b,
+        corpus=corpus,
+        doc_id_col=doc_id_col,
+        text_col=text_col,
+    )

@@ -1,0 +1,14 @@
+from .boolean import search_and, search_keyword, search_or
+from .phrase import search_phrase
+from .ranked import bm25_idf, search_bm25, search_tfidf, tfidf_idf
+
+__all__ = [
+    "search_keyword",
+    "search_and",
+    "search_or",
+    "search_phrase",
+    "search_bm25",
+    "search_tfidf",
+    "bm25_idf",
+    "tfidf_idf",
+]

@@ -1,0 +1,49 @@
+"""Boolean keyword / AND / OR search.
+
+Reference semantics (``InvertedIndexManager.java:476-546``, bitmap core
+``InvertedIndex.java:1208-1259``): keywords are deduped, joined with spaces
+and re-analyzed; AND intersects posting lists, OR unions them. The bitmap
+AND/OR becomes count-matching over the postings DataFrame — one shuffle on
+doc_id, no driver-side set logic. Analyzed-away queries (all stop words)
+return empty, like an absent term does in the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _empty_ids(index) -> DataFrame:
+    return index.spark.createDataFrame([], "doc_id string")
+
+
+def search_keyword(index, keyword: str) -> DataFrame:
+    """Single keyword -> distinct doc_ids (reference searchQuery)."""
+    return search_and(index, [keyword])
+
+
+def search_and(index, keywords) -> DataFrame:
+    terms = sorted(set(index.analyze_query(keywords)))
+    if not terms:
+        return _empty_ids(index)
+    n = len(terms)
+    matched = index.postings.where(F.col("term").isin(terms))
+    if n == 1:
+        return matched.select("doc_id").distinct()
+    # postings have one row per (doc, term), so count(*) == countDistinct(term)
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .where(F.col("n_terms") == n)
+        .select("doc_id")
+    )
+
+
+def search_or(index, keywords) -> DataFrame:
+    terms = sorted(set(index.analyze_query(keywords)))
+    if not terms:
+        return _empty_ids(index)
+    return (
+        index.postings.where(F.col("term").isin(terms)).select("doc_id").distinct()
+    )

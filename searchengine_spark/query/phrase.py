@@ -1,0 +1,48 @@
+"""Positional phrase search.
+
+Reference semantics (``InvertedIndexManager.searchPhraseQuery:233-259`` +
+``InvertedIndex.searchPhrase:1261-1345``): the phrase is re-analyzed (stop
+words drop out, so "happy AND today" matches "i am happy today"); a document
+matches iff some position p of word_0 has word_j at p+j for every j.
+
+Spark shape: filter postings to the phrase's terms, collect a per-document
+``term -> positions`` map (ONE shuffle), then fold an ``array_intersect``
+chain over shifted position arrays — all built-in expressions, no Python in
+the hot path. Duplicate terms inside the phrase are handled naturally since
+the map is keyed by term and shifts differ per slot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def search_phrase(index, phrase) -> DataFrame:
+    terms = index.analyze_query(phrase)
+    if not terms:
+        return index.spark.createDataFrame([], "doc_id string")
+    uniq = sorted(set(terms))
+    per_doc = (
+        index.postings.where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("posmap"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .where(F.col("n_terms") == len(uniq))
+    )
+    if len(terms) == 1:
+        return per_doc.select("doc_id")
+    # cand = positions p of terms[0] s.t. terms[j] occurs at p+j for all j<=i
+    cand = F.col("posmap").getItem(terms[0])
+    for j in range(1, len(terms)):
+        shifted = F.transform(F.col("posmap").getItem(terms[j]), lambda x: x - j)
+        cand = F.array_intersect(cand, shifted)
+    return (
+        per_doc.withColumn("cand", cand)
+        .where(F.size("cand") > 0)
+        .select("doc_id")
+    )

@@ -1,0 +1,136 @@
+"""Ranked search: Okapi BM25 (the engine's headline scorer) and the
+reference's TF-IDF pseudo-cosine (kept for cross-checking).
+
+BM25 (north rule; the reference defines no Okapi parameters, so the
+canonical defaults k1=1.2, b=0.75 are engine constants, explicit in config):
+
+    score(d) = sum over query terms t of
+        qtf(t) * idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    idf(t)   = ln( (N - df + 0.5) / (df + 0.5) + 1 )       [Lucene variant,
+                                                            always positive]
+
+Reference TF-IDF (``InvertedIndexManager.searchTfIdf:578-645`` +
+``InvertedIndex.searchTfIdf:1052-1085``):
+
+    idf(t)   = log10(N / df(t) + 1)        # +1 OUTSIDE the division — the
+                                           # Java-precedence quirk at :611
+    w_q(t)   = idf(t) * qtf(t)
+    dot(d)   = sum_t tf(t,d)*idf(t) * w_q(t)
+    len2(d)  = sum_t (tf(t,d)*idf(t))^2
+    score(d) = dot(d) / sqrt(len2(d))      # cosine vs doc only; query
+                                           # vector deliberately unnormalized
+
+Plan shape for both: broadcast the tiny (term, qtf, idf) frame into the
+postings scan (Catalyst pushes ``term IN (...)`` to parquet when postings are
+read from the artifact), per-row partial score, ONE shuffle on doc_id for the
+sum, then a distributed TakeOrdered (``orderBy().limit(k)``). Ties break on
+doc_id ascending for deterministic rank identity.
+
+Query-term df comes from the term_stats table restricted to the (few) query
+terms — the Spark analogue of the reference's pass-1 ``accumulateKeywordsTf``
+(``InvertedIndex.java:1096-1103``).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _empty_scores(index) -> DataFrame:
+    return index.spark.createDataFrame([], "doc_id string, score double")
+
+
+def _query_weights(index, query, idf_fn) -> list[tuple[str, int, float]]:
+    """[(term, qtf, idf)] for analyzed query terms with df > 0."""
+    terms = index.analyze_query(query)
+    if not terms:
+        return []
+    qtf = Counter(terms)
+    stats = index.query_term_stats(list(qtf))
+    out = []
+    for term, count in sorted(qtf.items()):
+        df = stats[term][0]
+        if df > 0:
+            out.append((term, count, idf_fn(index.n_docs, df)))
+    return out
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def tfidf_idf(n_docs: int, df: int) -> float:
+    # log10(N/df + 1): the +1 lands outside the division (Java precedence,
+    # InvertedIndexManager.java:611)
+    return math.log10(n_docs / df + 1.0)
+
+
+def search_bm25(index, query, k: int | None = None) -> DataFrame:
+    weights = _query_weights(index, query, bm25_idf)
+    if not weights or k == 0:
+        return _empty_scores(index)
+    qdf = index.spark.createDataFrame(weights, "term string, qtf int, idf double")
+    k1, b = float(index.k1), float(index.b)
+    avgdl = float(index.avgdl) or 1.0
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    partial = F.col("qtf") * F.col("idf") * tf * (k1 + 1.0) / norm
+    # Deterministic per-doc summation: fold partials in sorted-term order so
+    # scores are bit-identical across partitionings and to the oracle
+    # (float addition is order-sensitive; SURVEY.md §7.3). Query terms are
+    # few, so collect_list here is O(|q|) per doc.
+    scored = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .select("doc_id", F.struct("term", partial.alias("partial")).alias("p"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("p")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("score")
+        )
+    )
+    scored = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.limit(k) if k is not None else scored
+
+
+def search_tfidf(index, query, k: int | None = None) -> DataFrame:
+    weights = _query_weights(index, query, tfidf_idf)
+    if not weights or k == 0:
+        return _empty_scores(index)
+    qdf = index.spark.createDataFrame(weights, "term string, qtf int, idf double")
+    tfidf = F.col("tf").cast("double") * F.col("idf")
+    # same deterministic sorted fold as BM25, accumulating (dot, len2)
+    scored = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .select(
+            "doc_id",
+            F.struct(
+                "term",
+                (tfidf * F.col("idf") * F.col("qtf")).alias("dot_p"),
+                (tfidf * tfidf).alias("len_p"),
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("p")),
+                F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("l")),
+                lambda acc, x: F.struct(
+                    (acc["d"] + x["dot_p"]).alias("d"),
+                    (acc["l"] + x["len_p"]).alias("l"),
+                ),
+            ).alias("acc")
+        )
+        .select(
+            "doc_id",
+            (F.col("acc.d") / F.sqrt(F.col("acc.l"))).alias("score"),
+        )
+    )
+    scored = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.limit(k) if k is not None else scored

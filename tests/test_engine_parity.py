@@ -1,0 +1,113 @@
+"""Spark engine vs pure-Python oracle: rank-identity on the reference query
+set over the deterministic synthetic transcripts corpus (FIXTURES.md §2-3).
+
+This is the engine's FullScanSearcher-style correctness gate: boolean and
+phrase results must be set-identical; ranked results must be rank-identical
+(ties broken by doc_id) with bit-equal scores (both sides sum partial scores
+in sorted-term order).
+"""
+
+import pytest
+
+from searchengine_spark.fixtures import QUERY_SET, doc_key
+from searchengine_spark.index import build_index
+from searchengine_spark.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def built(spark, small_corpus):
+    index = build_index(spark, small_corpus)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in small_corpus.select("doc_id", "text").collect()
+    }
+    oracle = OracleIndex(docs)
+    return index, oracle, docs
+
+
+def _ranked_rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize(
+    "q", [q for q in QUERY_SET if q["kind"] in ("keyword", "and", "or", "phrase")],
+    ids=lambda q: f"q{q['query_id']}-{q['kind']}",
+)
+def test_boolean_and_phrase_parity(built, q):
+    index, oracle, _ = built
+    kind, text = q["kind"], q["query_text"]
+    if kind == "keyword":
+        got = {r["doc_id"] for r in index.search_keyword(text).collect()}
+        want = oracle.search_and(text)
+    elif kind == "and":
+        got = {r["doc_id"] for r in index.search_and(text).collect()}
+        want = oracle.search_and(text)
+    elif kind == "or":
+        got = {r["doc_id"] for r in index.search_or(text).collect()}
+        want = oracle.search_or(text)
+    else:
+        got = {r["doc_id"] for r in index.search_phrase(text).collect()}
+        want = oracle.search_phrase(text)
+    assert got == want
+    if q["query_id"] in (3, 7, 9):  # planted markers must actually hit
+        assert want, f"fixture regression: no hits for {text!r}"
+
+
+@pytest.mark.parametrize(
+    "q", [q for q in QUERY_SET if q["kind"] in ("bm25", "tfidf")],
+    ids=lambda q: f"q{q['query_id']}-{q['kind']}",
+)
+def test_ranked_parity(built, q):
+    index, oracle, _ = built
+    k, text = q["k"], q["query_text"]
+    if q["kind"] == "bm25":
+        got = _ranked_rows(index.search_bm25(text, k))
+        want = oracle.search_bm25(text, k)
+    else:
+        got = _ranked_rows(index.search_tfidf(text, k))
+        want = oracle.search_tfidf(text, k)
+    assert len(got) == len(want)
+    for rank, ((gd, gs), (wd, ws)) in enumerate(zip(got, want)):
+        assert gd == wd, f"rank {rank}: {gd} != {wd} (got {gs}, want {ws})"
+        assert gs == pytest.approx(ws, rel=0, abs=1e-12), f"rank {rank} score"
+
+
+def test_marker_doc_positions(built):
+    # zqmarkeralpha planted at conv_idx % 37 == 18, turn 1 (MARKERS)
+    index, oracle, _ = built
+    got = sorted(r["doc_id"] for r in index.search_keyword("zqmarkeralpha").collect())
+    expected = sorted(doc_key(c, 1) for c in range(1000) if c % 37 == 18)
+    assert got == expected
+
+
+def test_hydration_text_equality(built, small_corpus):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    the BASELINE input_hint invariant."""
+    index, oracle, docs = built
+    res = index.search_bm25("spark shuffle error", 10)
+    hydrated = index.hydrate(res).orderBy("conv_id", "turn_idx").collect()
+    assert len(hydrated) == 10
+    for row in hydrated:
+        assert row["text"] == docs[row["doc_id"]]
+        assert row["doc_id"] == doc_key(row["conv_id"], row["turn_idx"])
+
+
+def test_document_frequency(built):
+    index, oracle, _ = built
+    for term in ("function", "error", "zqmarkeralpha", "nonexistentterm"):
+        assert index.document_frequency(term) == oracle.df(term)
+
+
+def test_topk_none_returns_all_matches(built):
+    # searchTfIdf(query, null) returns ALL matching docs
+    # (InvertedIndexManager.java:602)
+    index, oracle, _ = built
+    got = _ranked_rows(index.search_tfidf("zqmarkerbeta"))
+    want = oracle.search_tfidf("zqmarkerbeta")
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_analyzed_away_query_is_empty(built):
+    index, _, _ = built
+    assert index.search_and("the of and").count() == 0
+    assert index.search_bm25("the of and", 5).count() == 0
