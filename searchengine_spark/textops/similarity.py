@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline. One scan,
+  no shuffle (TakeOrdered), all arithmetic in JVM expressions.
+- lsh_topk: random-hyperplane LSH bucketing as the scale path — restricts
+  the exact rerank to candidate buckets; probes p nearest buckets. At 100 TB
+  you persist the bucketed table partitioned by bucket key and prune scans.
+- ivf_topk: IVF-style coarse quantization using deterministic seed
+  centroids (k-means is a build-time job; here centroids are sampled rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_col(vec_col, query: list[float]):
+    q = F.lit([float(x) for x in query])
+    return _dot(vec_col, q) / (_norm(vec_col) * _norm(q))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: orderBy().limit() compiles to a distributed
+    TakeOrdered — no full sort, no shuffle of the scan."""
+    return (
+        df.select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def bucket_col(vec_col, planes: np.ndarray):
+    """LSH bucket id = sign-bit string over random hyperplanes."""
+    bits = []
+    for row in planes:
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.lit([float(x) for x in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: exact rerank within the query's LSH bucket plus
+    all buckets within the given hamming distance (multi-probe)."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = (planes @ np.asarray(query, dtype=np.float64) >= 0).astype(int)
+    qkey = "".join(map(str, qbits))
+    probe = {qkey}
+    if multiprobe_hamming >= 1:
+        for i in range(n_planes):
+            flipped = list(qkey)
+            flipped[i] = "1" if qkey[i] == "0" else "0"
+            probe.add("".join(flipped))
+    bucketed = df.withColumn("_bucket", bucket_col(F.col(vec_col), planes))
+    cands = bucketed.where(F.col("_bucket").isin(sorted(probe)))
+    return brute_force_topk(cands, query, k, id_col, vec_col)
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: assign every vector to its nearest centroid (build-time at
+    scale; persisted partitioned by cell), scan only the n_probe cells
+    nearest the query."""
+    q = np.asarray(query, dtype=np.float64)
+
+    def _cell_expr(vec):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.lit([float(x) for x in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+        arr = F.array(*dists)
+        return F.array_position(arr, F.array_min(arr)) - 1
+
+    qd = ((centroids - q) ** 2).sum(axis=1)
+    probe_cells = [int(i) for i in np.argsort(qd)[:n_probe]]
+    assigned = df.withColumn("_cell", _cell_expr(F.col(vec_col)))
+    cands = assigned.where(F.col("_cell").isin(probe_cells))
+    return brute_force_topk(cands, query, k, id_col, vec_col)
