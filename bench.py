@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Beyond the per-query wall times it also reports the north-rule metric —
+index-build throughput in turns/sec over the deterministic synthetic
+transcripts corpus (FIXTURES.md) — under ``extras.build_turns_per_sec``.
+Scaling-efficiency evidence (same build at local[8] vs local[32]) lives in
+``scripts/scaling_run.py`` / BENCH.md, not here, because it needs two fresh
+JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.fixtures import doc_key_col, transcripts_df
+    from searchengine_spark.index import build_index
+    from searchengine_spark.session import get_spark
+    from searchengine_spark.textops import dedup as dd
+    from searchengine_spark.textops import similarity as sim
+
+    spark = get_spark("searchengine-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    q: dict[str, float] = {}
+
+    # --- index build over the sf documents table (postings + stats) ---
+    t0 = time.perf_counter()
+    idx = build_index(spark, docs, analyzer="punctuation")
+    idx.postings.count()  # materialize the persisted postings
+    q["index_build"], _ = time.perf_counter() - t0, None
+    q["index_build"] = time.perf_counter() - t0
+
+    # --- query surface (each .collect()s a small result) ---
+    q["ft_bm25_top20"], _ = timed(lambda: idx.search_bm25("spark join hash", 20).collect())
+    q["ft_tfidf_top20"], _ = timed(lambda: idx.search_tfidf("spark join hash", 20).collect())
+    q["ft_and"], _ = timed(lambda: idx.search_and("merge join hash").collect())
+    q["ft_or"], _ = timed(lambda: idx.search_or("vector stream").collect())
+    q["ft_phrase"], _ = timed(lambda: idx.search_phrase("table hash").collect())
+
+    # --- training-data ops ---
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.regexp_replace("text", "[,.;?!]", " ")), r"\s+"),
+            lambda x: x != "",
+        ).alias("tokens"),
+    )
+    q["dedup_minhash"], _ = timed(
+        lambda: dd.minhash_candidate_pairs(toks).count()
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    q["ann_cosine_top10"], _ = timed(
+        lambda: sim.brute_force_topk(emb, qvec, 10).collect()
+    )
+
+    # --- relational surface ---
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q["rel_tpch_q1"], _ = timed(
+        lambda: li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.avg("l_discount"), F.count(F.lit(1)))
+        .collect()
+    )
+
+    # --- north-rule throughput: transcripts index build, turns/sec ---
+    tr = transcripts_df(spark, n_convs=bench_convs).withColumn(
+        "doc_id", doc_key_col()
+    )
+    n_turns = tr.count()  # generation cost paid here, not inside the timing
+    t0 = time.perf_counter()
+    tidx = build_index(spark, tr.select("doc_id", "text"), cache=False)
+    n_postings = tidx.postings.count()
+    build_s = time.perf_counter() - t0
+    q["transcripts_build"] = build_s
+    turns_per_sec = n_turns / build_s if build_s > 0 else 0.0
+
+    idx.postings.unpersist()
+    idx.term_stats.unpersist()
+    total = sum(q.values())
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in q.items()},
+                "sf": sf,
+                "extras": {
+                    "cpus": cpus,
+                    "bench_convs": bench_convs,
+                    "bench_turns": n_turns,
+                    "bench_postings": n_postings,
+                    "build_turns_per_sec": round(turns_per_sec, 1),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

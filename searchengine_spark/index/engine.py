@@ -218,17 +218,14 @@ def build_index(
     term_stats = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )
+    if cache:
+        term_stats = term_stats.persist()
     # n_docs counts every corpus row (docs whose analyzed text is empty still
     # count toward N, matching the reference's docNum accounting).
-    agg = corpus.agg(F.count(F.lit(1)).alias("n")).collect()[0]
-    n_docs = agg["n"]
-    dl_agg = (
-        postings.groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(F.sum("dl").alias("total"))
-        .collect()[0]
-    )
-    total_tokens = dl_agg["total"] or 0
+    n_docs = corpus.count()
+    # total tokens = Σ tf over all postings = Σ cf — read off the (much
+    # smaller) stats table instead of re-shuffling postings by doc_id.
+    total_tokens = term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     return Index(
         spark=spark,
