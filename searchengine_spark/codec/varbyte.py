@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
-_MAX_BYTES = 5  # 31-bit values need at most ceil(31/7) = 5 groups
+_MAX_BYTES = 10  # any int64 fits: ceil(63/7) = 9 groups (+1 slack); inputs
+# beyond int64 fail loudly at np.asarray (OverflowError), never truncate
 
 
 def encode(values) -> bytes:

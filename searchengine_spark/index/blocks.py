@@ -1,0 +1,106 @@
+"""Posting-block packing/unpacking (pure numpy — no Spark imports).
+
+The persisted index artifact stores posting lists as fixed-size *blocks*
+(default 128 docs, the block-max WAND literature's standard size). Each
+block row carries:
+
+- ``docs``: delta+varbyte-encoded sorted doc ordinals (wire format parity
+  with the reference ``DeltaVarLenCompressor.java:14-64``),
+- ``tfs`` / ``dls``: plain-varbyte term frequencies and doc lengths (dl is
+  denormalized into the block so BM25 scoring needs no join to a doc table),
+- ``pos``: per-doc position lists (``codec.varbyte.encode_position_lists``,
+  the reference's ``.plist`` [len][positions] layout, ``InvertedIndex.java:
+  919-933``) — empty bytes when the index is built non-positional,
+- block-max metadata for WAND pruning: ``max_tf`` and ``min_dl``. The BM25
+  per-term score part tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is increasing in
+  tf and decreasing in dl, so part(max_tf, min_dl) evaluated with the
+  *query-time* avgdl upper-bounds every posting in the block — storing the
+  raw pair instead of a precomputed score keeps bounds valid when later
+  segments shift avgdl.
+
+Blocks are doc-ordinal-ordered within a term; ``first_ord``/``last_ord``
+give the block's doc range for alignment/pruning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..codec import varbyte
+
+BLOCK_SIZE = 128
+
+# Spark-side schema for one packed block row (mapInPandas output).
+BLOCK_SCHEMA = (
+    "term string, block_seq int, n int, first_ord long, last_ord long, "
+    "max_tf int, min_dl int, docs binary, tfs binary, dls binary, pos binary"
+)
+
+
+def pack_term_run(
+    term: str,
+    ords: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_lists: list | None,
+    block_size: int = BLOCK_SIZE,
+    block_seq_start: int = 0,
+) -> list[dict]:
+    """Pack one term's doc-ordinal-sorted postings into block rows.
+
+    ``block_seq_start`` lets a caller that packs a term's postings across
+    several partitions keep block sequence numbers locally increasing (the
+    global order across partitions is given by ``first_ord``, not seq).
+    """
+    n = len(ords)
+    out = []
+    for bi, lo in enumerate(range(0, n, block_size)):
+        hi = min(lo + block_size, n)
+        b_ords = np.asarray(ords[lo:hi], dtype=np.int64)
+        b_tfs = np.asarray(tfs[lo:hi], dtype=np.int64)
+        b_dls = np.asarray(dls[lo:hi], dtype=np.int64)
+        pos_bytes = (
+            varbyte.encode_position_lists(pos_lists[lo:hi])
+            if pos_lists is not None
+            else b""
+        )
+        out.append(
+            {
+                "term": term,
+                "block_seq": block_seq_start + bi,
+                "n": int(hi - lo),
+                "first_ord": int(b_ords[0]),
+                "last_ord": int(b_ords[-1]),
+                "max_tf": int(b_tfs.max()),
+                "min_dl": int(b_dls.min()),
+                # ordinals stored relative to first_ord: the leading absolute
+                # value stays 1 byte even under large segment bases
+                "docs": varbyte.encode(b_ords - b_ords[0]),
+                "tfs": varbyte.encode_plain(b_tfs),
+                "dls": varbyte.encode_plain(b_dls),
+                "pos": pos_bytes,
+            }
+        )
+    return out
+
+
+def unpack_block(row, with_positions: bool = True) -> dict:
+    """Decode one block row (dict-like / pandas row) back to arrays."""
+    ords = varbyte.decode(row["docs"]) + row["first_ord"]
+    tfs = varbyte.decode_plain(row["tfs"])
+    dls = varbyte.decode_plain(row["dls"])
+    pos_bytes = row.get("pos") if with_positions else None
+    pos = (
+        varbyte.decode_position_lists(pos_bytes)
+        if pos_bytes is not None and len(pos_bytes) > 0
+        else None
+    )
+    return {"ords": ords, "tfs": tfs, "dls": dls, "pos": pos}
+
+
+def bm25_part_upper_bound(
+    max_tf: float, min_dl: float, k1: float, b: float, avgdl: float
+) -> float:
+    """Upper bound of tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) over a block."""
+    norm = max_tf + k1 * (1.0 - b + b * min_dl / (avgdl or 1.0))
+    return max_tf * (k1 + 1.0) / norm

@@ -125,6 +125,14 @@ class Index:
                 self._qstats_cache[t] = got.get(t, (0, 0))
         return {t: self._qstats_cache[t] for t in set(terms)}
 
+    def postings_for_terms(self, terms) -> DataFrame:
+        """Postings restricted to the given terms. Query operators go through
+        this hook so the artifact-backed index can apply the term filter to
+        the *compressed block* scan (parquet predicate pushdown) before
+        decoding — a ``.where`` above a decode ``mapInPandas`` would not push
+        through the Python barrier."""
+        return self.postings.where(F.col("term").isin(list(terms)))
+
     # --- query operators (implemented in query/, bound here for ergonomics) ---
     def search_keyword(self, query: str) -> DataFrame:
         from ..query.boolean import search_keyword

@@ -28,7 +28,7 @@ def search_and(index, keywords) -> DataFrame:
     if not terms:
         return _empty_ids(index)
     n = len(terms)
-    matched = index.postings.where(F.col("term").isin(terms))
+    matched = index.postings_for_terms(terms)
     if n == 1:
         return matched.select("doc_id").distinct()
     # postings have one row per (doc, term), so count(*) == countDistinct(term)
@@ -44,6 +44,4 @@ def search_or(index, keywords) -> DataFrame:
     terms = sorted(set(index.analyze_query(keywords)))
     if not terms:
         return _empty_ids(index)
-    return (
-        index.postings.where(F.col("term").isin(terms)).select("doc_id").distinct()
-    )
+    return index.postings_for_terms(terms).select("doc_id").distinct()

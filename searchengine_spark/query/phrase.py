@@ -24,7 +24,7 @@ def search_phrase(index, phrase) -> DataFrame:
         return index.spark.createDataFrame([], "doc_id string")
     uniq = sorted(set(terms))
     per_doc = (
-        index.postings.where(F.col("term").isin(uniq))
+        index.postings_for_terms(uniq)
         .groupBy("doc_id")
         .agg(
             F.map_from_entries(

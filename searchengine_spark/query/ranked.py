@@ -84,7 +84,8 @@ def search_bm25(index, query, k: int | None = None) -> DataFrame:
     # (float addition is order-sensitive; SURVEY.md §7.3). Query terms are
     # few, so collect_list here is O(|q|) per doc.
     scored = (
-        index.postings.join(F.broadcast(qdf), "term")
+        index.postings_for_terms([t for t, _, _ in weights])
+        .join(F.broadcast(qdf), "term")
         .select("doc_id", F.struct("term", partial.alias("partial")).alias("p"))
         .groupBy("doc_id")
         .agg(
@@ -107,7 +108,8 @@ def search_tfidf(index, query, k: int | None = None) -> DataFrame:
     tfidf = F.col("tf").cast("double") * F.col("idf")
     # same deterministic sorted fold as BM25, accumulating (dot, len2)
     scored = (
-        index.postings.join(F.broadcast(qdf), "term")
+        index.postings_for_terms([t for t, _, _ in weights])
+        .join(F.broadcast(qdf), "term")
         .select(
             "doc_id",
             F.struct(
