@@ -25,6 +25,15 @@ _MAX_BYTES = 10  # any int64 fits: ceil(63/7) = 9 groups (+1 slack); inputs
 # beyond int64 fail loudly at np.asarray (OverflowError), never truncate
 
 
+def _needed_groups(max_value: int) -> int:
+    """7-bit groups needed for max_value (caps the encode loops: small
+    values — the common case — pay 1-2 passes, not _MAX_BYTES)."""
+    width = 1
+    while max_value >= (1 << (7 * width)) and width < _MAX_BYTES:
+        width += 1
+    return width
+
+
 def encode(values) -> bytes:
     """Delta + varbyte encode a sorted sequence of non-negative ints."""
     arr = np.asarray(values, dtype=np.int64)
@@ -36,12 +45,13 @@ def encode(values) -> bytes:
     if gaps.min() < 0:
         raise ValueError("array is not sorted")
 
+    width = _needed_groups(int(gaps.max()))
     nbytes = np.ones(arr.size, dtype=np.int64)
-    for shift in range(7, 7 * _MAX_BYTES, 7):
+    for shift in range(7, 7 * width, 7):
         nbytes += gaps >= (1 << shift)
     ends = np.cumsum(nbytes)  # index one past each value's last byte
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    for back in range(_MAX_BYTES):
+    for back in range(width):
         mask = nbytes > back
         pos = ends[mask] - 1 - back
         chunk = (gaps[mask] >> (7 * back)) & 0x7F
@@ -102,12 +112,13 @@ def encode_plain(values) -> bytes:
         return b""
     if arr.min() < 0:
         raise ValueError("negative value")
+    width = _needed_groups(int(arr.max()))
     nbytes = np.ones(arr.size, dtype=np.int64)
-    for shift in range(7, 7 * _MAX_BYTES, 7):
+    for shift in range(7, 7 * width, 7):
         nbytes += arr >= (1 << shift)
     ends = np.cumsum(nbytes)
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    for back in range(_MAX_BYTES):
+    for back in range(width):
         mask = nbytes > back
         pos = ends[mask] - 1 - back
         chunk = (arr[mask] >> (7 * back)) & 0x7F
@@ -140,11 +151,29 @@ def encode_position_lists(pos_lists) -> bytes:
     delta+varbyte stream per doc (each doc's deltas restart at 0), matching
     the reference's ``.plist`` [len][positions] layout per (term, doc)
     (``InvertedIndex.java:919-933``) without byte pointers — lengths are
-    recovered from the header."""
-    lengths = [len(p) for p in pos_lists]
-    parts = [encode_plain([len(lengths)]), encode_plain(lengths)]
-    for p in pos_lists:
-        parts.append(encode(p))
+    recovered from the header.
+
+    Vectorized: the concatenation of per-doc delta+varbyte streams is
+    byte-identical to ONE plain-varbyte stream over the flat gap array with
+    gaps reset to the absolute value at each doc start, so the whole block
+    encodes in a single numpy pass (the per-doc ``encode()`` loop was the
+    index build's hot spot)."""
+    n = len(pos_lists)
+    lengths = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=n)
+    parts = [encode_plain([n]), encode_plain(lengths)]
+    total = int(lengths.sum())
+    if total:
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pos_lists if len(p)]
+        )
+        gaps = np.empty_like(flat)
+        gaps[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=gaps[1:])
+        starts = np.cumsum(lengths[lengths > 0])[:-1]
+        gaps[starts] = flat[starts]  # delta restarts at each doc boundary
+        if gaps.min() < 0:
+            raise ValueError("array is not sorted")
+        parts.append(encode_plain(gaps))
     return b"".join(parts)
 
 
@@ -153,20 +182,14 @@ def decode_position_lists(data: bytes) -> list:
     buf = np.frombuffer(data, dtype=np.uint8)
     if buf.size == 0:
         return []
-    is_last = (buf & 0x80) == 0
-    ends = np.flatnonzero(is_last) + 1  # value boundaries (byte offsets)
-    n_docs = int(decode_plain(buf[: ends[0]].tobytes())[0])
-    header_end = ends[n_docs]
-    lengths = decode_plain(buf[ends[0] : header_end].tobytes())
-    out = []
-    vi = n_docs + 1  # header spans values [0..n_docs]; positions start after
-    off = header_end
-    for l in lengths:
-        if l == 0:
-            out.append(np.empty(0, dtype=np.int64))
-            continue
-        end = ends[vi + int(l) - 1]
-        out.append(decode(buf[off:end].tobytes()))
-        vi += int(l)
-        off = end
-    return out
+    vals = decode_plain(buf)  # one pass: [n, lengths..., gaps...]
+    n = int(vals[0])
+    lengths = vals[1 : 1 + n]
+    gaps = vals[1 + n :]
+    if gaps.size == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(n)]
+    flat = np.cumsum(gaps)
+    starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    base = np.where(starts > 0, flat[np.maximum(starts - 1, 0)], 0)
+    adj = flat - np.repeat(base, lengths)
+    return np.split(adj, np.cumsum(lengths)[:-1])

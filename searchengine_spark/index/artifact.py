@@ -240,10 +240,17 @@ def _build_segment(
     docs_dir = os.path.join(path, "docs", f"seg={seg}")
     ords.write.mode("overwrite").parquet(docs_dir)
 
-    # pack: range partition on (term, doc_ord) = skew-splitting + doc order
-    parts = pack_partitions or spark.sparkContext.defaultParallelism
+    # pack: range partition on (term, doc_ord) = skew-splitting + doc order.
+    # 2x parallelism so each core gets >=2 waves (stragglers amortize).
+    parts = pack_partitions or 2 * spark.sparkContext.defaultParallelism
     cols = ["term", "doc_ord", "tf", "dl"] + (["positions"] if positional else [])
-    p = postings.join(ords.select("doc_id", "doc_ord"), "doc_id").select(*cols)
+    # persist: repartitionByRange's boundary-sampling pass would otherwise
+    # execute the join lineage a second time
+    p = (
+        postings.join(ords.select("doc_id", "doc_ord"), "doc_id")
+        .select(*cols)
+        .persist()
+    )
     ranged = p.repartitionByRange(
         parts, F.col("term"), F.col("doc_ord")
     ).sortWithinPartitions("term", "doc_ord")
@@ -252,6 +259,7 @@ def _build_segment(
     )
     blocks_dir = os.path.join(path, "blocks", f"seg={seg}")
     blocks.write.mode("overwrite").parquet(blocks_dir)
+    p.unpersist()
 
     # per-segment term stats (df, cf) — two-phase hash agg, skew-safe
     stats = postings.groupBy("term").agg(

@@ -41,7 +41,7 @@ def assign_doc_ordinals(
     """Add a dense ``doc_ord`` column (int64, ``base + rank``) to ``docs``
     (one row per doc). Returns a *persisted* DataFrame; callers unpersist
     after materializing downstream."""
-    parts = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    parts = num_partitions or 2 * docs.sparkSession.sparkContext.defaultParallelism
     ranged = (
         docs.repartitionByRange(parts, F.col(id_col))
         .sortWithinPartitions(id_col)
