@@ -201,6 +201,56 @@ def ft_bm25_top20(spark, sf_dir):
     return _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
 
 
+_ARTIFACTS: dict[str, object] = {}
+
+
+def _ft_artifact(spark, sf_dir):
+    """Compressed-artifact twin of _ft_index (block codec + WAND path),
+    built once per session into a temp dir."""
+    if sf_dir not in _ARTIFACTS:
+        import tempfile
+
+        from .index.artifact import build_artifact
+
+        path = tempfile.mkdtemp(prefix="se_artifact_")
+        _ARTIFACTS[sf_dir] = build_artifact(
+            spark, _docs(spark, sf_dir), path, analyzer="punctuation",
+            n_segments=2, source_desc=f"documents at {sf_dir}",
+        )
+    return _ARTIFACTS[sf_dir]
+
+
+def ft_bm25_wand(spark, sf_dir):
+    """Block-max WAND BM25 over the persisted compressed artifact — must
+    hash-match the same DuckDB oracle as the logical-path BM25."""
+    aidx = _ft_artifact(spark, sf_dir)
+    res = aidx.search_bm25(_FT_QUERIES["bm25"], 20)
+    return _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+
+
+_DELETE_KW = "checkpoint"
+_DELETE_QUERY = "spark join"
+
+
+def ft_delete_search(spark, sf_dir):
+    """Tombstone delete-by-keyword, then boolean OR over the survivors."""
+    idx = _ft_index(spark, sf_dir)
+    idx.delete_documents(_DELETE_KW)
+    return _as_long_doc_id(idx.search_or(_DELETE_QUERY))
+
+
+def _delete_search_sql() -> str:
+    kw = punctuation_tokenize(_DELETE_KW)[0]
+    terms = sorted(set(punctuation_tokenize(_DELETE_QUERY)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOK_CTES}
+SELECT DISTINCT doc_id FROM postings
+WHERE term IN ({tlist})
+  AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = '{kw}')
+"""
+
+
 def _bm25_sql(query: str, k: int) -> str:
     return f"""
 WITH {TOK_CTES},
@@ -629,6 +679,40 @@ def media_features_q(spark, sf_dir):
     return extract_features(sample_media_df(spark)).drop("feature")
 
 
+def wordbreak_en_q(spark, sf_dir):
+    """EN word-break segmentation (A7) over deterministic space-free text
+    built from the fixture vocabulary; DP is not SQL-expressible ->
+    rows-only check."""
+    from .analysis.wordbreak import make_wordbreak_udf
+    from .fixtures import CONTENT_WORDS
+
+    freq = {w: 1000 - i for i, w in enumerate(CONTENT_WORDS[:120])}
+    rows = [
+        (i, CONTENT_WORDS[i] + CONTENT_WORDS[(i * 7 + 3) % 120])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "row_id int, glued string")
+    udf = make_wordbreak_udf(freq)
+    return (
+        df.select("row_id", udf("glued").alias("toks"))
+        .select("row_id", F.concat_ws(" ", "toks").alias("segmented"))
+        .orderBy("row_id")
+    )
+
+
+def pagerank_top20_q(spark, sf_dir):
+    """R1/R2: PageRank over the deterministic synthetic link graph;
+    iterative -> rows-only check."""
+    from .fixtures import graph_edges_df
+    from .graph import compute_pagerank
+    from .graph.pagerank import pagerank_scores
+
+    ranks = compute_pagerank(graph_edges_df(spark, n_nodes=200), num_iterations=40)
+    return pagerank_scores(ranks).limit(20).select(
+        "node", F.round("rank", 6).alias("rank_r")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -640,6 +724,8 @@ QUERIES = {
     "ft_or": ft_or,
     "ft_phrase": ft_phrase,
     "ft_bm25_top20": ft_bm25_top20,
+    "ft_bm25_wand": ft_bm25_wand,
+    "ft_delete_search": ft_delete_search,
     "ft_tfidf_top20": ft_tfidf_top20,
     "ft_df": ft_df,
     "ft_corpus_stats": ft_corpus_stats,
@@ -660,6 +746,8 @@ QUERIES = {
     "ann_lsh_top10": ann_lsh_top10,
     "doc_fingerprints": doc_fingerprints_q,
     "media_features": media_features_q,
+    "wordbreak_en": wordbreak_en_q,
+    "pagerank_top20": pagerank_top20_q,
 }
 
 ORACLES = {
@@ -669,6 +757,8 @@ ORACLES = {
     "ft_or": _or_sql(_FT_QUERIES["or"]),
     "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),
     "ft_bm25_top20": _bm25_sql(_FT_QUERIES["bm25"], 20),
+    "ft_bm25_wand": _bm25_sql(_FT_QUERIES["bm25"], 20),
+    "ft_delete_search": _delete_search_sql(),
     "ft_tfidf_top20": _tfidf_sql(_FT_QUERIES["tfidf"], 20),
     "ft_df": FT_DF_SQL,
     "ft_corpus_stats": FT_CORPUS_STATS_SQL,

@@ -194,6 +194,30 @@ def doc_key(conv_idx_or_id, turn_idx: int) -> str:
     return f"{cid}:{turn_idx:04d}"
 
 
+def graph_edges_pandas(n_nodes: int = 200, avg_out: int = 4, seed: int = SEED) -> pd.DataFrame:
+    """Deterministic synthetic link graph (the reference's id-graph.tsv
+    role): each node links to ~avg_out pseudo-random others, preferential
+    toward low ids (gives distinct PageRank mass like a real web graph).
+    Node n_nodes-1 is left dangling (no out-links) to exercise the
+    zero-column path (IcsSearchEngine.java:96-106)."""
+    rows = []
+    for src in range(n_nodes - 1):
+        rng = np.random.default_rng([seed, 7919, src])
+        k = 1 + int(rng.integers(0, 2 * avg_out))
+        # preferential attachment: square the uniform to skew toward 0
+        dsts = (rng.random(k) ** 2 * n_nodes).astype(int)
+        for d in np.unique(dsts):
+            if int(d) != src:
+                rows.append({"src": src, "dst": int(d)})
+    return pd.DataFrame(rows)
+
+
+def graph_edges_df(spark, n_nodes: int = 200, avg_out: int = 4, seed: int = SEED):
+    return spark.createDataFrame(
+        graph_edges_pandas(n_nodes, avg_out, seed), schema="src long, dst long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference query set (FIXTURES.md §2) — fixed, spans all query kinds.
 # ---------------------------------------------------------------------------

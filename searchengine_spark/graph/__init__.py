@@ -1,0 +1,3 @@
+from .pagerank import combined_rank, compute_pagerank, read_edge_tsv
+
+__all__ = ["compute_pagerank", "combined_rank", "read_edge_tsv"]

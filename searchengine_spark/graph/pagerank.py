@@ -1,0 +1,139 @@
+"""PageRank + combined ranking (reference Project 4).
+
+Parity source ``search/IcsSearchEngine.java``:
+
+- edge list parsed from a TSV of (src, dst) pairs (``:77-92``; S9),
+- column weights 1/outdeg, dangling nodes contribute 0 (``:96-106``),
+- **x initialized to 1.0 — NOT 1/N** (``:110``), damping α=0.85 with a
+  constant β=0.15 added to every node each iteration (``:111-117``),
+- iterate ``x ← αAx + β·1`` up to ``num_iterations``, early-stopping when
+  the L1 diff drops below 1e-5 (``:118-134``),
+- score dump sorted descending (``getPageRankScores:157-168``; R2),
+- combined rank = tfidf + weight · pagerank, sort desc, truncate
+  (``searchQuery:188-218``; R3).
+
+Spark shape: ranks live in a DataFrame keyed by node; one iteration is an
+(edges ⋈ ranks) shuffle + groupBy(dst) sum. ``localCheckpoint`` every few
+iterations truncates the lineage chain (an iterative plan otherwise grows
+unboundedly). The node universe is taken from the edges (plus an optional
+nodes frame for isolated vertices).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ALPHA = 0.85  # IcsSearchEngine.java:111
+BETA = 0.15
+TOL = 1e-5  # :131-133
+
+
+def read_edge_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S9: parse an id-graph TSV into an edges frame (src, dst)."""
+    return (
+        spark.read.option("sep", "\t")
+        .csv(path)
+        .toDF("src", "dst")
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+
+
+def compute_pagerank(
+    edges: DataFrame,
+    num_iterations: int = 100,
+    nodes: DataFrame | None = None,
+    alpha: float = ALPHA,
+    beta: float = BETA,
+    tol: float = TOL,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Returns (node, rank). Deterministic given the same edges."""
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.select("node").persist()
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # weight of each edge = 1/outdeg(src); dangling nodes have no edges, so
+    # they simply contribute nothing (reference zero-columns, :96-106)
+    weighted = (
+        edges.join(outdeg, edges["src"] == outdeg["node"])
+        .select("src", "dst", (1.0 / F.col("outdeg")).alias("w"))
+        .persist()
+    )
+    weighted.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0))  # x0 = 1.0, NOT 1/N (:110)
+    for it in range(num_iterations):
+        contrib = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (alpha * F.coalesce(F.col("inflow"), F.lit(0.0)) + beta).alias(
+                    "rank"
+                ),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == num_iterations - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            diff = (
+                new_ranks.withColumnRenamed("rank", "r2")
+                .join(ranks, "node")
+                .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if diff is not None and diff < tol:
+                break
+        else:
+            ranks = new_ranks
+    nodes.unpersist()
+    weighted.unpersist()
+    return ranks
+
+
+def pagerank_scores(ranks: DataFrame) -> DataFrame:
+    """R2: all (node, rank) sorted descending, node asc tie-break."""
+    return ranks.orderBy(F.desc("rank"), F.asc("node"))
+
+
+def combined_rank(
+    index,
+    ranks: DataFrame,
+    query: str,
+    top_k: int,
+    pagerank_weight: float,
+    doc_node_col: str = "node",
+) -> DataFrame:
+    """R3: tfidf over ALL matching docs (reference passes topK=null,
+    ``IcsSearchEngine.java:195``), plus weight x pagerank, desc, truncate.
+    ``ranks.node`` must join the index's doc_id space (caller maps doc ids
+    to graph nodes before passing)."""
+    tfidf = index.search_tfidf(query, None)
+    joined = tfidf.join(
+        ranks.select(F.col(doc_node_col).alias("doc_id"), "rank"),
+        "doc_id",
+        "left",
+    )
+    return (
+        joined.select(
+            "doc_id",
+            (
+                F.col("score")
+                + pagerank_weight * F.coalesce(F.col("rank"), F.lit(0.0))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )

@@ -409,6 +409,65 @@ def build_artifact(
     return load_artifact(spark, path)
 
 
+def append_segment(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    source_desc: str = "",
+    stream_batch_id: int | None = None,
+    pack_partitions: int | None = None,
+) -> "ArtifactIndex":
+    """Append ONE new segment of docs to an existing artifact (the LSM
+    "flush" increment; config inherited from the artifact). Idempotent per
+    ``stream_batch_id``: a micro-batch replayed after a failure finds its id
+    in the snapshot lineage and becomes a no-op (exactly-once appends under
+    Structured Streaming's at-least-once foreachBatch)."""
+    prev = latest_snapshot(path)
+    if prev is None:
+        raise FileNotFoundError(f"no artifact at {path}; build_artifact first")
+    cfg = dict(prev["config"])
+    segments = list(prev["segments"])
+    if stream_batch_id is not None:
+        for s in segments:
+            if s.get("lineage", {}).get("stream_batch_id") == stream_batch_id:
+                return load_artifact(spark, path)  # replayed batch: no-op
+    seg = max(s["segment_id"] for s in segments) + 1
+    t0 = time.time()
+    entry = _build_segment(
+        spark,
+        corpus,
+        path,
+        seg,
+        doc_id_col=cfg["doc_id_col"],
+        text_col=cfg["text_col"],
+        analyzer=cfg["analyzer"],
+        positional=cfg["positional"],
+        block_size=cfg["block_size"],
+        pack_partitions=pack_partitions,
+    )
+    entry["build_sec"] = round(time.time() - t0, 3)
+    entry["lineage"] = {
+        "source": source_desc,
+        "filter": "appended batch",
+        "stream_batch_id": stream_batch_id,
+    }
+    segments.append(entry)
+    cfg["n_segments"] = len(segments)
+    snap = dict(prev)
+    snap.update(
+        {
+            "snapshot_id": prev["snapshot_id"] + 1,
+            "parent_id": prev["snapshot_id"],
+            "created_unix": time.time(),
+            "config": cfg,
+            "segments": segments,
+        }
+    )
+    _commit_snapshot(path, snap)
+    return load_artifact(spark, path)
+
+
 # ---------------------------------------------------------------------------
 # load / query
 # ---------------------------------------------------------------------------
@@ -429,7 +488,7 @@ class ArtifactIndex(Index):
 
     def postings_for_terms(self, terms) -> DataFrame:
         filtered = self.blocks.where(F.col("term").isin(list(terms)))
-        return self._decode(filtered)
+        return self.filter_deleted(self._decode(filtered))
 
     def _decode(self, blocks: DataFrame) -> DataFrame:
         decoded = blocks.mapInPandas(
@@ -445,6 +504,33 @@ class ArtifactIndex(Index):
             # (InvertedIndexManager.java:234)
             raise ValueError("phrase search requires a positional artifact")
         return super().search_phrase(phrase)
+
+    def delete_documents(self, keyword: str) -> int:
+        """Tombstone matching docs AND persist them: the doc_ids land in
+        ``tombstones/ts-<n>/`` parquet and a new snapshot commits the list
+        (reference persists removed docIDs in metadata.txt,
+        ``InvertedIndexManager.java:356-382``). Readers of the new snapshot
+        see the deletes; compaction purges them physically."""
+        matched = self.search_keyword(keyword).select("doc_id").persist()
+        n = matched.count()
+        snap = dict(self.snapshot)
+        snap_id = snap["snapshot_id"] + 1
+        rel = f"ts-{snap_id:06d}"
+        if n:
+            matched.write.mode("overwrite").parquet(
+                os.path.join(self.path, "tombstones", rel)
+            )
+            snap["tombstones"] = list(snap.get("tombstones", [])) + [rel]
+        snap["snapshot_id"] = snap_id
+        snap["parent_id"] = self.snapshot["snapshot_id"]
+        snap["created_unix"] = time.time()
+        _commit_snapshot(self.path, snap)
+        self.snapshot = snap
+        if self.tombstones is None:
+            self.tombstones = matched
+        else:
+            self.tombstones = self.tombstones.unionByName(matched).distinct()
+        return n
 
     def search_bm25(self, query, k: int | None = None, mode: str = "auto") -> DataFrame:
         from ..query.wand import search_bm25_blockmax
@@ -495,6 +581,11 @@ def load_artifact(spark: SparkSession, path: str) -> ArtifactIndex:
         positional=cfg["positional"],
         snapshot=snap,
     )
+    ts_dirs = snap.get("tombstones", [])
+    if ts_dirs:
+        idx.tombstones = spark.read.parquet(
+            *[os.path.join(path, "tombstones", d) for d in ts_dirs]
+        ).distinct()
     idx.postings = idx._decode(blocks)
     return idx
 
@@ -505,16 +596,23 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
     stream is re-packed with fresh dense ordinals; stats re-aggregate."""
     src = load_artifact(spark, path)
     cfg = dict(src.snapshot["config"])
-    corpus_like = src.docs_tbl.select("doc_id", "dl")  # doc universe
-    # re-pack directly from decoded postings (no re-analysis)
+    # tombstone purge happens HERE, physically (reference purges removed docs
+    # at merge, InvertedIndex.java:640-697) — surviving docs only
+    corpus_like = src.filter_deleted(src.docs_tbl.select("doc_id", "dl"))
     ords = assign_doc_ordinals(corpus_like, base=0)
     docs_dir = os.path.join(out_path, "docs", "seg=0")
     ords.write.mode("overwrite").parquet(docs_dir)
     cols = ["term", "doc_ord", "tf", "dl"] + (
         ["positions"] if cfg["positional"] else []
     )
-    p = src.postings.join(ords.select("doc_id", "doc_ord"), "doc_id").select(*cols)
-    parts = spark.sparkContext.defaultParallelism
+    # re-pack directly from decoded surviving postings (no re-analysis)
+    p = (
+        src.filter_deleted(src.postings)
+        .join(ords.select("doc_id", "doc_ord"), "doc_id")
+        .select(*cols)
+        .persist()
+    )
+    parts = 2 * spark.sparkContext.defaultParallelism
     ranged = p.repartitionByRange(
         parts, F.col("term"), F.col("doc_ord")
     ).sortWithinPartitions("term", "doc_ord")
@@ -524,7 +622,12 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
     blocks_dir = os.path.join(out_path, "blocks", "seg=0")
     blocks.write.mode("overwrite").parquet(blocks_dir)
     stats_dir = os.path.join(out_path, "stats", "seg=0")
-    src.term_stats.write.mode("overwrite").parquet(stats_dir)
+    # stats re-derive from surviving postings (df/cf drop with the purge)
+    stats = p.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    stats.write.mode("overwrite").parquet(stats_dir)
+    p.unpersist()
 
     n_docs = ords.count()
     ords.unpersist()
@@ -536,7 +639,10 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
             F.length("docs") + F.length("tfs") + F.length("dls") + F.length("pos")
         ).alias("bytes"),
     ).collect()[0]
-    total_tokens = sum(s["total_tokens"] for s in src.snapshot["segments"])
+    total_tokens = int(
+        spark.read.parquet(stats_dir).agg(F.sum("cf").alias("t")).collect()[0]["t"]
+        or 0
+    )
     cfg["n_segments"] = 1
     _commit_snapshot(
         out_path,

@@ -105,6 +105,7 @@ class Index:
     corpus: DataFrame | None = None  # optional, for hydration
     doc_id_col: str = "doc_id"
     text_col: str = "text"
+    tombstones: DataFrame | None = None  # (doc_id) of deleted docs
     _qstats_cache: dict = field(default_factory=dict, repr=False)
 
     # --- query-string analysis (driver-side, same chain as the build) ---
@@ -131,7 +132,32 @@ class Index:
         the *compressed block* scan (parquet predicate pushdown) before
         decoding — a ``.where`` above a decode ``mapInPandas`` would not push
         through the Python barrier."""
-        return self.postings.where(F.col("term").isin(list(terms)))
+        return self.filter_deleted(
+            self.postings.where(F.col("term").isin(list(terms)))
+        )
+
+    def filter_deleted(self, df: DataFrame) -> DataFrame:
+        """Anti-join tombstoned docs out of any doc_id-keyed frame — the
+        reference's query-time tombstone filter (``InvertedIndex.java:
+        1222-1224,1255-1257``). Stats deliberately stay stale until
+        compaction, matching the reference (purge only at merge,
+        ``InvertedIndex.java:640-697``)."""
+        if self.tombstones is None:
+            return df
+        return df.join(self.tombstones, on="doc_id", how="left_anti")
+
+    def delete_documents(self, keyword: str) -> int:
+        """Tombstone every doc matching ``keyword`` (reference
+        ``deleteDocuments``, ``InvertedIndexManager.java:677-715``). Returns
+        the number of newly deleted docs."""
+        matched = self.search_keyword(keyword).select("doc_id")
+        matched = matched.persist()
+        n = matched.count()
+        if self.tombstones is None:
+            self.tombstones = matched
+        else:
+            self.tombstones = self.tombstones.unionByName(matched).distinct()
+        return n
 
     # --- query operators (implemented in query/, bound here for ergonomics) ---
     def search_keyword(self, query: str) -> DataFrame:

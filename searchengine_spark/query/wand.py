@@ -40,7 +40,9 @@ def _empty(index) -> DataFrame:
 
 
 def _score_blocks(aidx, blocks: DataFrame, qdf: DataFrame) -> DataFrame:
-    """Decode block rows and BM25-score them -> (doc_ord, score)."""
+    """Decode block rows and BM25-score them -> (doc_id, score), with
+    tombstoned docs filtered (they must not seed θ either — a deleted
+    high-scorer would prune blocks that surviving docs need)."""
     from ..index.artifact import DECODED_SCHEMA, _make_decoder
 
     # NB: "pos" deliberately excluded — scoring never reads positions, and
@@ -54,7 +56,7 @@ def _score_blocks(aidx, blocks: DataFrame, qdf: DataFrame) -> DataFrame:
     tf = F.col("tf").cast("double")
     norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     partial = F.col("qtf") * F.col("idf") * tf * (k1 + 1.0) / norm
-    return (
+    scored = (
         decoded.join(F.broadcast(qdf), "term")
         .select("doc_ord", F.struct("term", partial.alias("partial")).alias("p"))
         .groupBy("doc_ord")
@@ -64,6 +66,11 @@ def _score_blocks(aidx, blocks: DataFrame, qdf: DataFrame) -> DataFrame:
                 F.lit(0.0),
                 lambda acc, x: acc + x["partial"],
             ).alias("score")
+        )
+    )
+    return aidx.filter_deleted(
+        scored.join(aidx.docs_tbl.select("doc_ord", "doc_id"), "doc_ord").select(
+            "doc_id", "score"
         )
     )
 
@@ -124,9 +131,4 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
         )
 
     scored = _score_blocks(aidx, kept, qdf)
-    return (
-        scored.join(aidx.docs_tbl.select("doc_ord", "doc_id"), "doc_ord")
-        .select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

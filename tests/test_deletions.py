@@ -1,0 +1,98 @@
+"""Tombstone deletion semantics (reference ``deleteDocuments``,
+``InvertedIndexManager.java:677-715``): deleted docs vanish from every query
+kind at query time; stats stay stale until compaction physically purges
+(``InvertedIndex.java:640-697``); tombstones persist across snapshot
+reloads."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.fixtures import doc_key_col, transcripts_df
+from searchengine_spark.index import build_index
+from searchengine_spark.index.artifact import build_artifact, compact, load_artifact
+
+
+@pytest.fixture()
+def corpus(spark):
+    return (
+        transcripts_df(spark, "tiny")
+        .withColumn("doc_id", doc_key_col())
+        .select("doc_id", "text")
+    )
+
+
+def test_logical_delete_filters_all_query_kinds(spark, corpus):
+    idx = build_index(spark, corpus, cache=False)
+    victims = {r["doc_id"] for r in idx.search_keyword("zqmarkeralpha").collect()}
+    assert victims
+    n = idx.delete_documents("zqmarkeralpha")
+    assert n == len(victims)
+    assert idx.search_keyword("zqmarkeralpha").count() == 0
+    for res in [
+        idx.search_and("error function"),
+        idx.search_or("elizabeth darcy"),
+        idx.search_phrase("merge sort algorithm"),
+        idx.search_bm25("zqmarkeralpha function", 50),
+    ]:
+        assert victims.isdisjoint({r["doc_id"] for r in res.collect()})
+    # deleting again is a no-op (already tombstoned)
+    assert idx.delete_documents("zqmarkeralpha") == 0
+
+
+def test_artifact_delete_persists_and_purges(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx")
+    aidx = build_artifact(spark, corpus, path, n_segments=2)
+    before = aidx.search_bm25("spark shuffle error", 10).collect()
+    victims = {r["doc_id"] for r in aidx.search_keyword("zqmarkeralpha").collect()}
+    assert victims
+    n = aidx.delete_documents("zqmarkeralpha")
+    assert n == len(victims)
+
+    # a fresh load of the committed snapshot sees the tombstones
+    reloaded = load_artifact(spark, path)
+    assert reloaded.snapshot["snapshot_id"] == aidx.snapshot["snapshot_id"]
+    assert reloaded.search_keyword("zqmarkeralpha").count() == 0
+    assert victims.isdisjoint(
+        {r["doc_id"] for r in reloaded.search_bm25("zqmarkeralpha function", 50).collect()}
+    )
+    # stats stay stale pre-compaction (reference parity)
+    assert reloaded.document_frequency("zqmarkeralpha") == len(victims)
+
+    # compaction purges physically and refreshes stats
+    cidx = compact(spark, path, str(tmp_path / "compacted"))
+    assert cidx.n_docs == aidx.n_docs - len(victims)
+    assert cidx.document_frequency("zqmarkeralpha") == 0
+    assert cidx.search_keyword("zqmarkeralpha").count() == 0
+    # docs untouched by the delete keep their raw postings
+    survivors = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in cidx.postings.collect()
+    }
+    orig = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in aidx.postings.collect()
+        if r["doc_id"] not in victims
+    }
+    assert survivors == orig
+
+
+def test_wand_theta_ignores_deleted_high_scorers(spark, corpus, tmp_path):
+    """After deleting the top doc for a query, WAND must return the same
+    ranking an exhaustive scorer does over the survivors."""
+    path = str(tmp_path / "idx2")
+    aidx = build_artifact(spark, corpus, path)
+    top = aidx.search_bm25("elizabeth pride prejudice", 1).collect()[0]["doc_id"]
+    aidx.tombstones = spark.createDataFrame([(top,)], "doc_id string")
+    wand = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in aidx.search_bm25("elizabeth pride prejudice", 5, mode="wand").collect()
+    ]
+    exh = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in aidx.search_bm25(
+            "elizabeth pride prejudice", None, mode="exhaustive"
+        ).collect()[:5]
+    ]
+    assert top not in [d for d, _ in wand]
+    assert wand == exh

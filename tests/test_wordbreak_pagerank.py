@@ -1,0 +1,138 @@
+"""Word-break tokenizers (A7/A8) and PageRank (R1-R3) parity tests.
+
+Word-break cases mirror the reference's test style
+(``WordBreakTokenizerTest.java:14-45``: expected segmentations + exception
+on unbreakable input; CJK cases ``WordBreakCJKTokenizerTest.java:13-73``)
+with our own injected dictionaries (the reference's 82k-word resource is
+not copied). PageRank is verified against an independent numpy
+implementation of the reference's exact iteration
+(``IcsSearchEngine.java:96-134``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from searchengine_spark.analysis.wordbreak import (
+    load_freq_dict,
+    make_wordbreak_udf,
+    wordbreak_cjk_tokenize,
+    wordbreak_tokenize,
+)
+from searchengine_spark.fixtures import graph_edges_pandas, graph_edges_df
+from searchengine_spark.graph import compute_pagerank
+from searchengine_spark.graph.pagerank import ALPHA, BETA, TOL, pagerank_scores
+
+EN_DICT = {
+    "it": 100, "is": 200, "a": 500, "nice": 30, "day": 80, "today": 60,
+    "to": 400, "ni": 1, "ce": 1, "iceday": 1, "i": 50, "sun": 20,
+    "shine": 10, "sunshine": 25,
+}
+
+
+def test_wordbreak_basic():
+    # "anicedaytoday": stop words a/is/it/to dropped post-segmentation
+    assert wordbreak_tokenize("anicedaytoday", EN_DICT) == ["nice", "day", "today"]
+
+
+def test_wordbreak_prefers_max_probability():
+    # "sunshine" as one word beats sun+shine: p(sunshine) > p(sun)*p(shine)
+    assert wordbreak_tokenize("sunshine", EN_DICT) == ["sunshine"]
+
+
+def test_wordbreak_case_folds():
+    assert wordbreak_tokenize("ANiceDay", EN_DICT) == ["nice", "day"]
+
+
+def test_wordbreak_unbreakable_raises():
+    with pytest.raises(ValueError, match="no possible way"):
+        wordbreak_tokenize("xyzzyqq", EN_DICT)
+
+
+def test_load_freq_dict_bom_and_format():
+    d = load_freq_dict(["﻿the 1000", "nice 30", "", "day 80"])
+    assert d == {"the": 1000, "nice": 30, "day": 80}
+
+
+CJK_DICT = {"你好": 50, "世界": 40, "你": 5, "好": 5, "世": 1, "界": 1}
+
+
+def test_wordbreak_cjk_basic():
+    assert wordbreak_cjk_tokenize("你好世界", CJK_DICT) == ["你好", "世界"]
+
+
+def test_wordbreak_cjk_unknown_chars_fall_back_to_singles():
+    out = wordbreak_cjk_tokenize("你好猫", CJK_DICT)
+    assert out == ["你好", "猫"]
+
+
+def test_wordbreak_udf(spark):
+    df = spark.createDataFrame(
+        [("anicedaytoday",), ("xyzzyqq",), (None,)], "text string"
+    )
+    udf = make_wordbreak_udf(EN_DICT)
+    rows = df.select(udf("text").alias("toks")).collect()
+    assert rows[0]["toks"] == ["nice", "day", "today"]
+    assert rows[1]["toks"] is None  # unbreakable -> null
+    assert rows[2]["toks"] == []
+
+
+# ---------------------------------------------------------------------------
+# PageRank vs numpy oracle
+# ---------------------------------------------------------------------------
+
+
+def numpy_pagerank(edges_pdf, n_nodes, num_iterations=100):
+    """Independent restatement of IcsSearchEngine.computePageRank:96-134."""
+    outdeg = np.zeros(n_nodes)
+    for s in edges_pdf["src"]:
+        outdeg[s] += 1
+    x = np.ones(n_nodes)
+    src = edges_pdf["src"].to_numpy()
+    dst = edges_pdf["dst"].to_numpy()
+    w = 1.0 / outdeg[src]
+    for _ in range(num_iterations):
+        nxt = np.full(n_nodes, BETA)
+        np.add.at(nxt, dst, ALPHA * x[src] * w)
+        if np.abs(nxt - x).sum() < TOL:
+            x = nxt
+            break
+        x = nxt
+    return x
+
+
+def test_pagerank_matches_numpy_oracle(spark):
+    n = 120
+    pdf = graph_edges_pandas(n_nodes=n)
+    nodes_in_graph = sorted(set(pdf["src"]) | set(pdf["dst"]))
+    expect = numpy_pagerank(pdf, n, num_iterations=40)
+    ranks = compute_pagerank(
+        graph_edges_df(spark, n_nodes=n), num_iterations=40
+    ).collect()
+    got = {r["node"]: r["rank"] for r in ranks}
+    assert set(got) == set(nodes_in_graph)
+    for node in nodes_in_graph:
+        assert got[node] == pytest.approx(expect[node], rel=1e-9)
+
+
+def test_pagerank_scores_sorted(spark):
+    ranks = compute_pagerank(graph_edges_df(spark, n_nodes=60), num_iterations=15)
+    rows = pagerank_scores(ranks).collect()
+    vals = [r["rank"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_combined_rank(spark, tiny_corpus):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.graph import combined_rank
+    from searchengine_spark.index import build_index
+
+    idx = build_index(spark, tiny_corpus.select("doc_id", "text"), cache=False)
+    # fake ranks keyed by doc_id: rank 1.0 for one known doc, 0 otherwise
+    base = idx.search_tfidf("elizabeth darcy", 5).collect()
+    assert base
+    boosted_doc = base[-1]["doc_id"]
+    ranks = spark.createDataFrame([(boosted_doc, 100.0)], "node string, rank double")
+    out = combined_rank(idx, ranks, "elizabeth darcy", 5, pagerank_weight=1.0)
+    assert out.collect()[0]["doc_id"] == boosted_doc
