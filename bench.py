@@ -68,6 +68,24 @@ def main() -> None:
     q["ft_or"], _ = timed(lambda: idx.search_or("vector stream").collect())
     q["ft_phrase"], _ = timed(lambda: idx.search_phrase("table hash").collect())
 
+    # --- compressed artifact: build + block-max WAND query ---
+    import shutil
+    import tempfile
+
+    from searchengine_spark.index.artifact import build_artifact
+
+    art_dir = tempfile.mkdtemp(prefix="bench_artifact_")
+    t0 = time.perf_counter()
+    aidx = build_artifact(
+        spark, docs, art_dir, analyzer="punctuation",
+        source_desc=f"bench {sf_dir}",
+    )
+    q["artifact_build"] = time.perf_counter() - t0
+    q["ft_bm25_wand"], _ = timed(
+        lambda: aidx.search_bm25("spark join hash", 20).collect()
+    )
+    shutil.rmtree(art_dir, ignore_errors=True)
+
     # --- training-data ops ---
     toks = docs.select(
         "doc_id",

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build / query / compact the index artifact on a
+real cluster (the north rule's ``spark-submit --py-files`` contract).
+
+Package and submit::
+
+    cd <repo> && zip -qr /tmp/searchengine_spark.zip searchengine_spark
+    spark-submit --py-files /tmp/searchengine_spark.zip \
+        scripts/submit_job.py build \
+        --input  s3://bucket/transcripts_parquet \
+        --output s3://bucket/index_artifact \
+        --segments 16
+
+    spark-submit --py-files /tmp/searchengine_spark.zip \
+        scripts/submit_job.py query \
+        --index s3://bucket/index_artifact --q "spark shuffle error" --k 10
+
+    spark-submit --py-files /tmp/searchengine_spark.zip \
+        scripts/submit_job.py compact \
+        --index s3://bucket/index_artifact --output s3://bucket/index_v2
+
+The master/executor topology comes from spark-submit; this script only sets
+engine-relevant session conf (AQE, Arrow). Re-running a killed ``build``
+with the same arguments resumes from the last committed snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True, help="transcripts parquet/table path")
+    b.add_argument("--output", required=True, help="artifact path")
+    b.add_argument("--doc-id-col", default=None,
+                   help="doc id column; default derives conv_id:turn_idx")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--analyzer", default="composable")
+    b.add_argument("--segments", type=int, default=1)
+    b.add_argument("--no-positions", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="auto", choices=["auto", "wand", "exhaustive"])
+
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+    c.add_argument("--output", required=True)
+
+    args = ap.parse_args()
+    spark = _session(f"searchengine-{args.cmd}")
+
+    if args.cmd == "build":
+        from pyspark.sql import functions as F
+
+        from searchengine_spark.index.artifact import build_artifact
+
+        corpus = spark.read.parquet(args.input)
+        id_col = args.doc_id_col
+        if id_col is None:
+            # BASELINE input_hint docID: conv_id:turn_idx (zero-padded stable)
+            corpus = corpus.withColumn(
+                "doc_id",
+                F.concat_ws(
+                    ":",
+                    F.col("conv_id"),
+                    F.lpad(F.col("turn_idx").cast("string"), 4, "0"),
+                ),
+            )
+            id_col = "doc_id"
+        idx = build_artifact(
+            spark,
+            corpus,
+            args.output,
+            doc_id_col=id_col,
+            text_col=args.text_col,
+            analyzer=args.analyzer,
+            positional=not args.no_positions,
+            n_segments=args.segments,
+            source_desc=args.input,
+        )
+        print(json.dumps({
+            "n_docs": idx.n_docs,
+            "avgdl": idx.avgdl,
+            "snapshot_id": idx.snapshot["snapshot_id"],
+            "segments": len(idx.snapshot["segments"]),
+            "postings": sum(s["n_postings"] for s in idx.snapshot["segments"]),
+            "bytes": sum(s["bytes"] for s in idx.snapshot["segments"]),
+        }))
+    elif args.cmd == "query":
+        from searchengine_spark.index.artifact import load_artifact
+
+        idx = load_artifact(spark, args.index)
+        rows = idx.search_bm25(args.q, args.k, mode=args.mode).collect()
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+    elif args.cmd == "compact":
+        from searchengine_spark.index.artifact import compact
+
+        idx = compact(spark, args.index, args.output)
+        print(json.dumps({
+            "n_docs": idx.n_docs,
+            "snapshot_id": idx.snapshot["snapshot_id"],
+        }))
+    spark.stop()
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

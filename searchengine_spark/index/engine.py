@@ -195,6 +195,27 @@ class Index:
         global (no segments to sum over)."""
         return self.query_term_stats([token])[token][0]
 
+    def full_scan_search(self, keyword: str) -> DataFrame:
+        """Q10: the reference's FullScanSearcher debugging oracle
+        (``search/FullScanSearcher.java:27-40``) — a doc matches iff
+        analyze(doc) ⊇ analyze(keyword). Scans the corpus, no index."""
+        if self.corpus is None:
+            raise ValueError("index built without corpus reference")
+        from ..analysis.analyzer import make_analyze_udf
+
+        terms = self.analyze_query(keyword)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id string")
+        toks = make_analyze_udf(self.analyzer)(F.col(self.text_col))
+        cond = F.lit(True)
+        for t in set(terms):
+            cond = cond & F.array_contains(toks, t)
+        return self.filter_deleted(
+            self.corpus.where(cond).select(
+                F.col(self.doc_id_col).cast("string").alias("doc_id")
+            )
+        )
+
     def hydrate(self, results: DataFrame) -> DataFrame:
         """Join matched doc_ids back to the corpus (reference readDocuments,
         InvertedIndex.java:1367-1389) with stable doc_id ordering."""
