@@ -505,6 +505,35 @@ class ArtifactIndex(Index):
             raise ValueError("phrase search requires a positional artifact")
         return super().search_phrase(phrase)
 
+    def get_index_segment(self, segment_id: int) -> dict:
+        """Q12 test surface (reference ``getIndexSegmentPositional``,
+        ``InvertedIndexManager.java:271-295``; DTO ``PositionalIndexSegment
+        ForTest.java:16-63``): materialize one segment as
+        ``{"inverted_lists": {term: [doc_id, ...]}, "positions": {(term,
+        doc_id): [pos, ...]}, "documents": {doc_id}}``. For small segments /
+        test fixtures only — this collects."""
+        seg_blocks = self.blocks.where(F.col("seg") == segment_id)
+        rows = self._decode(seg_blocks).collect()
+        inverted: dict = {}
+        positions: dict = {}
+        for r in rows:
+            inverted.setdefault(r["term"], []).append(r["doc_id"])
+            if r["positions"] is not None:
+                positions[(r["term"], r["doc_id"])] = list(r["positions"])
+        for t in inverted:
+            inverted[t].sort()
+        docs = {
+            r["doc_id"]
+            for r in self.docs_tbl.where(F.col("seg") == segment_id)
+            .select("doc_id")
+            .collect()
+        }
+        return {
+            "inverted_lists": inverted,
+            "positions": positions,
+            "documents": docs,
+        }
+
     def delete_documents(self, keyword: str) -> int:
         """Tombstone matching docs AND persist them: the doc_ids land in
         ``tombstones/ts-<n>/`` parquet and a new snapshot commits the list

@@ -216,6 +216,24 @@ class Index:
             )
         )
 
+    def document_iterator(self):
+        """Q11: stream all (doc_id, text) pairs in stable doc_id order
+        (reference ``documentIterator``, ``InvertedIndexManager.java:
+        549-561``). Returns a toLocalIterator — documents stream to the
+        driver one partition at a time, never all at once."""
+        if self.corpus is None:
+            raise ValueError("index built without corpus reference")
+        return (
+            self.filter_deleted(
+                self.corpus.select(
+                    F.col(self.doc_id_col).cast("string").alias("doc_id"),
+                    F.col(self.text_col).alias("text"),
+                )
+            )
+            .orderBy("doc_id")
+            .toLocalIterator()
+        )
+
     def hydrate(self, results: DataFrame) -> DataFrame:
         """Join matched doc_ids back to the corpus (reference readDocuments,
         InvertedIndex.java:1367-1389) with stable doc_id ordering."""

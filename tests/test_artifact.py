@@ -215,6 +215,44 @@ def test_compact_preserves_results(spark, lidx, aidx, tmp_path):
     assert l == c
 
 
+def test_segment_dump_exact_contents(spark, tmp_path):
+    """Reference Team18FlushTest style: tiny hand-written corpus -> build ->
+    dump segment -> compare against hand-computed postings."""
+    rows = [
+        ("d1", "I am Happy Today!"),
+        ("d2", "happy happy coding"),
+        ("d3", "the of and"),  # analyzes to nothing, still a document
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+    aidx = build_artifact(
+        spark, corpus, str(tmp_path / "flush"), analyzer="punctuation"
+    )
+    seg = aidx.get_index_segment(0)
+    assert seg["inverted_lists"] == {
+        "happy": ["d1", "d2"],
+        "today": ["d1"],
+        "coding": ["d2"],
+    }
+    assert seg["positions"] == {
+        ("happy", "d1"): [0],
+        ("today", "d1"): [1],
+        ("happy", "d2"): [0, 1],
+        ("coding", "d2"): [2],
+    }
+    assert seg["documents"] == {"d1", "d2", "d3"}
+    assert aidx.n_docs == 3  # zero-token doc counts toward N
+
+
+def test_document_iterator(spark, tiny_corpus):
+    from searchengine_spark.index import build_index
+
+    idx = build_index(spark, tiny_corpus.select("doc_id", "text"), cache=False)
+    it = list(idx.document_iterator())
+    assert len(it) == idx.n_docs
+    ids = [r["doc_id"] for r in it]
+    assert ids == sorted(ids)
+
+
 def test_compression_effective(aidx):
     """Reference Team5IndexCompressionTest: delta+varbyte must beat raw by
     >1.5x on posting ints (docids+tfs+dls vs 3 raw int32s per posting)."""
