@@ -629,6 +629,91 @@ ORDER BY sum(o.o_totalprice) DESC, c.c_custkey LIMIT 10
 """
 
 
+def events_windowed(spark, sf_dir):
+    """Tumbling 1-hour windows per event_type: count, sum(value), distinct
+    users — the batch twin of the streaming windowed-agg path."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value_r"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n",
+            "sum_value_r", "n_users",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+EVENTS_WINDOWED_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value_r,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Per-user sessionization (30-min inactivity gap) via window functions:
+    session count and mean session length per user, top 25 users."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.col("ts").cast("timestamp").cast("double")  # NTZ-safe
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sessioned = marked.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sessioned.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_r"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("user_id"))
+        .limit(25)
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, sess_id, count(*)::BIGINT AS n_events
+  FROM sessioned GROUP BY 1, 2
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       round(avg(n_events), 4) AS avg_events_r
+FROM per_sess GROUP BY user_id
+ORDER BY n_sessions DESC, user_id LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (not SQL-expressible: stateful/UDF/stemmed/ANN-approx)
 # ---------------------------------------------------------------------------
@@ -666,6 +751,21 @@ def ann_lsh_top10(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
     base = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
     res = sim.lsh_topk(base, qv, 10)
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
+def ann_ivf_top10(spark, sf_dir):
+    """IVF-style coarse-quantized ANN: deterministic centroids = first 8
+    embeddings by vec_id; scan only the 3 cells nearest the query."""
+    import numpy as np
+
+    qv = _query_vec(spark, sf_dir)
+    cents = (
+        _emb(spark, sf_dir).orderBy("vec_id").limit(8).collect()
+    )
+    centroids = np.array([[float(x) for x in r["embedding"]] for r in cents])
+    base = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
+    res = sim.ivf_topk(base, centroids, qv, 10, n_probe=3)
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
 
 
@@ -739,11 +839,14 @@ QUERIES = {
     "emb_norm_by_label": emb_norm_by_label,
     "rel_tpch_q1": rel_tpch_q1,
     "rel_top_customers": rel_top_customers,
+    "events_windowed": events_windowed,
+    "events_sessionize": events_sessionize,
     # rows-only (no SQL oracle possible):
     "tr_bm25_top10": tr_bm25_top10,
     "tr_phrase_planted": tr_phrase_planted,
     "simhash_pairs": simhash_pairs_q,
     "ann_lsh_top10": ann_lsh_top10,
+    "ann_ivf_top10": ann_ivf_top10,
     "doc_fingerprints": doc_fingerprints_q,
     "media_features": media_features_q,
     "wordbreak_en": wordbreak_en_q,
@@ -772,4 +875,6 @@ ORACLES = {
     "emb_norm_by_label": EMB_NORM_SQL,
     "rel_tpch_q1": REL_TPCH_Q1_SQL,
     "rel_top_customers": REL_TOP_CUSTOMERS_SQL,
+    "events_windowed": EVENTS_WINDOWED_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
 }
