@@ -52,6 +52,23 @@ PACKED_SCHEMA = f"part_id int, {BLOCK_SCHEMA}"
 DECODED_SCHEMA = (
     "doc_ord long, term string, tf int, positions array<int>, dl int"
 )
+N_BUCKETS = 16  # term-hash directory partitions per segment
+
+
+def term_bucket_expr(term_col, n_buckets: int):
+    """JVM-side term bucket: first 8 hex chars of md5(term) mod n. md5 (not
+    xxhash64) so the SAME value is computable driver-side in pure Python
+    (term_bucket) without a Spark job at query time."""
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
 
 # ---------------------------------------------------------------------------
 # snapshot log
@@ -225,6 +242,7 @@ def _build_segment(
     positional: bool,
     block_size: int,
     pack_partitions: int | None,
+    n_buckets: int = N_BUCKETS,
 ) -> dict:
     """Build + write one segment; returns its snapshot entry (uncommitted)."""
     postings = build_postings(seg_corpus, doc_id_col, text_col, analyzer).persist()
@@ -258,7 +276,11 @@ def _build_segment(
         _make_packer(block_size, positional), schema=PACKED_SCHEMA
     )
     blocks_dir = os.path.join(path, "blocks", f"seg={seg}")
-    blocks.write.mode("overwrite").parquet(blocks_dir)
+    # bucket=<term-hash> directory partitions: query-term lookups prune whole
+    # directories (PartitionFilters), which at 10^12-turn scale is the
+    # difference between listing thousands vs millions of files
+    blocks = blocks.withColumn("bucket", term_bucket_expr(F.col("term"), n_buckets))
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_dir)
     p.unpersist()
 
     # per-segment term stats (df, cf) — two-phase hash agg, skew-safe
@@ -324,6 +346,7 @@ def build_artifact(
     block_size: int = BLOCK_SIZE,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    n_buckets: int = N_BUCKETS,
     pack_partitions: int | None = None,
     resume: bool = True,
     source_desc: str = "",
@@ -344,6 +367,7 @@ def build_artifact(
         "k1": k1,
         "b": b,
         "n_segments": n_segments,
+        "n_buckets": n_buckets,
         "doc_id_col": doc_id_col,
         "text_col": text_col,
     }
@@ -383,6 +407,7 @@ def build_artifact(
             positional=positional,
             block_size=block_size,
             pack_partitions=pack_partitions,
+            n_buckets=n_buckets,
         )
         entry["build_sec"] = round(time.time() - t0, 3)
         entry["lineage"] = {
@@ -445,6 +470,7 @@ def append_segment(
         positional=cfg["positional"],
         block_size=cfg["block_size"],
         pack_partitions=pack_partitions,
+        n_buckets=cfg.get("n_buckets", 0),
     )
     entry["build_sec"] = round(time.time() - t0, 3)
     entry["lineage"] = {
@@ -484,11 +510,22 @@ class ArtifactIndex(Index):
     docs_tbl: DataFrame | None = None  # (doc_id, dl, doc_ord)
     block_size: int = BLOCK_SIZE
     positional: bool = True
+    n_buckets: int = 0
     snapshot: dict | None = None
 
+    def blocks_for_terms(self, terms) -> DataFrame:
+        """Block rows for the given terms, with the bucket partition filter
+        (directory pruning) in front of the term filter (row-group pruning).
+        Bucket ids come from the pure-Python md5 twin — no Spark job."""
+        terms = list(terms)
+        out = self.blocks
+        if self.n_buckets:
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+            out = out.where(F.col("bucket").isin(buckets))
+        return out.where(F.col("term").isin(terms))
+
     def postings_for_terms(self, terms) -> DataFrame:
-        filtered = self.blocks.where(F.col("term").isin(list(terms)))
-        return self.filter_deleted(self._decode(filtered))
+        return self.filter_deleted(self._decode(self.blocks_for_terms(terms)))
 
     def _decode(self, blocks: DataFrame) -> DataFrame:
         decoded = blocks.mapInPandas(
@@ -608,6 +645,7 @@ def load_artifact(spark: SparkSession, path: str) -> ArtifactIndex:
         docs_tbl=docs_tbl,
         block_size=cfg["block_size"],
         positional=cfg["positional"],
+        n_buckets=cfg.get("n_buckets", 0),
         snapshot=snap,
     )
     ts_dirs = snap.get("tombstones", [])
@@ -649,7 +687,12 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
         _make_packer(cfg["block_size"], cfg["positional"]), schema=PACKED_SCHEMA
     )
     blocks_dir = os.path.join(out_path, "blocks", "seg=0")
-    blocks.write.mode("overwrite").parquet(blocks_dir)
+    nb = cfg.get("n_buckets", 0)
+    if nb:
+        blocks = blocks.withColumn("bucket", term_bucket_expr(F.col("term"), nb))
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_dir)
+    else:
+        blocks.write.mode("overwrite").parquet(blocks_dir)
     stats_dir = os.path.join(out_path, "stats", "seg=0")
     # stats re-derive from surviving postings (df/cf drop with the purge)
     stats = p.groupBy("term").agg(

@@ -90,7 +90,7 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
     ub = F.col("qtf") * F.col("idf") * mtf * (k1 + 1.0) / ub_norm
 
     cand = (
-        aidx.blocks.where(F.col("term").isin(terms))
+        aidx.blocks_for_terms(terms)
         .join(F.broadcast(qdf), "term")
         .withColumn("ub", ub)
     )
