@@ -49,6 +49,98 @@ def test_append_segment_grows_artifact(spark, corpus, tmp_path):
     assert l == a
 
 
+def test_windowed_counts_with_watermark_drops_late_rows(spark, tmp_path):
+    """Run the watermarked windowed agg as a real stream in append mode:
+    a row 3 hours older than the max seen event time (watermark 2h) arrives
+    in a later micro-batch and must NOT produce output for its window."""
+    import pandas as pd
+
+    from searchengine_spark.streaming import windowed_event_counts
+
+    src_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    # batch file 1: events in hours 0..5 (advances watermark to 05:00-2h)
+    rows1 = [
+        {"ts": base + pd.Timedelta(hours=h), "event_type": "click", "value": 1.0}
+        for h in range(6)
+    ]
+    # batch file 2: one punctual row (hour 5) + one too-late row (hour 0)
+    rows2 = [
+        {"ts": base + pd.Timedelta(hours=5, minutes=30), "event_type": "click", "value": 1.0},
+        {"ts": base + pd.Timedelta(minutes=10), "event_type": "late", "value": 99.0},
+    ]
+    pdf1, pdf2 = pd.DataFrame(rows1), pd.DataFrame(rows2)
+    spark.createDataFrame(pdf1).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = (
+        windowed_event_counts(
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    # the too-late 'late' row was behind the watermark -> dropped entirely
+    assert out.where("event_type = 'late'").count() == 0
+    rows = out.where("event_type = 'click'").collect()
+    # closed windows emitted exactly once each, with correct counts
+    hours = [r["w_start"].hour for r in rows]
+    assert len(hours) == len(set(hours)), "window emitted more than once"
+    assert len(hours) >= 2, "no windows closed/emitted"
+    assert all(r["n"] == 1 for r in rows)
+
+
+def test_windowed_term_counts_batch_twin(spark, corpus):
+    """The streaming stats pass, run in batch mode, must agree with the
+    logical index's term stats for the same hour of transcripts."""
+    from searchengine_spark.fixtures import transcripts_df
+    from searchengine_spark.streaming import windowed_term_counts
+
+    tr = transcripts_df(spark, "tiny")
+    one_hour = tr.where("ts >= timestamp'2026-01-01 01:00:00' and ts < timestamp'2026-01-01 02:00:00'")
+    got = {
+        r["term"]: (r["cf"], r["df"])
+        for r in windowed_term_counts(one_hour).collect()
+    }
+    from collections import Counter
+
+    from searchengine_spark.analysis.analyzer import analyze
+
+    cf = Counter()
+    df = Counter()
+    for r in one_hour.select("text").collect():
+        toks = analyze(r["text"])
+        for t, c in Counter(toks).items():
+            cf[t] += c
+            df[t] += 1
+    assert got == {t: (cf[t], df[t]) for t in cf}
+
+
 def test_streaming_foreachbatch_appends(spark, corpus, tmp_path):
     path = str(tmp_path / "idx")
     src_dir = str(tmp_path / "incoming")
