@@ -89,20 +89,36 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
     ub_norm = mtf + k1 * (1.0 - b + b * F.col("min_dl") / F.lit(avgdl))
     ub = F.col("qtf") * F.col("idf") * mtf * (k1 + 1.0) / ub_norm
 
+    # persist: the candidate block set feeds three jobs (per-term ub budget,
+    # seed scoring, final pruned scoring) — without it each job re-lists and
+    # re-reads the block files
     cand = (
         aidx.blocks_for_terms(terms)
         .join(F.broadcast(qdf), "term")
         .withColumn("ub", ub)
+        .persist()
     )
 
     # per-term global max ub (|q| rows) — the "other terms" budget
-    g = {
-        r["term"]: r["m"]
-        for r in cand.groupBy("term").agg(F.max("ub").alias("m")).collect()
-    }
+    stats = cand.groupBy("term").agg(
+        F.max("ub").alias("m"), F.count(F.lit(1)).alias("nb")
+    ).collect()
+    g = {r["term"]: r["m"] for r in stats}
     if not g:
         return _empty(aidx)
     total_ub = sum(g.values())
+    n_cand_blocks = sum(r["nb"] for r in stats)
+
+    # small queries: decoding everything is cheaper than a seed+prune pass
+    if n_cand_blocks <= 256:
+        out = (
+            _score_blocks(aidx, cand, qdf)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .localCheckpoint(eager=True)
+        )
+        cand.unpersist()
+        return out
 
     # seed θ from the highest-impact blocks of each term
     n_seed = math.ceil(k / aidx.block_size) + 1
@@ -130,5 +146,11 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
             F.col("ub") + F.col("others") >= theta
         )
 
-    scored = _score_blocks(aidx, kept, qdf)
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    out = (
+        _score_blocks(aidx, kept, qdf)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .localCheckpoint(eager=True)  # materialize before dropping the cache
+    )
+    cand.unpersist()
+    return out
