@@ -629,6 +629,37 @@ ORDER BY sum(o.o_totalprice) DESC, c.c_custkey LIMIT 10
 """
 
 
+def rel_rollup(spark, sf_dir):
+    """ROLLUP grouping-sets over lineitem (the general relational surface
+    inherited from Spark SQL, SURVEY.md §2.6)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+REL_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       count(*)::BIGINT AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY rf, ls
+"""
+
+
 def events_windowed(spark, sf_dir):
     """Tumbling 1-hour windows per event_type: count, sum(value), distinct
     users — the batch twin of the streaming windowed-agg path."""
@@ -839,6 +870,7 @@ QUERIES = {
     "emb_norm_by_label": emb_norm_by_label,
     "rel_tpch_q1": rel_tpch_q1,
     "rel_top_customers": rel_top_customers,
+    "rel_rollup": rel_rollup,
     "events_windowed": events_windowed,
     "events_sessionize": events_sessionize,
     # rows-only (no SQL oracle possible):
@@ -875,6 +907,7 @@ ORACLES = {
     "emb_norm_by_label": EMB_NORM_SQL,
     "rel_tpch_q1": REL_TPCH_Q1_SQL,
     "rel_top_customers": REL_TOP_CUSTOMERS_SQL,
+    "rel_rollup": REL_ROLLUP_SQL,
     "events_windowed": EVENTS_WINDOWED_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
 }

@@ -245,7 +245,9 @@ def _build_segment(
     n_buckets: int = N_BUCKETS,
 ) -> dict:
     """Build + write one segment; returns its snapshot entry (uncommitted)."""
-    postings = build_postings(seg_corpus, doc_id_col, text_col, analyzer).persist()
+    postings = build_postings(
+        seg_corpus, doc_id_col, text_col, analyzer, positional=positional
+    ).persist()
 
     # doc table: every corpus row gets an ordinal, even zero-token docs
     dl_df = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))

@@ -253,6 +253,27 @@ def test_document_iterator(spark, tiny_corpus):
     assert ids == sorted(ids)
 
 
+def test_nonpositional_fast_path_matches(spark, corpus, lidx, tmp_path):
+    """positional=False (vectorized term-count UDF, no position lists) must
+    give identical BM25/boolean results; phrase raises (reference parity
+    with the non-positional index flag, InvertedIndexManager.java:234)."""
+    aidx = build_artifact(
+        spark, corpus, str(tmp_path / "np_idx"), positional=False
+    )
+    q = "spark shuffle error"
+    l = [(r["doc_id"], round(r["score"], 10))
+         for r in lidx.search_bm25(q, 10).collect()]
+    a = [(r["doc_id"], round(r["score"], 10))
+         for r in aidx.search_bm25(q, 10).collect()]
+    assert l == a
+    assert (
+        sorted(r["doc_id"] for r in aidx.search_and("error function").collect())
+        == sorted(r["doc_id"] for r in lidx.search_and("error function").collect())
+    )
+    with pytest.raises(ValueError, match="positional"):
+        aidx.search_phrase("merge sort algorithm")
+
+
 def test_compression_effective(aidx):
     """Reference Team5IndexCompressionTest: delta+varbyte must beat raw by
     >1.5x on posting ints (docids+tfs+dls vs 3 raw int32s per posting)."""
