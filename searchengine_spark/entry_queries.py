@@ -544,6 +544,48 @@ FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+# synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51), so
+# a real-world 0.9 dup threshold would select nothing; 0.35 exercises the
+# operator on the top ~0.1% of pairs
+_NEARDUP_THRESHOLD = 0.35
+
+
+def emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact mode (the SQL-oracle-able
+    twin); the LSH-pruned variant is the rows-only emb_near_dup_lsh."""
+    res = sim.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=_NEARDUP_THRESHOLD, exact=True
+    )
+    return res.select(
+        "doc_a", "doc_b", F.round("cos_sim", 4).alias("cos_sim_r")
+    )
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+           AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, round(cos_sim, 4) AS cos_sim_r
+FROM scored WHERE cos_sim >= {_NEARDUP_THRESHOLD}
+"""
+
+
+def emb_near_dup_lsh(spark, sf_dir):
+    """LSH-pruned near-dup pairs (the scale path; rows-only check)."""
+    res = sim.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=_NEARDUP_THRESHOLD
+    )
+    return res.select(
+        "doc_a", "doc_b", F.round("cos_sim", 4).alias("cos_sim_r")
+    )
+
+
 def emb_norm_by_label(spark, sf_dir):
     e = _emb(spark, sf_dir)
     norm = F.sqrt(
@@ -867,6 +909,7 @@ QUERIES = {
     "token_counts": token_counts_q,
     "lang_script": lang_script_q,
     "ann_cosine_top10": ann_cosine_top10,
+    "emb_near_dup": emb_near_dup,
     "emb_norm_by_label": emb_norm_by_label,
     "rel_tpch_q1": rel_tpch_q1,
     "rel_top_customers": rel_top_customers,
@@ -879,6 +922,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs_q,
     "ann_lsh_top10": ann_lsh_top10,
     "ann_ivf_top10": ann_ivf_top10,
+    "emb_near_dup_lsh": emb_near_dup_lsh,
     "doc_fingerprints": doc_fingerprints_q,
     "media_features": media_features_q,
     "wordbreak_en": wordbreak_en_q,
@@ -904,6 +948,7 @@ ORACLES = {
     "token_counts": TOKEN_COUNTS_SQL,
     "lang_script": LANG_SCRIPT_SQL,
     "ann_cosine_top10": ANN_COSINE_SQL,
+    "emb_near_dup": EMB_NEAR_DUP_SQL,
     "emb_norm_by_label": EMB_NORM_SQL,
     "rel_tpch_q1": REL_TPCH_Q1_SQL,
     "rel_top_customers": REL_TOP_CUSTOMERS_SQL,

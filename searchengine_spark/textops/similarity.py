@@ -102,6 +102,68 @@ def lsh_topk(
     return brute_force_topk(cands, query, k, id_col, vec_col)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a, doc_b, cos_sim).
+
+    Scale path (default): random-hyperplane LSH buckets prune the pair
+    space — near-identical vectors share all sign bits, so only within-
+    bucket pairs are scored (plus Hamming-1 neighbor buckets via a second
+    bucketing at ``seed+1``). ``exact=True`` scores all pairs — the O(n²)
+    oracle twin, fine at test scale only.
+    """
+    dim = df.select(F.size(vec_col)).first()[0]
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        keyed = []
+        for s in (seed, seed + 1):  # two independent bucketings OR-ed
+            planes = _hyperplanes(dim, n_planes, s)
+            keyed.append(
+                df.select(
+                    F.col(id_col),
+                    F.concat(F.lit(f"s{s}:"), bucket_col(F.col(vec_col), planes)).alias("bkey"),
+                )
+            )
+        buckets = keyed[0].unionByName(keyed[1])
+        ka = buckets.select(F.col(id_col).alias("id_a"), "bkey")
+        kb = buckets.select(F.col(id_col).alias("id_b"), "bkey")
+        cand = (
+            ka.join(kb, ["bkey"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+        )
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        pairs.select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: np.ndarray,

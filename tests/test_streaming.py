@@ -141,6 +141,70 @@ def test_windowed_term_counts_batch_twin(spark, corpus):
     assert got == {t: (cf[t], df[t]) for t in cf}
 
 
+def test_stateful_conversation_sessions(spark, corpus, tmp_path):
+    """applyInPandasWithState: per-conversation state accumulates across
+    micro-batches; summaries carry exact turn/token counts (verified against
+    a batch computation with the same analyzer)."""
+    from collections import Counter
+
+    from searchengine_spark.analysis.analyzer import analyze
+    from searchengine_spark.fixtures import transcripts_df
+    from searchengine_spark.streaming import conversation_sessions
+
+    tr = (
+        transcripts_df(spark, "tiny")
+        .where("conv_id < 'conv-00000006'")
+        .select("conv_id", "turn_idx", "text", "ts")
+    )
+    src_dir = str(tmp_path / "turns")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    # two files -> two micro-batches splitting conversations mid-stream
+    tr.where("turn_idx < 2").coalesce(1).write.mode("append").parquet(src_dir)
+    tr.where("turn_idx >= 2").coalesce(1).write.mode("append").parquet(src_dir)
+
+    expect: dict = {}
+    for r in tr.collect():
+        n_t, n_tok = expect.get(r["conv_id"], (0, 0))
+        expect[r["conv_id"]] = (n_t + 1, n_tok + len(analyze(r["text"])))
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    # a continuous micro-batch trigger: processing-time timeouts only fire
+    # on subsequent batches, which availableNow never runs — so poll + stop
+    q = (
+        conversation_sessions(stream, idle_ms=500)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        out: dict = {}
+        deadline = time.time() + 120
+        while time.time() < deadline and set(out) != set(expect):
+            time.sleep(2)
+            try:
+                out = {
+                    r["conv_id"]: (r["n_turns"], r["n_tokens"])
+                    for r in spark.read.parquet(out_dir).collect()
+                }
+            except Exception:
+                out = {}
+    finally:
+        q.stop()
+    # every idle conversation emitted exactly once, with exact counts —
+    # state accumulated correctly across the mid-conversation batch split
+    assert out == expect
+
+
 def test_streaming_foreachbatch_appends(spark, corpus, tmp_path):
     path = str(tmp_path / "idx")
     src_dir = str(tmp_path / "incoming")
