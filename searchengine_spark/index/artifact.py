@@ -245,17 +245,18 @@ def _build_segment(
     n_buckets: int = N_BUCKETS,
 ) -> dict:
     """Build + write one segment; returns its snapshot entry (uncommitted)."""
-    postings = build_postings(
+    from .engine import build_doc_terms, explode_doc_terms
+
+    # persist the PRE-explode frame (one row per doc): same bytes as the
+    # exploded postings but ~15x fewer cached row objects, and the doc
+    # table (doc_id, dl) falls out below with NO groupBy shuffle
+    doc_terms = build_doc_terms(
         seg_corpus, doc_id_col, text_col, analyzer, positional=positional
     ).persist()
+    postings = explode_doc_terms(doc_terms, positional)
 
-    # doc table: every corpus row gets an ordinal, even zero-token docs
-    dl_df = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    docs = (
-        seg_corpus.select(F.col(doc_id_col).cast("string").alias("doc_id"))
-        .join(dl_df, "doc_id", "left")
-        .na.fill({"dl": 0})
-    )
+    # doc table: every corpus row is present (zero-token docs have dl=0)
+    docs = doc_terms.select("doc_id", "dl")
     ords = assign_doc_ordinals(docs, base=segment_base(seg))
     docs_dir = os.path.join(path, "docs", f"seg={seg}")
     ords.write.mode("overwrite").parquet(docs_dir)
@@ -294,7 +295,7 @@ def _build_segment(
 
     n_docs = ords.count()
     ords.unpersist()
-    postings.unpersist()
+    doc_terms.unpersist()
 
     # metrics from the committed files (read-back doubles as a write check)
     written = spark.read.parquet(blocks_dir)
