@@ -873,6 +873,29 @@ def wordbreak_en_q(spark, sf_dir):
     )
 
 
+def wordbreak_cjk_q(spark, sf_dir):
+    """CJK (jieba-style) word-break segmentation (A8) over deterministic
+    glued CJK strings; rows-only check."""
+    from .analysis.wordbreak import make_wordbreak_udf
+
+    freq = {
+        "你好": 50, "世界": 40, "数据": 60, "处理": 30, "引擎": 20,
+        "索引": 25, "查询": 35, "分词": 15, "你": 5, "好": 5,
+    }
+    words = list(freq)
+    rows = [
+        (i, words[i % len(words)] + words[(i * 3 + 1) % len(words)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "row_id int, glued string")
+    udf = make_wordbreak_udf(freq, cjk=True)
+    return (
+        df.select("row_id", udf("glued").alias("toks"))
+        .select("row_id", F.concat_ws(" ", "toks").alias("segmented"))
+        .orderBy("row_id")
+    )
+
+
 def pagerank_top20_q(spark, sf_dir):
     """R1/R2: PageRank over the deterministic synthetic link graph;
     iterative -> rows-only check."""
@@ -926,6 +949,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints_q,
     "media_features": media_features_q,
     "wordbreak_en": wordbreak_en_q,
+    "wordbreak_cjk": wordbreak_cjk_q,
     "pagerank_top20": pagerank_top20_q,
 }
 

@@ -55,3 +55,27 @@ def test_full_scan_respects_tombstones(spark, tiny_corpus):
     assert n_before > 0
     idx.delete_documents("zqmarkeralpha")
     assert idx.full_scan_search("zqmarkeralpha").count() == 0
+
+
+def test_unicode_cjk_pipeline(spark, tmp_path):
+    """CJK/emoji/accents survive the whole pipeline: analyze -> pack ->
+    decode -> query (punctuation tokenizer treats CJK runs as single
+    tokens; only ,.;?! and whitespace split)."""
+    rows = [
+        ("u1", "データ 処理 エンジン search engine"),
+        ("u2", "naïve café データ résumé!"),
+        ("u3", "emoji 🚀 rocket, data 処理"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+    aidx = build_artifact(
+        spark, corpus, str(tmp_path / "uidx"), analyzer="punctuation"
+    )
+    assert sorted(
+        r["doc_id"] for r in aidx.search_keyword("処理").collect()
+    ) == ["u1", "u3"]
+    assert [r["doc_id"] for r in aidx.search_keyword("naïve").collect()] == ["u2"]
+    assert [r["doc_id"] for r in aidx.search_keyword("🚀").collect()] == ["u3"]
+    # "café" keeps its accent; "data" appears in u3 only (u1 has データ)
+    assert [r["doc_id"] for r in aidx.search_and("data emoji").collect()] == ["u3"]
+    top = aidx.search_bm25("データ 処理", 3).collect()
+    assert top and top[0]["doc_id"] == "u1"
