@@ -1,3 +1,21 @@
 from .engine import Index, build_index, build_postings, make_term_positions_udf
 
-__all__ = ["Index", "build_index", "build_postings", "make_term_positions_udf"]
+
+def __getattr__(name):
+    # artifact layer re-exported lazily (keeps `import searchengine_spark.index`
+    # light; artifact pulls in the codec + ordinal machinery)
+    if name in {
+        "ArtifactIndex", "build_artifact", "load_artifact", "compact",
+        "append_segment", "latest_snapshot",
+    }:
+        from . import artifact
+
+        return getattr(artifact, name)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "Index", "build_index", "build_postings", "make_term_positions_udf",
+    "ArtifactIndex", "build_artifact", "load_artifact", "compact",
+    "append_segment", "latest_snapshot",
+]

@@ -630,6 +630,7 @@ def load_artifact(spark: SparkSession, path: str) -> ArtifactIndex:
         .parquet(*[os.path.join(path, "stats", f"seg={s}") for s in segs])
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .persist()  # every query consults it; tiny (one row per term)
     )
     n_docs = sum(s["n_docs"] for s in snap["segments"])
     total_tokens = sum(s["total_tokens"] for s in snap["segments"])

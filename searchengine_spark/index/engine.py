@@ -240,6 +240,17 @@ class Index:
             .toLocalIterator()
         )
 
+    def attach_corpus(
+        self, corpus: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text"
+    ) -> "Index":
+        """Bind a corpus table for hydration/full-scan (artifact-backed
+        indexes don't store document text — the source table is the doc
+        store, SURVEY.md S1-S3)."""
+        self.corpus = corpus
+        self.doc_id_col = doc_id_col
+        self.text_col = text_col
+        return self
+
     def hydrate(self, results: DataFrame) -> DataFrame:
         """Join matched doc_ids back to the corpus (reference readDocuments,
         InvertedIndex.java:1367-1389) with stable doc_id ordering."""
