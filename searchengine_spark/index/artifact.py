@@ -353,14 +353,24 @@ def build_artifact(
     pack_partitions: int | None = None,
     resume: bool = True,
     source_desc: str = "",
+    segment_col: str | None = None,
     fail_after_segments: int | None = None,
 ) -> "ArtifactIndex":
     """Build (or resume building) the persisted index at ``path``.
 
-    The corpus is split into ``n_segments`` disjoint doc sets by
-    ``pmod(xxhash64(doc_id), n_segments)``; each segment is built and
-    committed as its own snapshot, so a killed build re-run with the same
-    arguments skips already-committed segments (checkpoint/resume).
+    Segmentation (each segment commits its own snapshot, so a killed build
+    re-run with the same arguments resumes from the last commit):
+
+    - default: ``n_segments`` disjoint doc sets by
+      ``pmod(xxhash64(doc_id), n_segments)`` — a full corpus pass per
+      segment (fine when the corpus fits a few passes);
+    - ``segment_col``: one segment per distinct value of that column
+      (sorted) — the realistic 10^12-turn pattern. With a source table
+      partitioned on ``segment_col`` (e.g. an ingestion-date column), each
+      segment's equality filter becomes a *partition-pruned* scan, so every
+      segment reads only its own slice of the table. Late-arriving values
+      go through ``append_segment``.
+
     ``fail_after_segments`` is a test hook simulating a mid-build crash.
     """
     config = {
@@ -373,7 +383,19 @@ def build_artifact(
         "n_buckets": n_buckets,
         "doc_id_col": doc_id_col,
         "text_col": text_col,
+        "segment_col": segment_col,
     }
+    seg_values = None
+    if segment_col is not None:
+        seg_values = [
+            r["v"]
+            for r in corpus.select(F.col(segment_col).alias("v"))
+            .distinct()
+            .orderBy("v")
+            .collect()
+        ]
+        n_segments = len(seg_values)
+        config["n_segments"] = n_segments
     prev = latest_snapshot(path) if resume else None
     if prev is not None and prev["config"] != config:
         raise ValueError(
@@ -390,14 +412,18 @@ def build_artifact(
             continue
         if fail_after_segments is not None and built >= fail_after_segments:
             raise RuntimeError(f"simulated crash after {built} segments")
-        seg_corpus = (
-            corpus
-            if n_segments == 1
-            else corpus.where(
+        if seg_values is not None:
+            seg_filter = f"{segment_col} == {seg_values[seg]!r}"
+            seg_corpus = corpus.where(F.col(segment_col) == seg_values[seg])
+        elif n_segments == 1:
+            seg_filter = "full corpus"
+            seg_corpus = corpus
+        else:
+            seg_filter = f"pmod(xxhash64({doc_id_col}), {n_segments}) == {seg}"
+            seg_corpus = corpus.where(
                 F.pmod(F.xxhash64(F.col(doc_id_col).cast("string")), n_segments)
                 == seg
             )
-        )
         t0 = time.time()
         entry = _build_segment(
             spark,
@@ -413,14 +439,7 @@ def build_artifact(
             n_buckets=n_buckets,
         )
         entry["build_sec"] = round(time.time() - t0, 3)
-        entry["lineage"] = {
-            "source": source_desc,
-            "filter": (
-                f"pmod(xxhash64({doc_id_col}), {n_segments}) == {seg}"
-                if n_segments > 1
-                else "full corpus"
-            ),
-        }
+        entry["lineage"] = {"source": source_desc, "filter": seg_filter}
         segments.append(entry)
         snap_id += 1
         _commit_snapshot(

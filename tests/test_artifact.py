@@ -287,3 +287,26 @@ def test_compression_effective(aidx):
     ).collect()[0]["b"]
     raw = 3 * 4 * n_postings
     assert raw > 1.5 * nonpos, f"compression ratio too low: {raw}/{nonpos}"
+
+
+def test_segment_by_column(spark, corpus, lidx, tmp_path):
+    """segment_col: one committed segment per distinct value (the
+    date-partitioned-ingestion pattern); equality filters land in lineage
+    and results match the one-shot logical build."""
+    from pyspark.sql import functions as F
+
+    with_day = corpus.withColumn(
+        "day", F.concat(F.lit("d"), F.substring("doc_id", 12, 1))
+    )
+    aidx = build_artifact(
+        spark, with_day, str(tmp_path / "bycol"), segment_col="day"
+    )
+    days = {r["day"] for r in with_day.select("day").distinct().collect()}
+    assert len(aidx.snapshot["segments"]) == len(days)
+    filters = {s["lineage"]["filter"] for s in aidx.snapshot["segments"]}
+    assert all("day ==" in f for f in filters)
+    assert aidx.n_docs == lidx.n_docs
+    q = "spark shuffle error"
+    l = [(r["doc_id"], round(r["score"], 10)) for r in lidx.search_bm25(q, 10).collect()]
+    a = [(r["doc_id"], round(r["score"], 10)) for r in aidx.search_bm25(q, 10).collect()]
+    assert l == a
