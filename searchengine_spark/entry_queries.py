@@ -196,9 +196,14 @@ WHERE {' AND '.join(conds)}
 
 
 def ft_bm25_top20(spark, sf_dir):
+    # rank-k boundary cut at rounded score + doc_id (see ft_tfidf_top20)
     idx = _ft_index(spark, sf_dir)
-    res = idx.search_bm25(_FT_QUERIES["bm25"], 20)
-    return _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+    res = idx.search_bm25(_FT_QUERIES["bm25"], None)
+    return (
+        _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))  # numeric doc_id tie-break
+        .limit(20)
+    )
 
 
 _ARTIFACTS: dict[str, object] = {}
@@ -222,10 +227,15 @@ def _ft_artifact(spark, sf_dir):
 
 def ft_bm25_wand(spark, sf_dir):
     """Block-max WAND BM25 over the persisted compressed artifact — must
-    hash-match the same DuckDB oracle as the logical-path BM25."""
+    hash-match the same DuckDB oracle as the logical-path BM25. WAND needs
+    a finite k, so fetch a 3x margin then apply the rounded-boundary cut."""
     aidx = _ft_artifact(spark, sf_dir)
-    res = aidx.search_bm25(_FT_QUERIES["bm25"], 20)
-    return _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+    res = aidx.search_bm25(_FT_QUERIES["bm25"], 60)
+    return (
+        _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))  # numeric doc_id tie-break
+        .limit(20)
+    )
 
 
 _DELETE_KW = "checkpoint"
@@ -273,14 +283,22 @@ scored AS (
   GROUP BY p.doc_id
 )
 SELECT doc_id, round(score, 4) AS score_r
-FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT {k}
 """
 
 
 def ft_tfidf_top20(spark, sf_dir):
+    """TF-IDF docs with identical term patterns score mathematically equal
+    (no dl term), so the rank-k boundary must be cut at the ROUNDED score
+    with doc_id tie-break — full-precision float noise orders true ties
+    differently per engine. The oracle SQL cuts identically."""
     idx = _ft_index(spark, sf_dir)
-    res = idx.search_tfidf(_FT_QUERIES["tfidf"], 20)
-    return _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+    res = idx.search_tfidf(_FT_QUERIES["tfidf"], None)
+    return (
+        _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))  # numeric doc_id tie-break
+        .limit(20)
+    )
 
 
 def _tfidf_sql(query: str, k: int) -> str:
@@ -300,7 +318,7 @@ scored AS (
   GROUP BY p.doc_id
 )
 SELECT doc_id, round(dot / sqrt(len2), 4) AS score_r
-FROM scored ORDER BY dot / sqrt(len2) DESC, doc_id LIMIT {k}
+FROM scored ORDER BY round(dot / sqrt(len2), 4) DESC, doc_id LIMIT {k}
 """
 
 

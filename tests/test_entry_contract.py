@@ -10,17 +10,23 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.001"
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
+@pytest.fixture(scope="module", params=SF_DIRS, ids=["sf0.001", "sf0.01"])
+def sf_dir(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def duck():
+def duck(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
 
@@ -45,9 +51,11 @@ ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLED))
 
 
 @pytest.mark.parametrize("name", ORACLED)
-def test_oracle_match(spark, duck, name):
+def test_oracle_match(spark, duck, sf_dir, name):
+    """Both scale factors: the driver grades at sf0.01, where rank-boundary
+    ties surface that sf0.001 never hits."""
     q = entry_mod.queries()[name]
-    sdf = q(spark, SF_DIR)
+    sdf = q(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     res = duck.sql(entry_mod.oracle_sql()[name])
