@@ -32,7 +32,6 @@ This is the engine's durable form of the reference's on-disk segments
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 from dataclasses import dataclass
@@ -45,7 +44,7 @@ from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
 from .blocks import BLOCK_SCHEMA, BLOCK_SIZE, pack_term_run, unpack_block
-from .engine import Index, build_postings
+from .engine import Index
 from .ordinals import assign_doc_ordinals, segment_base
 
 PACKED_SCHEMA = f"part_id int, {BLOCK_SCHEMA}"
