@@ -296,8 +296,9 @@ def _build_segment(
     ords.unpersist()
     doc_terms.unpersist()
 
-    # metrics from the committed files (read-back doubles as a write check)
-    written = spark.read.parquet(blocks_dir)
+    # metrics from the committed files (read-back doubles as a write check);
+    # explicit schema: an empty segment writes no files under partitionBy
+    written = spark.read.schema(f"{PACKED_SCHEMA}, bucket int").parquet(blocks_dir)
     size_expr = (
         F.length("docs") + F.length("tfs") + F.length("dls") + F.length("pos")
     )
@@ -637,8 +638,10 @@ def load_artifact(spark: SparkSession, path: str) -> ArtifactIndex:
     if not segs:
         raise ValueError(f"snapshot at {path} lists no segments")
     cfg = snap["config"]
-    blocks = spark.read.option("basePath", os.path.join(path, "blocks")).parquet(
-        *[os.path.join(path, "blocks", f"seg={s}") for s in segs]
+    blocks = (
+        spark.read.schema(f"{PACKED_SCHEMA}, bucket int, seg int")
+        .option("basePath", os.path.join(path, "blocks"))
+        .parquet(*[os.path.join(path, "blocks", f"seg={s}") for s in segs])
     )
     docs_tbl = spark.read.option("basePath", os.path.join(path, "docs")).parquet(
         *[os.path.join(path, "docs", f"seg={s}") for s in segs]

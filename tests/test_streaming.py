@@ -246,3 +246,19 @@ def test_streaming_foreachbatch_appends(spark, corpus, tmp_path):
         if s["lineage"].get("stream_batch_id") is not None
     ]
     assert batch_ids, "no stream batches in lineage"
+
+
+def test_empty_bootstrap_then_append(spark, corpus, tmp_path):
+    """The documented streaming bootstrap: build over an EMPTY corpus, then
+    append the first real batch (empty partitioned writes produce no files;
+    reads must still resolve the schema)."""
+    path = str(tmp_path / "bootstrap")
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    aidx = build_artifact(spark, empty, path)
+    assert aidx.n_docs == 0
+    assert aidx.search_bm25("spark", 5).count() == 0
+    aidx = append_segment(
+        spark, corpus.select("doc_id", "text"), path, stream_batch_id=0
+    )
+    assert aidx.n_docs == corpus.count()
+    assert aidx.search_bm25("spark shuffle error", 5).count() == 5
