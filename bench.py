@@ -58,7 +58,6 @@ def main() -> None:
     t0 = time.perf_counter()
     idx = build_index(spark, docs, analyzer="punctuation")
     idx.postings.count()  # materialize the persisted postings
-    q["index_build"], _ = time.perf_counter() - t0, None
     q["index_build"] = time.perf_counter() - t0
 
     # --- query surface (each .collect()s a small result) ---

@@ -227,12 +227,27 @@ def _ft_artifact(spark, sf_dir):
 
 def ft_bm25_wand(spark, sf_dir):
     """Block-max WAND BM25 over the persisted compressed artifact — must
-    hash-match the same DuckDB oracle as the logical-path BM25. WAND needs
-    a finite k, so fetch a 3x margin then apply the rounded-boundary cut."""
+    hash-match the same DuckDB oracle as the logical-path BM25. WAND needs a
+    finite k; the oracle cuts top-20 on ROUNDED scores, so fetch (escalating
+    from a 3x margin) until the last fetched row's rounded score is strictly
+    below the 20th rounded score — only then is the rounded-boundary tie
+    cluster provably complete (rounding is monotone, so no unfetched doc can
+    round into the boundary value)."""
     aidx = _ft_artifact(spark, sf_dir)
-    res = aidx.search_bm25(_FT_QUERIES["bm25"], 60)
+    k = 60
+    while True:
+        res = aidx.search_bm25(_FT_QUERIES["bm25"], k)
+        rows = res.collect()
+        if len(rows) < max(k, 21):  # corpus exhausted: every candidate fetched
+            break
+        if round(rows[-1]["score"], 4) < round(rows[19]["score"], 4):
+            break
+        k *= 4
+    fetched = spark.createDataFrame(rows, "doc_id string, score double")
     return (
-        _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+        _as_long_doc_id(
+            fetched.select("doc_id", F.round("score", 4).alias("score_r"))
+        )
         .orderBy(F.desc("score_r"), F.asc("doc_id"))  # numeric doc_id tie-break
         .limit(20)
     )

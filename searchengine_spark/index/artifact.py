@@ -549,6 +549,40 @@ class ArtifactIndex(Index):
     def postings_for_terms(self, terms) -> DataFrame:
         return self.filter_deleted(self._decode(self.blocks_for_terms(terms)))
 
+    def docs_for_ordinals(self, ords) -> DataFrame:
+        """Point-lookup hydration: ``(doc_ord, doc_id)`` for the given
+        ordinals. The ``seg`` partition filter (segment id is ``doc_ord >>
+        SEG_SHIFT`` by construction) prunes whole segment directories and the
+        ``doc_ord IN (...)`` predicate is pushed to the parquet scan, where
+        doc_ord-ordered files give row-group min/max skipping — so hydrating
+        the k survivors of a top-k query reads a handful of row groups, not
+        the corpus-sized doc table (reference ``readDocuments``,
+        ``InvertedIndex.java:1367-1389``, as a point read)."""
+        from .ordinals import SEG_SHIFT
+
+        ords = [int(o) for o in ords]
+        segs = sorted({o >> SEG_SHIFT for o in ords})
+        return (
+            self.docs_tbl.where(F.col("seg").isin(segs))
+            .where(F.col("doc_ord").isin(ords))
+            .select("doc_ord", "doc_id")
+        )
+
+    def filter_deleted_ords(self, df: DataFrame) -> DataFrame:
+        """Ordinal-keyed twin of ``filter_deleted`` for frames that carry
+        ``doc_ord`` instead of ``doc_id`` (the WAND scoring path, which
+        defers the doc_id join to after its top-k cut). Artifact tombstones
+        persist ``(doc_id, doc_ord)`` pairs so no corpus join is needed; a
+        doc_id-only tombstone frame (legacy) is upgraded via one join."""
+        if self.tombstones is None:
+            return df
+        t = self.tombstones
+        if "doc_ord" not in t.columns:
+            t = t.join(self.docs_tbl.select("doc_id", "doc_ord"), "doc_id")
+        return df.join(
+            F.broadcast(t.select("doc_ord")), on="doc_ord", how="left_anti"
+        )
+
     def _decode(self, blocks: DataFrame) -> DataFrame:
         decoded = blocks.mapInPandas(
             _make_decoder(self.positional), schema=DECODED_SCHEMA
@@ -598,8 +632,15 @@ class ArtifactIndex(Index):
         ``tombstones/ts-<n>/`` parquet and a new snapshot commits the list
         (reference persists removed docIDs in metadata.txt,
         ``InvertedIndexManager.java:356-382``). Readers of the new snapshot
-        see the deletes; compaction purges them physically."""
-        matched = self.search_keyword(keyword).select("doc_id").persist()
+        see the deletes; compaction purges them physically. Tombstones carry
+        ``doc_ord`` too (one docs-table join at delete time) so the WAND
+        path's ordinal-space filter never re-joins the corpus per query."""
+        matched = (
+            self.search_keyword(keyword)
+            .select("doc_id")
+            .join(self.docs_tbl.select("doc_id", "doc_ord"), "doc_id")
+            .persist()
+        )
         n = matched.count()
         snap = dict(self.snapshot)
         snap_id = snap["snapshot_id"] + 1
@@ -617,7 +658,16 @@ class ArtifactIndex(Index):
         if self.tombstones is None:
             self.tombstones = matched
         else:
-            self.tombstones = self.tombstones.unionByName(matched).distinct()
+            # persist the union (and drop the old frame) so repeated deletes
+            # don't chain an ever-growing lazy keyword-search lineage into
+            # every subsequent query's anti-join
+            prev = self.tombstones
+            if "doc_ord" not in prev.columns:
+                prev = prev.join(self.docs_tbl.select("doc_id", "doc_ord"), "doc_id")
+            self.tombstones = prev.unionByName(matched).distinct().persist()
+            self.tombstones.count()
+            prev.unpersist()
+            matched.unpersist()
         return n
 
     def search_bm25(self, query, k: int | None = None, mode: str = "auto") -> DataFrame:

@@ -158,7 +158,14 @@ class Index:
         if self.tombstones is None:
             self.tombstones = matched
         else:
-            self.tombstones = self.tombstones.unionByName(matched).distinct()
+            # persist the union and drop the old frame: without this, every
+            # delete chains another lazy keyword-search lineage that all
+            # subsequent queries re-execute inside their anti-join
+            prev = self.tombstones
+            self.tombstones = prev.unionByName(matched).distinct().persist()
+            self.tombstones.count()
+            prev.unpersist()
+            matched.unpersist()
         return n
 
     # --- query operators (implemented in query/, bound here for ergonomics) ---

@@ -19,10 +19,22 @@ vectorized/distributed restatement (SURVEY.md §4.2.2):
    is scored exactly; (b) docs scored partially (some blocks dropped) have
    estimate ≤ true score < θ, so they cannot displace a fully-scored top-k
    doc. The result is therefore exact, including boundary ties.
-5. **Score + top-k**: decode kept blocks, per-posting BM25 partials,
-   deterministic per-doc fold in sorted-term order (bit-identical to the
-   logical path and the pure-Python oracle), one shuffle on doc_ord, then a
-   distributed TakeOrdered with (score desc, doc_id asc) tie-break.
+5. **Score + top-k + hydrate**: decode kept blocks, per-posting BM25
+   partials, deterministic per-doc fold in sorted-term order (bit-identical
+   to the logical path and the pure-Python oracle), one shuffle on
+   ``doc_ord``, distributed TakeOrdered of the *ordinal-keyed* scores.
+   The corpus-sized ``doc_ord → doc_id`` mapping is consulted only AFTER
+   the top-k cut, for the ≤ k+ties surviving ordinals, via a point lookup
+   (``seg`` partition pruning + ``doc_ord IN (...)`` row-group pruning on
+   the docs parquet — see ``ArtifactIndex.docs_for_ordinals``). At 10^12
+   docs this touches a handful of row groups instead of shuffling the whole
+   doc table per query.
+
+Tie-break contract: the final ranking orders by (score desc, doc_id asc) —
+identical to the logical path. The ordinal-space top-k cut keeps *every*
+doc whose score ties the k-th score (boundary set ``score >= θ_k``), so the
+doc_id tie-break is applied to the complete tie cluster even though
+ordinals order by (segment, doc_id) rather than globally by doc_id.
 """
 
 from __future__ import annotations
@@ -34,15 +46,21 @@ from pyspark.sql import functions as F
 
 from .ranked import _query_weights, bm25_idf
 
+# Safety valve for the boundary-tie collect: if more than this many docs tie
+# the k-th score, fall back to a distributed cut (pathological corpora only —
+# e.g. every doc identical).
+_MAX_TIE_COLLECT = 65536
+
 
 def _empty(index) -> DataFrame:
     return index.spark.createDataFrame([], "doc_id string, score double")
 
 
 def _score_blocks(aidx, blocks: DataFrame, qdf: DataFrame) -> DataFrame:
-    """Decode block rows and BM25-score them -> (doc_id, score), with
+    """Decode block rows and BM25-score them -> (doc_ord, score), with
     tombstoned docs filtered (they must not seed θ either — a deleted
-    high-scorer would prune blocks that surviving docs need)."""
+    high-scorer would prune blocks that surviving docs need). No doc-table
+    join happens here: doc_id recovery is deferred to after the top-k cut."""
     from ..index.artifact import DECODED_SCHEMA, _make_decoder
 
     # NB: "pos" deliberately excluded — scoring never reads positions, and
@@ -68,11 +86,52 @@ def _score_blocks(aidx, blocks: DataFrame, qdf: DataFrame) -> DataFrame:
             ).alias("score")
         )
     )
-    return aidx.filter_deleted(
-        scored.join(aidx.docs_tbl.select("doc_ord", "doc_id"), "doc_ord").select(
-            "doc_id", "score"
-        )
-    )
+    return aidx.filter_deleted_ords(scored)
+
+
+def _finalize_topk(aidx, scored: DataFrame, k: int) -> DataFrame:
+    """(doc_ord, score) -> exact top-k (doc_id, score) under the
+    (score desc, doc_id asc) contract, touching the doc table only for the
+    boundary set (all docs with score >= k-th score, typically ~k rows)."""
+    spark = aidx.spark
+    scored = scored.persist()
+    try:
+        top = scored.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k).collect()
+        if not top:
+            return _empty(aidx)
+        if len(top) < k:
+            boundary = top  # corpus has fewer than k scored docs
+        else:
+            theta_k = top[-1]["score"]
+            # every potential member of the final top-k under ANY tie-break
+            cand = scored.where(F.col("score") >= theta_k)
+            boundary = cand.limit(_MAX_TIE_COLLECT + 1).collect()
+            if len(boundary) > _MAX_TIE_COLLECT:
+                # pathological tie plateau: cut distributedly (doc-table join
+                # before the limit — slow but exact)
+                out = (
+                    scored.join(
+                        aidx.docs_tbl.select("doc_ord", "doc_id"), "doc_ord"
+                    )
+                    .select("doc_id", "score")
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                    .localCheckpoint(eager=True)
+                )
+                return out
+        id_by_ord = {
+            r["doc_ord"]: r["doc_id"]
+            for r in aidx.docs_for_ordinals(
+                [r["doc_ord"] for r in boundary]
+            ).collect()
+        }
+        rows = sorted(
+            ((id_by_ord[r["doc_ord"]], r["score"]) for r in boundary),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        return spark.createDataFrame(rows, "doc_id string, score double")
+    finally:
+        scored.unpersist()
 
 
 def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
@@ -111,12 +170,7 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
 
     # small queries: decoding everything is cheaper than a seed+prune pass
     if n_cand_blocks <= 256:
-        out = (
-            _score_blocks(aidx, cand, qdf)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .localCheckpoint(eager=True)
-        )
+        out = _finalize_topk(aidx, _score_blocks(aidx, cand, qdf), k)
         cand.unpersist()
         return out
 
@@ -146,11 +200,6 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
             F.col("ub") + F.col("others") >= theta
         )
 
-    out = (
-        _score_blocks(aidx, kept, qdf)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-        .localCheckpoint(eager=True)  # materialize before dropping the cache
-    )
+    out = _finalize_topk(aidx, _score_blocks(aidx, kept, qdf), k)
     cand.unpersist()
     return out

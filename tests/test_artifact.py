@@ -150,6 +150,43 @@ def test_wand_exhaustive_modes_agree(aidx):
     assert wand == exh
 
 
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_wand_scoring_plan_has_no_doc_table_scan(spark, aidx):
+    """The scale contract of the restructured WAND path: scoring operates in
+    ordinal space and must NOT scan the corpus-sized docs table — doc_id
+    recovery happens after the top-k cut via a point lookup (at 10^12 docs a
+    per-query doc-table join is the bottleneck)."""
+    from searchengine_spark.query import wand
+    from searchengine_spark.query.ranked import _query_weights, bm25_idf
+
+    weights = _query_weights(aidx, "spark shuffle error", bm25_idf)
+    qdf = spark.createDataFrame(weights, "term string, qtf int, idf double")
+    scored = wand._score_blocks(
+        aidx, aidx.blocks_for_terms([t for t, _, _ in weights]), qdf
+    )
+    plan = _plan_of(scored)
+    assert "/docs" not in plan, "doc-table scan leaked into WAND scoring plan"
+    assert "/blocks" in plan  # sanity: it is reading the block artifact
+
+
+def test_docs_for_ordinals_pushes_filters(aidx):
+    """Hydration point lookup: seg partition filter (directory pruning) and
+    doc_ord IN (row-group pruning) must reach the parquet scan."""
+    some = [r["doc_ord"] for r in aidx.docs_tbl.limit(3).collect()]
+    plan = _plan_of(aidx.docs_for_ordinals(some))
+    assert "PushedFilters" in plan and "doc_ord" in plan
+    assert "PartitionFilters" in plan and "seg" in plan
+
+
 def test_boolean_phrase_over_artifact(lidx, aidx):
     assert (
         sorted(r["doc_id"] for r in aidx.search_and("error function").collect())
