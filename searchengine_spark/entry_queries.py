@@ -845,12 +845,79 @@ def tr_phrase_planted(spark, sf_dir):
     return idx.search_phrase("merge sort algorithm")
 
 
+_SIMHASH_RADIUS = 7  # 8 chunks x 8 bits: blocking recall-complete at h<=7
+
+
 def simhash_pairs_q(spark, sf_dir):
-    return q.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16).select(
+    """SimHash near-dup pairs at radius 7 (8-bit chunk blocking — the
+    blocking provably covers the requested radius; see
+    quality.simhash_chunk_bounds). DuckDB-oracled: md5 term hashes, bit
+    votes, chunk join and bit_count are all SQL-expressible."""
+    return q.simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=_SIMHASH_RADIUS
+    ).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of simhash_near_pairs at _SIMHASH_RADIUS, generated from
+    the same chunk bounds the Spark operator uses. Tokenization matches
+    _simhash64_batch: lower + whitespace split (no punctuation stripping,
+    no stop words); term hash = first 8 bytes of md5, big-endian; per-bit
+    majority vote weighted by tf; docs with no tokens get simhash 0."""
+    from .textops.quality import simhash_chunk_bounds
+
+    bounds = simhash_chunk_bounds(_SIMHASH_RADIUS)
+    chunk_values = ", ".join(
+        f"({i}, {shift}, {(1 << width) - 1})"
+        for i, (shift, width) in enumerate(bounds)
+    )
+    return f"""
+WITH stoks AS (
+  SELECT doc_id, t, count(*)::BIGINT AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
+             x -> x <> '')) AS t
+    FROM documents
+  ) GROUP BY doc_id, t
+),
+hashes AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+  FROM stoks
+),
+votes AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM hashes CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+simagg AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS sim
+  FROM votes GROUP BY doc_id
+),
+sims AS (
+  SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
+  FROM documents d LEFT JOIN simagg s USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, sim, c.chunk, (sim >> c.shift) & c.mask::UBIGINT AS ckey
+  FROM sims CROSS JOIN (VALUES {chunk_values}) c(chunk, shift, mask)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sim, b.sim))::INT AS hamming
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.ckey = b.ckey
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {_SIMHASH_RADIUS}
+"""
 
 
 def ann_lsh_top10(spark, sf_dir):
@@ -972,10 +1039,10 @@ QUERIES = {
     "rel_rollup": rel_rollup,
     "events_windowed": events_windowed,
     "events_sessionize": events_sessionize,
+    "simhash_pairs": simhash_pairs_q,
     # rows-only (no SQL oracle possible):
     "tr_bm25_top10": tr_bm25_top10,
     "tr_phrase_planted": tr_phrase_planted,
-    "simhash_pairs": simhash_pairs_q,
     "ann_lsh_top10": ann_lsh_top10,
     "ann_ivf_top10": ann_ivf_top10,
     "emb_near_dup_lsh": emb_near_dup_lsh,
@@ -1012,4 +1079,5 @@ ORACLES = {
     "rel_rollup": REL_ROLLUP_SQL,
     "events_windowed": EVENTS_WINDOWED_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "simhash_pairs": _simhash_sql(),
 }

@@ -57,34 +57,92 @@ TERM_POSITIONS_SCHEMA = ArrayType(
 )
 
 
+def _tokenize_batch(texts, analyzer_name: str):
+    """Tokenize a batch and factorize tokens to dense term codes, with
+    stemming applied only to the batch vocabulary (not per token). Returns
+    ``(token_lists_lens, doc_idx, tcodes, positions, terms)`` — everything
+    per-token is a numpy array; the only Python-level loops are over the
+    batch vocabulary and the final per-(doc, term) runs. This is the
+    allocator-light form of the analyze kernel: no per-token dict churn, no
+    per-position int objects (see BENCH.md scaling notes)."""
+    if analyzer_name == "composable":
+        token_lists = [
+            punctuation_tokenize(t) if t is not None else [] for t in texts
+        ]
+    else:
+        fn = get_analyzer(analyzer_name)
+        token_lists = [fn(t) if t is not None else [] for t in texts]
+    n_docs = len(token_lists)
+    lens = np.fromiter(
+        (len(t) for t in token_lists), dtype=np.int64, count=n_docs
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return lens, None, None, None, []
+    flat = np.empty(total, dtype=object)
+    i = 0
+    for toks in token_lists:
+        flat[i : i + len(toks)] = toks
+        i += len(toks)
+    codes, uniques = pd.factorize(flat, sort=False)
+    if analyzer_name == "composable":
+        # stem the vocabulary, merging codes that stem identically
+        term_ids: dict[str, int] = {}
+        terms: list[str] = []
+        remap = np.empty(len(uniques), dtype=np.int64)
+        for j, raw in enumerate(uniques):
+            s = stem(raw)
+            tid = term_ids.get(s)
+            if tid is None:
+                tid = term_ids[s] = len(terms)
+                terms.append(s)
+            remap[j] = tid
+        tcodes = remap[codes]
+    else:
+        terms = list(uniques)
+        tcodes = codes.astype(np.int64, copy=False)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    positions = (np.arange(total, dtype=np.int64) - np.repeat(offsets, lens)).astype(
+        np.int32
+    )
+    return lens, doc_idx, tcodes, positions, terms
+
+
+def _doc_term_runs(doc_idx, tcodes, positions):
+    """Stable-group token streams by (doc, term): returns sorted arrays plus
+    run boundaries. Positions within a run stay ascending (lexsort is
+    stable on the last key being the primary — keys are (pos, term, doc))."""
+    order = np.lexsort((positions, tcodes, doc_idx))
+    d_s, t_s, p_s = doc_idx[order], tcodes[order], positions[order]
+    change = np.flatnonzero((d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1]))
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [len(d_s)]))
+    return d_s, t_s, p_s, starts, ends
+
+
 def make_term_positions_udf(analyzer: str = "composable"):
     """pandas UDF: text -> array<struct<term, positions>> (per-document
-    postings, built entirely inside one Arrow batch — no groupBy needed)."""
+    postings, built entirely inside one Arrow batch — no groupBy needed).
+    All per-token work is C-level (regex tokenize, factorize, numpy index
+    arithmetic); Python loops touch only the batch vocabulary (stemming)
+    and the (doc, term) runs. Position arrays are handed to Arrow as int32
+    numpy slices — no per-position Python ints are ever allocated."""
     analyzer_name = analyzer
 
     def _batch(texts: pd.Series) -> pd.Series:
-        fn = get_analyzer(analyzer_name)
-        out = []
-        if analyzer_name == "composable":
-            # stem via a per-batch memo over unique raw tokens
-            memo: dict[str, str] = {}
-            for text in texts:
-                tokens = punctuation_tokenize(text) if text is not None else []
-                acc: dict[str, list[int]] = {}
-                for i, raw in enumerate(tokens):
-                    t = memo.get(raw)
-                    if t is None:
-                        t = stem(raw)
-                        memo[raw] = t
-                    acc.setdefault(t, []).append(i)
-                out.append([{"term": t, "positions": p} for t, p in acc.items()])
-        else:
-            for text in texts:
-                tokens = fn(text) if text is not None else []
-                acc = {}
-                for i, t in enumerate(tokens):
-                    acc.setdefault(t, []).append(i)
-                out.append([{"term": t, "positions": p} for t, p in acc.items()])
+        lens, doc_idx, tcodes, positions, terms = _tokenize_batch(
+            texts, analyzer_name
+        )
+        out: list[list] = [[] for _ in range(len(lens))]
+        if doc_idx is not None:
+            d_s, t_s, p_s, starts, ends = _doc_term_runs(
+                doc_idx, tcodes, positions
+            )
+            for s, e in zip(starts, ends):
+                out[d_s[s]].append(
+                    {"term": terms[t_s[s]], "positions": p_s[s:e]}
+                )
         return pd.Series(out)
 
     return pandas_udf(_batch, TERM_POSITIONS_SCHEMA)
@@ -277,46 +335,22 @@ TERM_COUNTS_SCHEMA = ArrayType(
 
 
 def make_term_counts_udf(analyzer: str = "composable"):
-    """Non-positional fast path: text -> array<struct<term, tf>>. The whole
-    Arrow batch is counted with ONE pandas groupby (C-level) instead of a
-    per-token Python dict loop — positions aren't needed for BM25-only
-    indexes, and skipping them roughly doubles build throughput."""
+    """Non-positional fast path: text -> array<struct<term, tf>>. Shares the
+    factorize-based kernel with the positional UDF — per-token work is all
+    C-level; tf per (doc, term) falls out of the run lengths."""
     analyzer_name = analyzer
 
     def _batch(texts: pd.Series) -> pd.Series:
-        from ..analysis.analyzer import get_analyzer
-        from ..analysis.porter import stem as _stem
-        from ..analysis.tokenizers import punctuation_tokenize as _tok
-
-        if analyzer_name == "composable":
-            token_lists = [_tok(t) if t is not None else [] for t in texts]
-            flat = pd.Series(
-                [t for toks in token_lists for t in toks], dtype="object"
-            )
-            if len(flat):
-                vocab = pd.unique(flat)
-                stemmed_map = {t: _stem(t) for t in vocab}
-                flat = flat.map(stemmed_map)
-        else:
-            fn = get_analyzer(analyzer_name)
-            token_lists = [fn(t) if t is not None else [] for t in texts]
-            flat = pd.Series(
-                [t for toks in token_lists for t in toks], dtype="object"
-            )
-        lens = np.fromiter(
-            (len(t) for t in token_lists), dtype=np.int64, count=len(token_lists)
+        lens, doc_idx, tcodes, positions, terms = _tokenize_batch(
+            texts, analyzer_name
         )
-        if not len(flat):
-            return pd.Series([[] for _ in token_lists])
-        doc_idx = np.repeat(np.arange(len(token_lists)), lens)
-        counted = (
-            pd.DataFrame({"d": doc_idx, "t": flat})
-            .groupby(["d", "t"], sort=False)
-            .size()
-        )
-        out: list[list] = [[] for _ in token_lists]
-        for (d, t), c in counted.items():
-            out[d].append({"term": t, "tf": int(c)})
+        out: list[list] = [[] for _ in range(len(lens))]
+        if doc_idx is not None:
+            d_s, t_s, _, starts, ends = _doc_term_runs(
+                doc_idx, tcodes, positions
+            )
+            for s, e in zip(starts, ends):
+                out[d_s[s]].append({"term": terms[t_s[s]], "tf": int(e - s)})
         return pd.Series(out)
 
     return pandas_udf(_batch, TERM_COUNTS_SCHEMA)

@@ -119,12 +119,37 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
 
 
+def simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """[(shift, width)] for ``max_hamming + 1`` contiguous chunks of the
+    64-bit simhash (the last chunk absorbs the remainder bits). Pigeonhole:
+    two hashes within ``max_hamming`` differing bits must agree on at least
+    one of ``max_hamming + 1`` disjoint chunks — this is the block-permuted
+    table family of Manku et al. (WWW'07) with one table per chunk."""
+    n_chunks = max_hamming + 1
+    if not 0 <= max_hamming <= 31:
+        # width-2 chunks (max_hamming=31) are the useful floor; beyond that
+        # blocking degenerates to all-pairs and must not pretend to recall
+        raise ValueError(
+            f"max_hamming={max_hamming} not blockable over 64 bits; use <= 31"
+        )
+    width = 64 // n_chunks
+    bounds = [(i * width, width) for i in range(n_chunks - 1)]
+    last_shift = (n_chunks - 1) * width
+    bounds.append((last_shift, 64 - last_shift))
+    return bounds
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by SimHash: block on 16-bit chunks (any equal
-    chunk => candidate; guarantees recall for hamming <= 3 by pigeonhole),
-    verify hamming distance with bit_count."""
+    """Near-dup candidates by SimHash: block on ``max_hamming + 1`` disjoint
+    bit chunks (any equal chunk => candidate — pigeonhole guarantees FULL
+    recall at the requested radius), then verify the exact hamming distance
+    with bit_count. Blocking selectivity falls as the radius grows (chunk
+    width = 64/(h+1) bits): h<=3 blocks on 16-bit keys, h=7 on 8-bit keys;
+    for large corpora keep the radius small or pre-dedup exact duplicates
+    upstream so hot buckets stay bounded."""
     s = simhash(df, id_col, text_col)
+    bounds = simhash_chunk_bounds(max_hamming)
     chunks = s.select(
         F.col(id_col),
         "simhash",
@@ -133,9 +158,15 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                        (
+                            F.col("simhash")
+                            if width >= 64
+                            else F.shiftright("simhash", shift).bitwiseAND(
+                                F.lit((1 << width) - 1)
+                            )
+                        ).alias("ckey"),
                     )
-                    for i in range(4)
+                    for i, (shift, width) in enumerate(bounds)
                 ]
             )
         ).alias("c"),
