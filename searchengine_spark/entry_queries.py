@@ -416,9 +416,15 @@ _JACCARD_THRESHOLD = 0.05
 
 
 def dedup_jaccard_pairs(spark, sf_dir):
-    res = dd.ngram_jaccard_pairs(
-        _docs_tokens(spark, sf_dir), threshold=_JACCARD_THRESHOLD
-    )
+    """Exact n-gram Jaccard over MinHash-LSH *candidate* pairs (the
+    scale-safe plan: verification work is O(|candidates|), never O(n^2)).
+    The oracle recomputes the deterministic LSH banding, so the
+    candidate-pruned result hash-matches by construction; pure all-pairs
+    Jaccard (ngram_jaccard_pairs) remains available as the verification
+    kernel and is pinned against the pipeline in tests/test_textops.py."""
+    docs = _docs_tokens(spark, sf_dir)
+    cand = dd.minhash_candidate_pairs(docs)
+    res = dd.jaccard_for_pairs(docs, cand, threshold=_JACCARD_THRESHOLD)
     return res.select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -426,12 +432,20 @@ def dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
-DEDUP_JACCARD_SQL = f"""
-WITH {TOK_CTES}, {SHING_CTE},
+def _dedup_jaccard_sql() -> str:
+    return f"""
+WITH {TOK_CTES}, {SHING_CTE}, {_minhash_band_ctes("shing")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shing GROUP BY doc_id),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
-  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN shing a ON a.doc_id = c.doc_a
+  JOIN shing b ON b.doc_id = c.doc_b AND b.sh = a.sh
   GROUP BY 1, 2
 )
 SELECT p.doc_a, p.doc_b,
@@ -451,7 +465,10 @@ def dedup_minhash_pairs(spark, sf_dir):
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_band_ctes(src: str) -> str:
+    """CTE fragment ``xs, sig, bands`` computing MinHash-LSH band keys over
+    a ``(doc_id, sh)`` shingle CTE named ``src`` — shared by the minhash
+    entry oracle and the dedup-pipeline oracle (same frozen constants)."""
     p = dd.MINHASH_P
     sig_cols = ", ".join(
         f"min(({a} * x + {b}) % {p}) AS h{i}"
@@ -468,15 +485,77 @@ def _minhash_sql() -> str:
         )
     bands = " UNION ALL ".join(band_selects)
     return f"""
-WITH {TOK_CTES}, {SHING_CTE},
 xs AS (
-  SELECT doc_id, (('0x' || substr(md5(sh), 1, 12))::BIGINT % {p}) AS x FROM shing
+  SELECT doc_id, (('0x' || substr(md5(sh), 1, 12))::BIGINT % {p}) AS x FROM {src}
 ),
 sig AS (SELECT doc_id, {sig_cols} FROM xs GROUP BY doc_id),
 bands AS ({bands})
+"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {TOK_CTES}, {SHING_CTE}, {_minhash_band_ctes("shing")}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+_PIPELINE_THRESHOLD = 0.5
+
+
+def dedup_pipeline_q(spark, sf_dir):
+    """Composed dedup: exact -> MinHash-LSH candidates -> Jaccard verify ->
+    connected components -> keep min-id representatives. The DuckDB twin
+    recomputes every stage (including the deterministic LSH banding and a
+    recursive-CTE transitive closure) so survivors hash-match exactly."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", _tok_col(F.col("text")).alias("tokens")
+    )
+    out = dd.dedup_pipeline(docs, threshold=_PIPELINE_THRESHOLD)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _dedup_pipeline_sql() -> str:
+    return f"""
+WITH RECURSIVE {TOK_CTES}, {SHING_CTE},
+ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+shing2 AS (SELECT s.doc_id, s.sh FROM shing s JOIN ek USING (doc_id)),
+{_minhash_band_ctes("shing2")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shing2 GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+  FROM cand c
+  JOIN shing2 a ON a.doc_id = c.doc_a
+  JOIN shing2 b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b
+  FROM inter p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.i / (sa.n + sb.n - p.i) >= {_PIPELINE_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT doc_id FROM ek
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
 """
 
 
@@ -1028,6 +1107,7 @@ QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_pipeline": dedup_pipeline_q,
     "text_quality": text_quality_q,
     "token_counts": token_counts_q,
     "lang_script": lang_script_q,
@@ -1066,8 +1146,9 @@ ORACLES = {
     "ft_df": FT_DF_SQL,
     "ft_corpus_stats": FT_CORPUS_STATS_SQL,
     "dedup_exact_summary": DEDUP_EXACT_SQL,
-    "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
+    "dedup_jaccard_pairs": _dedup_jaccard_sql(),
     "dedup_minhash_pairs": _minhash_sql(),
+    "dedup_pipeline": _dedup_pipeline_sql(),
     "text_quality": TEXT_QUALITY_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "lang_script": LANG_SCRIPT_SQL,

@@ -113,6 +113,176 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate pairs
+    (the scale-safe verification kernel: work is O(|pairs| x shingles), not
+    O(n^2)). Shingles are computed just for docs that appear in a pair
+    (semi-join pruning)."""
+    involved = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingle_df(df.join(involved, id_col, "left_semi"), tokens_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph ->
+    ``(node, component)`` where component = min node id in the cluster.
+
+    Each round joins labels across edges and keeps the per-node min; stops
+    when no label changes (checked every round with one tiny aggregate).
+    Rounds needed = graph diameter — near-dup clusters are cliquish (dozens
+    of hops at worst), so this stays a handful of shuffles even at 100 TB.
+    For adversarial long-chain graphs swap in large-star/small-star
+    (Kiveris et al., 2014); the operator contract is the same."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # localCheckpoint (not persist): each round's frame references the
+    # previous one twice, so without lineage truncation the logical plan
+    # doubles per iteration — planning itself becomes the bottleneck long
+    # before the data does (on a cluster use reliable checkpoint dirs)
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("component").alias("nc")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nc").alias("nc"))
+        )
+        new = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nc", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nc", F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = new.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str = "tokens",
+    threshold: float = 0.5,
+    with_metrics: bool = False,
+):
+    """The composed training-data dedup operator: exact dedup -> MinHash-LSH
+    candidates -> exact n-gram Jaccard verify -> connected components ->
+    keep the min-id representative per near-dup cluster.
+
+    Semantics (each stage deterministic, DuckDB-twin-checked in
+    entry_queries._dedup_pipeline_sql):
+
+    1. exact: keep the min-id doc of each identical-``text`` group;
+    2. LSH: banded MinHash candidates among the exact survivors
+       (``minhash_candidate_pairs`` — no all-pairs join);
+    3. verify: exact n-gram Jaccard >= ``threshold`` on candidates only
+       (``jaccard_for_pairs``);
+    4. cluster: connected components over verified pairs (a~b, b~c => one
+       cluster even if a,c were never a candidate pair), keep each
+       cluster's min id; docs in no verified pair survive unchanged.
+
+    Returns the surviving rows of ``df`` (same columns); with
+    ``with_metrics=True`` returns ``(survivors, metrics_dict)`` where the
+    dict counts each stage (forces extra jobs — debugging/reporting only).
+
+    The reference's own candidate-then-verify shape is its phrase search
+    (InvertedIndex.java:1278-1330): cheap candidate generation, exact
+    verification, never a corpus cross product.
+    """
+    metrics: dict[str, int] = {}
+    if with_metrics:
+        metrics["n_input"] = df.count()
+    exact_keep = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
+        .groupBy("_th")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_th")
+    )
+    survivors = df.join(exact_keep, id_col, "left_semi").persist()
+    if with_metrics:
+        metrics["n_after_exact"] = survivors.count()
+    # cand feeds two joins inside jaccard_for_pairs; verified is re-read by
+    # every CC round — persist both, materialize verified, drop cand
+    cand = minhash_candidate_pairs(survivors, tokens_col, id_col).persist()
+    if with_metrics:
+        metrics["n_candidate_pairs"] = cand.count()
+    verified = jaccard_for_pairs(
+        survivors, cand, tokens_col, id_col, threshold=threshold
+    ).persist()
+    metrics["n_verified_pairs"] = verified.count()
+    cand.unpersist()
+    comp = connected_components(verified)  # materialized+persisted inside
+    verified.unpersist()
+    survivors.unpersist()
+    drop = comp.where(F.col("component") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    out = df.join(exact_keep, id_col, "left_semi").join(
+        drop, id_col, "left_anti"
+    )
+    if with_metrics:
+        metrics["n_survivors"] = out.count()
+        return out, metrics
+    return out
+
+
 def minhash_signatures(df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, sig: array<long>[N_HASHES]) MinHash signatures.
 
