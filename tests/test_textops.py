@@ -170,6 +170,60 @@ def test_dedup_pipeline_survivors(spark, dup_corpus):
     assert distinct_ids <= survivors
 
 
+def test_wav_decode_roundtrip():
+    import numpy as np
+
+    from searchengine_spark.textops.multimodal import decode_wav, synth_wav
+
+    payload = synth_wav(440.0, 0.1, rate=8000, amplitude=0.5)
+    x, rate = decode_wav(payload)
+    assert rate == 8000 and len(x) == 800
+    assert np.max(np.abs(x)) == pytest.approx(0.5, rel=0.01)
+
+
+def test_audio_features_values():
+    import math
+
+    from searchengine_spark.textops.multimodal import audio_features, synth_wav
+
+    dur, rms, zcr, peak = audio_features(synth_wav(440.0, 0.1, rate=8000))
+    assert dur == pytest.approx(0.1)  # exact: 800 samples / 8000 Hz
+    assert rms == pytest.approx(0.5 / math.sqrt(2), rel=0.02)  # sine RMS
+    assert zcr == pytest.approx(2 * 440 / 8000, rel=0.05)  # 2f/rate
+    assert peak == pytest.approx(0.5, rel=0.01)
+
+
+def test_extract_features_decodes_audio_for_real(spark):
+    from searchengine_spark.textops.multimodal import (
+        audio_features,
+        extract_features,
+        sample_media_df,
+        synth_wav,
+    )
+
+    media = sample_media_df(spark, n=12)
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        r = rows[f"m-{i:05d}"]
+        if r["kind"] == "audio":
+            assert r["decoded"] is True and len(r["feature"]) == 4
+            want = audio_features(synth_wav(220.0 + 10 * i, 0.05 + 0.01 * (i % 5)))
+            assert r["feature"] == pytest.approx(want, rel=1e-6)
+        else:
+            assert r["decoded"] is False and len(r["feature"]) == 16
+
+
+def test_extract_features_strict_raises_on_stubbed_modalities(spark):
+    from searchengine_spark.textops.multimodal import (
+        extract_features,
+        sample_media_df,
+    )
+
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|ffmpeg"):
+        extract_features(sample_media_df(spark, n=3), strict=True).collect()
+
+
 def test_simhash_chunk_bounds_cover_64_bits():
     for h in [0, 3, 7, 15, 31]:
         bounds = q.simhash_chunk_bounds(h)

@@ -115,6 +115,47 @@ def test_pagerank_matches_numpy_oracle(spark):
         assert got[node] == pytest.approx(expect[node], rel=1e-9)
 
 
+def test_pagerank_early_stop_matches_reference_cadence(spark):
+    """The reference checks L1 convergence EVERY iteration
+    (IcsSearchEngine.java:118-134). Fixture: a graph whose numpy twin
+    converges strictly before the iteration cap and at an iteration that
+    the old every-5 cadence would have overshot — scores must still match
+    to 1e-9, proving the Spark loop stops at the same iteration."""
+    import pandas as pd
+
+    # star + chain: converges fast (few iterations, diameter-bound mixing)
+    edges = [(0, i) for i in range(1, 8)] + [(i, i + 1) for i in range(1, 7)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    n = 8
+    # find numpy's stopping iteration
+    stop_at = None
+    x = np.ones(n)
+    outdeg = np.zeros(n)
+    for s in pdf["src"]:
+        outdeg[s] += 1
+    src, dst = pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+    w = 1.0 / outdeg[src]
+    for it in range(100):
+        nxt = np.full(n, BETA)
+        np.add.at(nxt, dst, ALPHA * x[src] * w)
+        done = np.abs(nxt - x).sum() < TOL
+        x = nxt
+        if done:
+            stop_at = it + 1
+            break
+    assert stop_at is not None and stop_at < 100
+    assert stop_at % 5 != 0, "fixture converges on the old cadence boundary"
+    expect = numpy_pagerank(pdf, n, num_iterations=100)
+    got = {
+        r["node"]: r["rank"]
+        for r in compute_pagerank(
+            spark.createDataFrame(pdf), num_iterations=100
+        ).collect()
+    }
+    for node in got:
+        assert got[node] == pytest.approx(expect[node], rel=1e-9)
+
+
 def test_pagerank_scores_sorted(spark):
     ranks = compute_pagerank(graph_edges_df(spark, n_nodes=60), num_iterations=15)
     rows = pagerank_scores(ranks).collect()
