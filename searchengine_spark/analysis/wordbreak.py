@@ -119,9 +119,15 @@ def wordbreak_cjk_tokenize(
             if best[j] == NEG:
                 continue
             w = s[j:i]
-            if len(w) > 1 and w not in dag_dict:
-                continue  # single chars always allowed (DAG fallback)
+            if len(w) > 1 and not dag_dict.get(w):
+                # reference parity: only freq>0 dictionary words are DAG
+                # edges (getDAG, WordBreakCJKTokenizer.java:86-91) — a
+                # zero-freq prefix entry is a trie marker, not a segment
+                continue
             f = dag_dict.get(w, 0)
+            # deviation (documented): unknown/zero-freq SINGLE chars stay
+            # segmentable at a 1/total floor — the reference emits garbage
+            # on out-of-dict chars; we degrade gracefully instead
             lp = math.log(f / total) if f else floor
             cand = best[j] + lp
             if cand > best[i]:
