@@ -1000,9 +1000,13 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {_SIMHASH_RADIUS}
 
 
 def ann_lsh_top10(spark, sf_dir):
+    """Approximate LSH top-10. n_planes sizes the bucket count to the
+    corpus (2^4 buckets for the ~10^2..10^4-vector test tables — rule of
+    thumb: ~n/(8k) buckets); recall floor pinned in tests/test_textops.py,
+    rows-only for the driver (intentionally approximate)."""
     qv = _query_vec(spark, sf_dir)
     base = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
-    res = sim.lsh_topk(base, qv, 10)
+    res = sim.lsh_topk(base, qv, 10, n_planes=4, multiprobe_hamming=2)
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
 
 
@@ -1022,7 +1026,40 @@ def ann_ivf_top10(spark, sf_dir):
 
 
 def doc_fingerprints_q(spark, sf_dir):
+    """Rolling-hash document fingerprint (min of 8-byte-window polynomial
+    hashes). Oracled: the polynomial arithmetic is SQL-expressible in
+    DuckDB via hex(encode(text)) byte extraction + HUGEINT modular math."""
     return q.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _fingerprint_sql() -> str:
+    """DuckDB twin of quality._fingerprint_batch: utf-8 bytes, K=8 windows,
+    h = sum B^(K-1-k)*byte[i+k] mod P, fingerprint = min(h) (P < 2^62 so
+    the Python `% (1 << 62)` is the identity); docs with <8 chars or <8
+    bytes (or null text) fingerprint 0."""
+    B, P, K = 257, (1 << 61) - 1, 8
+    powers = [pow(B, K - 1 - k, P) for k in range(K)]
+    terms = " + ".join(
+        f"{p}::HUGEINT * ('0x' || substr(h, 2 * i + {2 * k + 1}, 2))::INT::HUGEINT"
+        for k, p in enumerate(powers)
+    )
+    return f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {K}
+        AND octet_length(encode(text)) >= {K}
+),
+win AS (
+  SELECT doc_id, h, unnest(range(0, n - {K - 1})) AS i FROM hx
+),
+hashes AS (
+  SELECT doc_id, (({terms}) % {P}::HUGEINT)::BIGINT AS hv FROM win
+),
+fp AS (SELECT doc_id, min(hv) AS fingerprint FROM hashes GROUP BY doc_id)
+SELECT d.doc_id, coalesce(f.fingerprint, 0)::BIGINT AS fingerprint
+FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
 
 
 def media_features_q(spark, sf_dir):
@@ -1033,8 +1070,11 @@ def media_features_q(spark, sf_dir):
 
 def wordbreak_en_q(spark, sf_dir):
     """EN word-break segmentation (A7) over deterministic space-free text
-    built from the fixture vocabulary; DP is not SQL-expressible ->
-    rows-only check."""
+    built from the fixture vocabulary. Oracled: the expected segmentation
+    of word_a+word_b is derivable BY CONSTRUCTION (the glued pair is the
+    only dictionary segmentation), so the DuckDB twin is an independent
+    VALUES table — it never runs the DP, which is what makes the check
+    meaningful."""
     from .analysis.wordbreak import make_wordbreak_udf
     from .fixtures import CONTENT_WORDS
 
@@ -1052,22 +1092,43 @@ def wordbreak_en_q(spark, sf_dir):
     )
 
 
+def _wordbreak_en_sql() -> str:
+    from .analysis.stopwords import STOP_WORDS
+    from .fixtures import CONTENT_WORDS
+
+    vals = []
+    for i in range(100):
+        a, b = CONTENT_WORDS[i], CONTENT_WORDS[(i * 7 + 3) % 120]
+        toks = [w for w in (a, b) if w not in STOP_WORDS]
+        seg = " ".join(toks)
+        vals.append(f"({i}, '{seg}')")
+    return (
+        "SELECT row_id, segmented FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(row_id, segmented) ORDER BY row_id"
+    )
+
+
+_CJK_FREQ = {
+    "你好": 50, "世界": 40, "数据": 60, "处理": 30, "引擎": 20,
+    "索引": 25, "查询": 35, "分词": 15, "你": 5, "好": 5,
+}
+
+
 def wordbreak_cjk_q(spark, sf_dir):
     """CJK (jieba-style) word-break segmentation (A8) over deterministic
-    glued CJK strings; rows-only check."""
+    glued CJK strings. Oracled via a construction-derived VALUES table (the
+    glued word pair vs the pair's own concatenation if it is a dictionary
+    word — compared by probability arithmetic, never by running the DP)."""
     from .analysis.wordbreak import make_wordbreak_udf
 
-    freq = {
-        "你好": 50, "世界": 40, "数据": 60, "处理": 30, "引擎": 20,
-        "索引": 25, "查询": 35, "分词": 15, "你": 5, "好": 5,
-    }
-    words = list(freq)
+    words = list(_CJK_FREQ)
     rows = [
         (i, words[i % len(words)] + words[(i * 3 + 1) % len(words)])
         for i in range(50)
     ]
     df = spark.createDataFrame(rows, "row_id int, glued string")
-    udf = make_wordbreak_udf(freq, cjk=True)
+    udf = make_wordbreak_udf(_CJK_FREQ, cjk=True)
     return (
         df.select("row_id", udf("glued").alias("toks"))
         .select("row_id", F.concat_ws(" ", "toks").alias("segmented"))
@@ -1075,16 +1136,87 @@ def wordbreak_cjk_q(spark, sf_dir):
     )
 
 
+def _wordbreak_cjk_sql() -> str:
+    from .analysis.stopwords import STOP_WORDS
+
+    words = list(_CJK_FREQ)
+    total = sum(_CJK_FREQ.values())
+    vals = []
+    for i in range(50):
+        a, b = words[i % len(words)], words[(i * 3 + 1) % len(words)]
+        glued = a + b
+        # max-product rule, evaluated arithmetically from the frequencies:
+        # the one-word reading wins iff p(glued) > p(a)*p(b)
+        if glued in _CJK_FREQ and _CJK_FREQ[glued] / total > (
+            _CJK_FREQ[a] / total
+        ) * (_CJK_FREQ[b] / total):
+            toks = [glued]
+        else:
+            toks = [a, b]
+        seg = " ".join(w for w in toks if w not in STOP_WORDS)
+        vals.append(f"({i}, '{seg}')")
+    return (
+        "SELECT row_id, segmented FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(row_id, segmented) ORDER BY row_id"
+    )
+
+
 def pagerank_top20_q(spark, sf_dir):
-    """R1/R2: PageRank over the deterministic synthetic link graph;
-    iterative -> rows-only check."""
+    """R1/R2: PageRank over the deterministic synthetic link graph, pinned
+    at exactly 40 power iterations (tol=0 disables early stop so the DuckDB
+    twin — 40 unrolled iteration CTEs over the same inlined edge list — is
+    iteration-for-iteration identical; the early-stop path is pytest-covered
+    against the numpy oracle instead)."""
     from .fixtures import graph_edges_df
     from .graph import compute_pagerank
-    from .graph.pagerank import pagerank_scores
 
-    ranks = compute_pagerank(graph_edges_df(spark, n_nodes=200), num_iterations=40)
-    return pagerank_scores(ranks).limit(20).select(
-        "node", F.round("rank", 6).alias("rank_r")
+    ranks = compute_pagerank(
+        graph_edges_df(spark, n_nodes=200), num_iterations=40, tol=0.0
+    )
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank_r"))
+        .orderBy(F.desc("rank_r"), F.asc("node"))
+        .limit(20)
+    )
+
+
+_PAGERANK_ITERS = 40
+
+
+def _pagerank_sql() -> str:
+    """DuckDB twin of pagerank_top20_q: the fixture edge list inlined as
+    VALUES, 40 unrolled iteration CTEs of x <- alpha*A*x + beta (recursive
+    CTEs dedupe rows, so unrolling is the faithful encoding)."""
+    from .fixtures import graph_edges_pandas
+    from .graph.pagerank import ALPHA, BETA
+
+    pdf = graph_edges_pandas(n_nodes=200)
+    vals = ", ".join(
+        f"({int(s)},{int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and a
+    # 40-deep chain whose every level re-expands nodes/w explodes the
+    # planner exponentially — materialization makes it 40 small table scans
+    ctes = [
+        f"edges(src, dst) AS MATERIALIZED (VALUES {vals})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "outdeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS od "
+        "FROM edges GROUP BY src)",
+        "w AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / o.od AS wt "
+        "FROM edges e JOIN outdeg o USING (src))",
+        "pr0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS rank FROM nodes)",
+    ]
+    for k in range(1, _PAGERANK_ITERS + 1):
+        ctes.append(
+            f"pr{k} AS MATERIALIZED (SELECT n.node, {ALPHA} * coalesce(s.inflow, 0.0) + {BETA} AS rank "
+            f"FROM nodes n LEFT JOIN (SELECT w.dst AS node, sum(p.rank * w.wt) AS inflow "
+            f"FROM pr{k - 1} p JOIN w ON w.src = p.node GROUP BY w.dst) s USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, round(rank, 6) AS rank_r "
+        f"FROM pr{_PAGERANK_ITERS} ORDER BY round(rank, 6) DESC, node LIMIT 20"
     )
 
 
@@ -1121,16 +1253,19 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "simhash_pairs": simhash_pairs_q,
     # rows-only (no SQL oracle possible):
-    "tr_bm25_top10": tr_bm25_top10,
-    "tr_phrase_planted": tr_phrase_planted,
-    "ann_lsh_top10": ann_lsh_top10,
     "ann_ivf_top10": ann_ivf_top10,
-    "emb_near_dup_lsh": emb_near_dup_lsh,
     "doc_fingerprints": doc_fingerprints_q,
-    "media_features": media_features_q,
     "wordbreak_en": wordbreak_en_q,
     "wordbreak_cjk": wordbreak_cjk_q,
     "pagerank_top20": pagerank_top20_q,
+    # rows-only (no SQL oracle possible: Porter stemming, binary decode,
+    # and the two intentionally-approximate LSH variants whose recall<1 is
+    # pinned by pytest instead — tests/test_textops.py):
+    "tr_bm25_top10": tr_bm25_top10,
+    "tr_phrase_planted": tr_phrase_planted,
+    "ann_lsh_top10": ann_lsh_top10,
+    "emb_near_dup_lsh": emb_near_dup_lsh,
+    "media_features": media_features_q,
 }
 
 ORACLES = {
@@ -1161,4 +1296,12 @@ ORACLES = {
     "events_windowed": EVENTS_WINDOWED_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "simhash_pairs": _simhash_sql(),
+    # ann_ivf: deterministic centroids + n_probe=3 provably cover the true
+    # top-10 at the graded scales, so the exact brute-force SQL is the
+    # oracle — any recall regression becomes a driver-visible hash mismatch
+    "ann_ivf_top10": ANN_COSINE_SQL,
+    "doc_fingerprints": _fingerprint_sql(),
+    "wordbreak_en": _wordbreak_en_sql(),
+    "wordbreak_cjk": _wordbreak_cjk_sql(),
+    "pagerank_top20": _pagerank_sql(),
 }

@@ -732,6 +732,144 @@ def load_artifact(spark: SparkSession, path: str) -> ArtifactIndex:
     return idx
 
 
+def subcompact(
+    spark: SparkSession,
+    path: str,
+    segment_ids,
+    pack_partitions: int | None = None,
+) -> ArtifactIndex:
+    """Merge a CHOSEN SUBSET of committed segments into one new segment of
+    the same artifact, without touching the others — the reference's
+    incremental >=8-segment merge (``InvertedIndexManager.java:384-452``,
+    LSM spirit), as one Spark job. At scale this is what lets N streaming
+    micro-segments fold together without rewriting a 10-TB base segment
+    (``compact`` rewrites everything).
+
+    Semantics:
+    - the merged segment gets a fresh ordinal range (``new_seg << 40``) —
+      global ordinals mean nothing else re-bases;
+    - tombstoned docs belonging to the merged segments are physically
+      purged (reference purges at merge, ``InvertedIndex.java:640-697``);
+      tombstones pointing into untouched segments are carried forward;
+    - the snapshot commits the new segment list atomically; superseded
+      segment files stay on disk for old readers (Iceberg-style: physical
+      file GC is a separate concern).
+    """
+    src = load_artifact(spark, path)
+    segs = sorted(set(int(s) for s in segment_ids))
+    all_ids = {s["segment_id"] for s in src.snapshot["segments"]}
+    if len(segs) < 2:
+        raise ValueError("subcompact needs at least two segments to merge")
+    if not set(segs) <= all_ids:
+        raise ValueError(f"unknown segment ids {set(segs) - all_ids}")
+    cfg = dict(src.snapshot["config"])
+    new_seg = max(all_ids) + 1
+
+    merged_docs = src.filter_deleted(
+        src.docs_tbl.where(F.col("seg").isin(segs)).select("doc_id", "dl")
+    )
+    ords = assign_doc_ordinals(merged_docs, base=segment_base(new_seg))
+    docs_dir = os.path.join(path, "docs", f"seg={new_seg}")
+    ords.write.mode("overwrite").parquet(docs_dir)
+
+    cols = ["term", "doc_ord", "tf", "dl"] + (
+        ["positions"] if cfg["positional"] else []
+    )
+    decoded = src._decode(src.blocks.where(F.col("seg").isin(segs)))
+    p = (
+        src.filter_deleted(decoded)
+        .join(ords.select("doc_id", "doc_ord"), "doc_id")
+        .select(*cols)
+        .persist()
+    )
+    parts = pack_partitions or 2 * spark.sparkContext.defaultParallelism
+    ranged = p.repartitionByRange(
+        parts, F.col("term"), F.col("doc_ord")
+    ).sortWithinPartitions("term", "doc_ord")
+    blocks = ranged.mapInPandas(
+        _make_packer(cfg["block_size"], cfg["positional"]), schema=PACKED_SCHEMA
+    )
+    blocks_dir = os.path.join(path, "blocks", f"seg={new_seg}")
+    nb = cfg.get("n_buckets", 0)
+    if nb:
+        blocks = blocks.withColumn("bucket", term_bucket_expr(F.col("term"), nb))
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_dir)
+    else:
+        blocks.write.mode("overwrite").parquet(blocks_dir)
+    stats = p.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    stats_dir = os.path.join(path, "stats", f"seg={new_seg}")
+    stats.write.mode("overwrite").parquet(stats_dir)
+    p.unpersist()
+
+    n_docs = ords.count()
+    ords.unpersist()
+    schema = f"{PACKED_SCHEMA}, bucket int" if nb else PACKED_SCHEMA
+    written = spark.read.schema(schema).parquet(blocks_dir)
+    agg = written.agg(
+        F.count(F.lit(1)).alias("blocks"),
+        F.sum("n").alias("postings"),
+        F.sum(
+            F.length("docs") + F.length("tfs") + F.length("dls") + F.length("pos")
+        ).alias("bytes"),
+    ).collect()[0]
+    seg_stats = spark.read.parquet(stats_dir).agg(
+        F.sum("cf").alias("t"), F.count(F.lit(1)).alias("nt")
+    ).collect()[0]
+
+    snap = dict(src.snapshot)
+    kept = [s for s in snap["segments"] if s["segment_id"] not in set(segs)]
+    kept.append(
+        {
+            "segment_id": new_seg,
+            "n_docs": n_docs,
+            "n_terms": int(seg_stats["nt"] or 0),
+            "total_tokens": int(seg_stats["t"] or 0),
+            "n_postings": int(agg["postings"] or 0),
+            "n_blocks": int(agg["blocks"] or 0),
+            "bytes": int(agg["bytes"] or 0),
+            "partitions": [],
+            "lineage": {
+                "source": f"subcompaction of segments {segs} "
+                f"at snapshot {src.snapshot['snapshot_id']}",
+                "filter": f"seg IN {segs}",
+            },
+        }
+    )
+    cfg["n_segments"] = len(kept)
+    snap_id = snap["snapshot_id"] + 1
+    ts_rels = []
+    if src.tombstones is not None:
+        t = src.tombstones
+        if "doc_ord" not in t.columns:
+            t = t.join(src.docs_tbl.select("doc_id", "doc_ord"), "doc_id")
+        from .ordinals import SEG_SHIFT
+
+        remaining = t.where(
+            ~F.shiftright(F.col("doc_ord"), SEG_SHIFT).isin(segs)
+        ).persist()
+        if remaining.count():
+            rel = f"ts-{snap_id:06d}"
+            remaining.write.mode("overwrite").parquet(
+                os.path.join(path, "tombstones", rel)
+            )
+            ts_rels = [rel]
+        remaining.unpersist()
+    snap.update(
+        {
+            "snapshot_id": snap_id,
+            "parent_id": src.snapshot["snapshot_id"],
+            "created_unix": time.time(),
+            "config": cfg,
+            "segments": sorted(kept, key=lambda s: s["segment_id"]),
+            "tombstones": ts_rels,
+        }
+    )
+    _commit_snapshot(path, snap)
+    return load_artifact(spark, path)
+
+
 def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
     """Rewrite all committed segments into a single segment at ``out_path``
     (the reference's mergeAllSegments as one Spark job). The decoded postings

@@ -87,15 +87,20 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: exact rerank within the query's LSH bucket plus
     all buckets within the given hamming distance (multi-probe)."""
+    from itertools import combinations
+
     dim = len(query)
     planes = _hyperplanes(dim, n_planes, seed)
     qbits = (planes @ np.asarray(query, dtype=np.float64) >= 0).astype(int)
     qkey = "".join(map(str, qbits))
-    probe = {qkey}
-    if multiprobe_hamming >= 1:
-        for i in range(n_planes):
+    # probe every bucket within the full hamming ball (a previous version
+    # only flipped single bits whatever the radius — silent under-probing)
+    probe = set()
+    for r in range(0, min(multiprobe_hamming, n_planes) + 1):
+        for idxs in combinations(range(n_planes), r):
             flipped = list(qkey)
-            flipped[i] = "1" if qkey[i] == "0" else "0"
+            for i in idxs:
+                flipped[i] = "1" if qkey[i] == "0" else "0"
             probe.add("".join(flipped))
     bucketed = df.withColumn("_bucket", bucket_col(F.col(vec_col), planes))
     cands = bucketed.where(F.col("_bucket").isin(sorted(probe)))

@@ -252,6 +252,68 @@ def test_compact_preserves_results(spark, lidx, aidx, tmp_path):
     assert l == c
 
 
+def test_subcompact_merges_subset_preserves_results(spark, corpus, tmp_path):
+    """Streaming pattern: base segment + micro-segments; sub-compact only
+    the micro-segments (the base is untouched). A pure merge must be
+    bit-identical (scores, stats, doc counts); a merge after deletes purges
+    merged-segment tombstones and keeps deleted docs invisible."""
+    from searchengine_spark.index.artifact import subcompact
+
+    path = str(tmp_path / "sub_idx")
+    aidx = build_artifact(spark, corpus, path, n_segments=3)
+    q = "spark shuffle error"
+    before = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in aidx.search_bm25(q, 10).collect()
+    ]
+    before_and = sorted(
+        r["doc_id"] for r in aidx.search_and("error function").collect()
+    )
+    stats_before = {
+        r["term"]: (r["df"], r["cf"]) for r in aidx.term_stats.collect()
+    }
+
+    merged = subcompact(spark, path, [1, 2])
+    seg_ids = {s["segment_id"] for s in merged.snapshot["segments"]}
+    assert seg_ids == {0, 3}, seg_ids
+    assert merged.n_docs == aidx.n_docs
+    after = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in merged.search_bm25(q, 10).collect()
+    ]
+    assert after == before  # scores bit-identical: pure merge
+    assert (
+        sorted(r["doc_id"] for r in merged.search_and("error function").collect())
+        == before_and
+    )
+    stats_after = {
+        r["term"]: (r["df"], r["cf"]) for r in merged.term_stats.collect()
+    }
+    assert stats_after == stats_before
+
+    # now with deletes: merge the remaining two segments, purging
+    n_deleted = merged.delete_documents("checkpoint")
+    assert n_deleted > 0
+    merged2 = subcompact(spark, path, [0, 3])
+    assert {s["segment_id"] for s in merged2.snapshot["segments"]} == {4}
+    assert merged2.n_docs == aidx.n_docs - n_deleted  # physically purged
+    assert merged2.search_keyword("checkpoint").count() == 0
+    assert merged2.snapshot.get("tombstones") == []  # all purged, none left
+
+
+def test_subcompact_rejects_bad_input(spark, corpus, tmp_path):
+    from searchengine_spark.index.artifact import subcompact
+
+    path = str(tmp_path / "sub_bad")
+    build_artifact(spark, corpus, path, n_segments=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least two"):
+        subcompact(spark, path, [0])
+    with _pytest.raises(ValueError, match="unknown segment"):
+        subcompact(spark, path, [0, 9])
+
+
 def test_segment_dump_exact_contents(spark, tmp_path):
     """Reference Team18FlushTest style: tiny hand-written corpus -> build ->
     dump segment -> compare against hand-computed postings."""

@@ -224,6 +224,63 @@ def test_extract_features_strict_raises_on_stubbed_modalities(spark):
         extract_features(sample_media_df(spark, n=3), strict=True).collect()
 
 
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_ann_lsh_recall_vs_exact(spark, embeddings):
+    """LSH top-k is intentionally approximate (recall < 1 keeps it off the
+    SQL-oracle gate); pin its quality floor so regressions are visible."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.textops.similarity import brute_force_topk, lsh_topk
+
+    qv = [float(x) for x in embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    base = embeddings.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in brute_force_topk(base, qv, 10).collect()]
+    lsh = [
+        r["vec_id"]
+        for r in lsh_topk(
+            base, qv, 10, n_planes=4, multiprobe_hamming=2
+        ).collect()
+    ]
+    recall = len(set(exact) & set(lsh)) / 10
+    assert recall >= 0.5, f"LSH recall@10 collapsed: {recall}"
+    # precision property: every LSH result's score is a true cosine (subset
+    # of the exact ranking by score)
+    exact_full = {
+        r["vec_id"]: round(r["cos_sim"], 9)
+        for r in brute_force_topk(base, qv, 10_000).collect()
+    }
+    for r in lsh_topk(base, qv, 10, n_planes=4, multiprobe_hamming=2).collect():
+        assert round(r["cos_sim"], 9) == exact_full[r["vec_id"]]
+
+
+def test_emb_near_dup_lsh_subset_of_exact(spark, embeddings):
+    """Bucket-pruned near-dup pairs must be a strict subset of the exact
+    pairs with identical similarity values (precision 1.0; recall traded
+    for the no-all-pairs scale plan, documented in similarity.py)."""
+    from searchengine_spark.textops.similarity import embedding_near_dup_pairs
+
+    thr = 0.35
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["cos_sim"], 9)
+        for r in embedding_near_dup_pairs(
+            embeddings, threshold=thr, exact=True
+        ).collect()
+    }
+    pruned = {
+        (r["doc_a"], r["doc_b"]): round(r["cos_sim"], 9)
+        for r in embedding_near_dup_pairs(
+            embeddings, threshold=thr, exact=False
+        ).collect()
+    }
+    assert pruned, "bucket pruning returned nothing — vacuous"
+    for pair, s in pruned.items():
+        assert exact.get(pair) == s
+
+
 def test_simhash_chunk_bounds_cover_64_bits():
     for h in [0, 3, 7, 15, 31]:
         bounds = q.simhash_chunk_bounds(h)
