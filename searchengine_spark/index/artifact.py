@@ -870,6 +870,30 @@ def subcompact(
     return load_artifact(spark, path)
 
 
+def maybe_merge(
+    spark: SparkSession,
+    path: str,
+    threshold: int = 8,
+    keep_largest: int = 1,
+) -> "ArtifactIndex | None":
+    """Threshold-triggered merge (reference: flush auto-merges when the
+    segment count reaches DEFAULT_MERGE_THRESHOLD=8,
+    ``InvertedIndexManager.java:99,345-352``). The reference merges ALL
+    segments; at scale that rewrites the multi-TB base on every trigger, so
+    this folds only the micro-segments — every segment except the
+    ``keep_largest`` biggest (by bytes) — via ``subcompact`` (LSM tiering).
+    ``keep_largest=0`` reproduces the reference's merge-all. Returns the
+    reloaded index when a merge ran, else None."""
+    snap = latest_snapshot(path)
+    if snap is None or len(snap["segments"]) < max(threshold, 2):
+        return None
+    by_size = sorted(snap["segments"], key=lambda s: (-s["bytes"], s["segment_id"]))
+    victims = [s["segment_id"] for s in by_size[keep_largest:]]
+    if len(victims) < 2:
+        return None
+    return subcompact(spark, path, victims)
+
+
 def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
     """Rewrite all committed segments into a single segment at ``out_path``
     (the reference's mergeAllSegments as one Spark job). The decoded postings

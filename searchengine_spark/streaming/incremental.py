@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..index.artifact import append_segment
+from ..index.artifact import append_segment, maybe_merge
 
 
 def start_incremental_index(
@@ -31,6 +31,8 @@ def start_incremental_index(
     *,
     trigger: dict | None = None,
     source_desc: str = "stream",
+    merge_threshold: int | None = None,
+    merge_keep_largest: int = 1,
 ):
     """Start a streaming query appending each micro-batch as a segment.
 
@@ -38,6 +40,13 @@ def start_incremental_index(
     ``doc_id_col``/``text_col`` columns. The artifact at ``path`` must
     already exist (``build_artifact`` an initial — possibly empty — corpus
     first); its config governs analyzer/compression settings.
+
+    ``merge_threshold`` enables the reference's flush-time auto-merge
+    (``InvertedIndexManager.java:345-352``): once the committed segment
+    count reaches the threshold, the micro-segments (all but the
+    ``merge_keep_largest`` biggest) fold into one via ``subcompact`` —
+    segment count stays bounded however long the stream runs, without ever
+    rewriting the base segment.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -50,6 +59,11 @@ def start_incremental_index(
             source_desc=f"{source_desc} batch {batch_id}",
             stream_batch_id=batch_id,
         )
+        if merge_threshold is not None:
+            maybe_merge(
+                spark, path, threshold=merge_threshold,
+                keep_largest=merge_keep_largest,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_process)

@@ -204,3 +204,68 @@ def ivf_topk(
     assigned = df.withColumn("_cell", _cell_expr(F.col(vec_col)))
     cands = assigned.where(F.col("_cell").isin(probe_cells))
     return brute_force_topk(cands, query, k, id_col, vec_col)
+
+
+# --- persisted ANN index (the 100 TB form) --------------------------------
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Persist the corpus PARTITIONED BY LSH bucket: one parquet directory
+    per bucket key plus a JSON meta sidecar (planes seed/dim). This is the
+    form that scales — a query probes a handful of buckets, and the probe
+    keys become a partition filter, so the scan lists/reads only those
+    directories instead of the whole corpus (same directory-pruning trick
+    as the inverted index's term-hash buckets, artifact.py)."""
+    import json
+    import os
+
+    dim = df.select(F.size(vec_col)).first()[0]
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = df.withColumn("bucket", bucket_col(F.col(vec_col), planes))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    meta = {"n_planes": n_planes, "seed": seed, "dim": int(dim)}
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted LSH index: probe keys are computed driver-side
+    from the stored plane seed, then pushed as a ``bucket IN (...)``
+    partition filter — the exact rerank touches only the probed bucket
+    directories."""
+    import json
+    import os
+    from itertools import combinations
+
+    with open(os.path.join(path, "_lsh_meta.json")) as fh:
+        meta = json.load(fh)
+    planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    qbits = (planes @ np.asarray(query, dtype=np.float64) >= 0).astype(int)
+    qkey = "".join(map(str, qbits))
+    probe = set()
+    for r in range(0, min(multiprobe_hamming, meta["n_planes"]) + 1):
+        for idxs in combinations(range(meta["n_planes"]), r):
+            flipped = list(qkey)
+            for i in idxs:
+                flipped[i] = "1" if qkey[i] == "0" else "0"
+            probe.add("".join(flipped))
+    cands = spark.read.parquet(path).where(
+        F.col("bucket").isin(sorted(probe))
+    )
+    return brute_force_topk(cands, query, k, id_col, vec_col)

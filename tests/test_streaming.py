@@ -49,6 +49,38 @@ def test_append_segment_grows_artifact(spark, corpus, tmp_path):
     assert l == a
 
 
+def test_auto_merge_bounds_segment_count(spark, corpus, tmp_path):
+    """Reference flush-time auto-merge (threshold 8 there, 3 here): appends
+    past the threshold trigger a micro-segment fold, so segment count stays
+    bounded while results remain identical to the one-shot build."""
+    from searchengine_spark.index.artifact import maybe_merge
+
+    path = str(tmp_path / "automerge_idx")
+    convs = sorted(r["conv_id"] for r in corpus.select("conv_id").distinct().collect())
+    cuts = [convs[i] for i in range(0, len(convs), max(1, len(convs) // 5))]
+    parts = []
+    for i, lo in enumerate(cuts):
+        hi = cuts[i + 1] if i + 1 < len(cuts) else None
+        cond = (corpus["conv_id"] >= lo) & (
+            (corpus["conv_id"] < hi) if hi else (corpus["conv_id"] >= lo)
+        )
+        parts.append(corpus.where(cond).select("doc_id", "text"))
+    build_artifact(spark, parts[0], path)
+    max_seen = 1
+    for i, part in enumerate(parts[1:]):
+        append_segment(spark, part, path, stream_batch_id=i)
+        maybe_merge(spark, path, threshold=3, keep_largest=1)
+        max_seen = max(max_seen, len(latest_snapshot(path)["segments"]))
+    assert max_seen <= 3  # bounded: merge fires as soon as threshold hits
+    aidx = load_artifact(spark, path)
+    lidx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    assert aidx.n_docs == lidx.n_docs
+    q = "spark shuffle error"
+    l = [(r["doc_id"], round(r["score"], 10)) for r in lidx.search_bm25(q, 10).collect()]
+    a = [(r["doc_id"], round(r["score"], 10)) for r in aidx.search_bm25(q, 10).collect()]
+    assert l == a
+
+
 def test_windowed_counts_with_watermark_drops_late_rows(spark, tmp_path):
     """Run the watermarked windowed agg as a real stream in append mode:
     a row 3 hours older than the max seen event time (watermark 2h) arrives

@@ -257,6 +257,41 @@ def test_ann_lsh_recall_vs_exact(spark, embeddings):
         assert round(r["cos_sim"], 9) == exact_full[r["vec_id"]]
 
 
+def test_persisted_lsh_index_matches_inline_and_prunes(spark, embeddings, tmp_path):
+    """build_lsh_index + lsh_topk_indexed: same results as the inline
+    bucketing, and the probe keys reach the scan as PARTITION filters
+    (directory pruning — the property that makes the persisted form the
+    100 TB path)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.textops.similarity import (
+        build_lsh_index,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    path = str(tmp_path / "annidx")
+    base = embeddings.where(F.col("vec_id") != 0)
+    build_lsh_index(base, path, n_planes=4)
+    qv = [
+        float(x)
+        for x in embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    got = lsh_topk_indexed(spark, path, qv, 10, multiprobe_hamming=2)
+    inline = lsh_topk(base, qv, 10, n_planes=4, multiprobe_hamming=2)
+    assert [
+        (r["vec_id"], round(r["cos_sim"], 9)) for r in got.collect()
+    ] == [(r["vec_id"], round(r["cos_sim"], 9)) for r in inline.collect()]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
 def test_emb_near_dup_lsh_subset_of_exact(spark, embeddings):
     """Bucket-pruned near-dup pairs must be a strict subset of the exact
     pairs with identical similarity values (precision 1.0; recall traded
