@@ -78,14 +78,30 @@ def _snap_dir(path: str) -> str:
     return os.path.join(path, "_snapshots")
 
 
-def latest_snapshot(path: str) -> dict | None:
+def list_snapshots(path: str) -> list[str]:
     d = _snap_dir(path)
     if not os.path.isdir(d):
-        return None
-    snaps = sorted(f for f in os.listdir(d) if f.startswith("snap-"))
+        return []
+    return sorted(f for f in os.listdir(d) if f.startswith("snap-") and f.endswith(".json"))
+
+
+def latest_snapshot(path: str) -> dict | None:
+    snaps = list_snapshots(path)
     if not snaps:
         return None
-    with open(os.path.join(d, snaps[-1])) as fh:
+    with open(os.path.join(_snap_dir(path), snaps[-1])) as fh:
+        return json.load(fh)
+
+
+def read_snapshot(path: str, snapshot_id: int) -> dict:
+    """Load a SPECIFIC committed snapshot (time travel — Iceberg's
+    ``VERSION AS OF``). Raises if it was never committed or was expired."""
+    f = os.path.join(_snap_dir(path), f"snap-{snapshot_id:06d}.json")
+    if not os.path.exists(f):
+        raise FileNotFoundError(
+            f"snapshot {snapshot_id} not found at {path} (expired or never committed)"
+        )
+    with open(f) as fh:
         return json.load(fh)
 
 
@@ -680,8 +696,18 @@ class ArtifactIndex(Index):
         return search_bm25_blockmax(self, query, k)
 
 
-def load_artifact(spark: SparkSession, path: str) -> ArtifactIndex:
-    snap = latest_snapshot(path)
+def load_artifact(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> ArtifactIndex:
+    """Open the artifact at its latest snapshot, or — time travel — at any
+    earlier committed snapshot still on disk (``snapshot_id=...``): readers
+    see exactly the segments and tombstones that snapshot listed, because
+    superseded segment files are only removed by ``expire_snapshots``."""
+    snap = (
+        read_snapshot(path, snapshot_id)
+        if snapshot_id is not None
+        else latest_snapshot(path)
+    )
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {path}")
     segs = sorted(s["segment_id"] for s in snap["segments"])
@@ -868,6 +894,54 @@ def subcompact(
     )
     _commit_snapshot(path, snap)
     return load_artifact(spark, path)
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Physical GC (Iceberg's ``expire_snapshots`` + orphan-file removal):
+    drop all but the newest ``keep_last`` snapshot files, then delete every
+    segment directory (blocks/docs/stats) and tombstone directory that no
+    surviving snapshot references. Until this runs, superseded files stay
+    on disk so time-travel readers keep working; after it, travel to an
+    expired snapshot raises. Pure driver-side filesystem work — no Spark
+    job. Returns {'snapshots_removed', 'segments_removed',
+    'tombstone_dirs_removed'}."""
+    import shutil
+
+    snaps = list_snapshots(path)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+    live_segs: set = set()
+    live_ts: set = set()
+    for name in kept:
+        with open(os.path.join(_snap_dir(path), name)) as fh:
+            snap = json.load(fh)
+        live_segs |= {s["segment_id"] for s in snap["segments"]}
+        live_ts |= set(snap.get("tombstones", []))
+    removed_segs = 0
+    for sub in ("blocks", "docs", "stats"):
+        base = os.path.join(path, sub)
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            if d.startswith("seg=") and int(d[4:]) not in live_segs:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                if sub == "blocks":
+                    removed_segs += 1
+    removed_ts = 0
+    ts_base = os.path.join(path, "tombstones")
+    if os.path.isdir(ts_base):
+        for d in os.listdir(ts_base):
+            if d not in live_ts:
+                shutil.rmtree(os.path.join(ts_base, d), ignore_errors=True)
+                removed_ts += 1
+    for name in expired:
+        os.remove(os.path.join(_snap_dir(path), name))
+    return {
+        "snapshots_removed": len(expired),
+        "segments_removed": removed_segs,
+        "tombstone_dirs_removed": removed_ts,
+    }
 
 
 def maybe_merge(

@@ -433,7 +433,7 @@ def build_index(
     """Build the logical index from a corpus DataFrame.
 
     ``cache=True`` persists the postings (they back every query); for the
-    persisted-artifact path use ``manager.IndexManager`` instead.
+    persisted-artifact path use ``artifact.build_artifact`` instead.
     """
     postings = build_postings(corpus, doc_id_col, text_col, analyzer, positional)
     if cache:

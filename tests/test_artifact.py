@@ -301,6 +301,47 @@ def test_subcompact_merges_subset_preserves_results(spark, corpus, tmp_path):
     assert merged2.snapshot.get("tombstones") == []  # all purged, none left
 
 
+def test_time_travel_and_expire_snapshots(spark, corpus, tmp_path):
+    """Iceberg-role lifecycle: superseded segments stay readable via
+    snapshot time travel until expire_snapshots GCs them, after which the
+    latest snapshot still works and expired travel raises."""
+    import os
+
+    from searchengine_spark.index.artifact import expire_snapshots, subcompact
+
+    path = str(tmp_path / "tt_idx")
+    build_artifact(spark, corpus, path, n_segments=3)
+    pre = load_artifact(spark, path)
+    pre_snap_id = pre.snapshot["snapshot_id"]
+    q = "spark shuffle error"
+    before = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in pre.search_bm25(q, 10).collect()
+    ]
+    subcompact(spark, path, [0, 1])
+    # time travel: the pre-merge snapshot still reads the old segments
+    old = load_artifact(spark, path, snapshot_id=pre_snap_id)
+    assert {s["segment_id"] for s in old.snapshot["segments"]} == {0, 1, 2}
+    travelled = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in old.search_bm25(q, 10).collect()
+    ]
+    assert travelled == before
+    # expire: only the latest snapshot survives; merged-away segs deleted
+    stats = expire_snapshots(path, keep_last=1)
+    assert stats["snapshots_removed"] >= 1
+    assert stats["segments_removed"] == 2  # segs 0 and 1 folded into 3
+    assert not os.path.isdir(os.path.join(path, "blocks", "seg=0"))
+    latest = load_artifact(spark, path)
+    after = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in latest.search_bm25(q, 10).collect()
+    ]
+    assert after == before  # pure merge: results bit-identical
+    with pytest.raises(FileNotFoundError, match="expired or never"):
+        load_artifact(spark, path, snapshot_id=pre_snap_id)
+
+
 def test_subcompact_rejects_bad_input(spark, corpus, tmp_path):
     from searchengine_spark.index.artifact import subcompact
 
