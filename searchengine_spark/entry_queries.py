@@ -589,6 +589,32 @@ FROM rawlists r JOIN lists l ON l.doc_id = r.doc_id
 """
 
 
+_QF_PARAMS = {
+    "min_tokens": 5,
+    "max_stopword_ratio": 0.6,
+    "min_avg_token_len": 2.0,
+    "max_punct_per_token": 0.5,
+}
+
+
+def quality_filter_q(spark, sf_dir):
+    """Corpus quality gate (the filter a training-data pipeline actually
+    runs over text_quality's features); survivors hash-checked against the
+    same thresholds applied to the SQL feature computation."""
+    out = q.quality_filter(_docs(spark, sf_dir), **_QF_PARAMS)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+QUALITY_FILTER_SQL = f"""
+WITH qf AS ({TEXT_QUALITY_SQL})
+SELECT doc_id FROM qf
+WHERE n_tokens >= {_QF_PARAMS["min_tokens"]}
+  AND stopword_ratio <= {_QF_PARAMS["max_stopword_ratio"]}
+  AND avg_token_len >= {_QF_PARAMS["min_avg_token_len"]}
+  AND n_punct <= {_QF_PARAMS["max_punct_per_token"]} * n_tokens_raw
+"""
+
+
 def token_counts_q(spark, sf_dir):
     return q.token_count_bpe(_docs(spark, sf_dir))
 
@@ -1241,6 +1267,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_pipeline": dedup_pipeline_q,
     "text_quality": text_quality_q,
+    "quality_filter": quality_filter_q,
     "token_counts": token_counts_q,
     "lang_script": lang_script_q,
     "ann_cosine_top10": ann_cosine_top10,
@@ -1285,6 +1312,7 @@ ORACLES = {
     "dedup_minhash_pairs": _minhash_sql(),
     "dedup_pipeline": _dedup_pipeline_sql(),
     "text_quality": TEXT_QUALITY_SQL,
+    "quality_filter": QUALITY_FILTER_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "lang_script": LANG_SCRIPT_SQL,
     "ann_cosine_top10": ANN_COSINE_SQL,

@@ -42,7 +42,13 @@ def text_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     n_raw = F.size(raw).cast("long")
     n_content = F.size(content).cast("long")
     total_len = F.aggregate(content, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-    n_punct = F.size(F.filter(F.split(F.col(text_col), ""), lambda c: c.rlike(PUNCT_RE))).cast("long")
+    # allocation-free punct count: length delta after stripping the five
+    # marks (a per-character array + rlike filter here was measurable at
+    # scale — every char became an array element)
+    n_punct = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, ""))
+    ).cast("long")
     return df.select(
         F.col(id_col),
         n_raw.alias("n_tokens_raw"),
@@ -78,6 +84,32 @@ def lang_guess(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         .otherwise(F.lit("latin"))
         .alias("script_guess"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.6,
+    min_avg_token_len: float = 2.0,
+    max_punct_per_token: float = 0.5,
+) -> DataFrame:
+    """Training-data corpus filter: keep docs passing all quality gates
+    (C4/Gopher-style heuristics re-expressed over text_quality's features).
+    Returns the surviving rows of ``df`` plus the computed features — one
+    JVM-expression pass, filter applied before any downstream shuffle."""
+    feats = text_quality(df, id_col, text_col)
+    keep = feats.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & (F.col("avg_token_len") >= min_avg_token_len)
+        & (
+            F.col("n_punct")
+            <= max_punct_per_token * F.col("n_tokens_raw")
+        )
+    )
+    return df.join(keep, id_col, "left_semi")
 
 
 # --- SimHash (64-bit) ---------------------------------------------------
