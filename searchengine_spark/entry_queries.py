@@ -589,10 +589,13 @@ FROM rawlists r JOIN lists l ON l.doc_id = r.doc_id
 """
 
 
+# thresholds chosen to discriminate on the synthetic corpus (filters ~40%
+# of sf0.01 docs across three different gates; punct gate idle by design —
+# the corpus has no punctuation beyond separators)
 _QF_PARAMS = {
-    "min_tokens": 5,
-    "max_stopword_ratio": 0.6,
-    "min_avg_token_len": 2.0,
+    "min_tokens": 40,
+    "max_stopword_ratio": 0.2,
+    "min_avg_token_len": 4.5,
     "max_punct_per_token": 0.5,
 }
 
