@@ -96,6 +96,28 @@ def main() -> None:
     q["dedup_minhash"], _ = timed(
         lambda: dd.minhash_candidate_pairs(toks).count()
     )
+    # new-op timings live in extras (headline total stays comparable
+    # across rounds; these are informational)
+    extras_times: dict[str, float] = {}
+    docs_tok = docs.select(
+        "doc_id",
+        "text",
+        F.filter(
+            F.split(F.lower(F.regexp_replace("text", "[,.;?!]", " ")), r"\s+"),
+            lambda x: x != "",
+        ).alias("tokens"),
+    )
+    extras_times["dedup_pipeline"], _ = timed(
+        lambda: dd.dedup_pipeline(docs_tok).count()
+    )
+    from searchengine_spark.textops import quality as tq
+
+    extras_times["simhash_pairs_h7"], _ = timed(
+        lambda: tq.simhash_near_pairs(docs, max_hamming=7).count()
+    )
+    extras_times["quality_filter"], _ = timed(
+        lambda: tq.quality_filter(docs).count()
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     q["ann_cosine_top10"], _ = timed(
@@ -140,6 +162,9 @@ def main() -> None:
                     "bench_turns": n_turns,
                     "bench_postings": n_postings,
                     "build_turns_per_sec": round(turns_per_sec, 1),
+                    "newop_sec": {
+                        k: round(v, 3) for k, v in extras_times.items()
+                    },
                 },
             }
         )
