@@ -54,9 +54,13 @@ spark.stop()
 
 
 def run_child(cpus: int, src: str, out: str) -> dict:
+    # constant memory PER CORE (1 GiB), like a real cluster where each added
+    # executor brings its own heap — a fixed total heap across levels would
+    # bias the comparison against the higher parallelism
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=f"{max(4, cpus)}g")
     proc = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), src, out],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=3600, env=env,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):
@@ -73,12 +77,17 @@ def main() -> None:
     # any 8->32 comparison below the 0.8 target regardless of software.
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
+    # shared-host load makes a single trial swing +-20% in either level;
+    # run several (alternating level order to cancel warm-up/ordering
+    # effects) and report the median efficiency
+    ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="scaling_")
     src = os.path.join(work, "transcripts")
+    trials = []
     try:
-        # generate the input table once; both runs read the same parquet
+        # generate the input table once; all runs read the same parquet
         gen = subprocess.run(
             [sys.executable, "-c", (
                 "import sys; sys.path.insert(0, %r)\n"
@@ -96,33 +105,53 @@ def main() -> None:
             sys.stderr.write(gen.stderr[-4000:])
             raise RuntimeError("input generation failed")
 
-        lo = run_child(args.low, src, os.path.join(work, f"idx{args.low}"))
-        hi = run_child(args.high, src, os.path.join(work, f"idx{args.high}"))
+        for t in range(args.trials):
+            order = (
+                [args.low, args.high] if t % 2 == 0 else [args.high, args.low]
+            )
+            res = {}
+            for cpus in order:
+                out_dir = os.path.join(work, f"idx{cpus}_{t}")
+                res[cpus] = run_child(cpus, src, out_dir)
+                shutil.rmtree(out_dir, ignore_errors=True)
+            lo, hi = res[args.low], res[args.high]
+            eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (
+                args.high / args.low
+            )
+            trials.append({"low": lo, "high": hi, "eff": round(eff, 3)})
+            print(json.dumps({"trial": t, **trials[-1]}), flush=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
+    effs = sorted(t["eff"] for t in trials)
+    median = effs[len(effs) // 2] if len(effs) % 2 else (
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    )
     ideal = args.high / args.low
-    eff = ratio / ideal
     result = {
-        "low": lo, "high": hi,
-        "speedup": round(ratio, 3), "ideal": ideal,
-        "scaling_efficiency": round(eff, 3),
+        "trials": [t["eff"] for t in trials],
+        "median_efficiency": round(median, 3),
+        "ideal": ideal,
+        "turns": trials[0]["low"]["turns"],
     }
     print(json.dumps(result))
 
     stamp = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    rows = "\n".join(
+        f"| {i} | {t['low']['turns_per_sec']:,} | "
+        f"{t['high']['turns_per_sec']:,} | {t['eff']} |"
+        for i, t in enumerate(trials)
+    )
     md = (
-        f"\n## Scaling run {stamp} UTC\n\n"
-        f"Same artifact build (analyze -> postings -> ordinals -> "
-        f"delta+varbyte blocks -> snapshot commit) over the same "
-        f"{lo['turns']:,}-turn transcripts parquet, fresh JVM per level:\n\n"
-        f"| parallelism | build sec | turns/sec |\n|---|---|---|\n"
-        f"| local[{args.low}] | {lo['sec']} | {lo['turns_per_sec']:,} |\n"
-        f"| local[{args.high}] | {hi['sec']} | {hi['turns_per_sec']:,} |\n\n"
-        f"Speedup {result['speedup']}x of ideal {ideal}x -> **scaling "
-        f"efficiency {result['scaling_efficiency']}** "
-        f"(north-rule target >= 0.8).\n"
+        f"\n## Scaling run {stamp} UTC ({len(trials)} trials)\n\n"
+        f"Same artifact build over the same {trials[0]['low']['turns']:,}-"
+        f"turn transcripts parquet, fresh JVM per level, level order "
+        f"alternated per trial:\n\n"
+        f"| trial | local[{args.low}] t/s | local[{args.high}] t/s | efficiency |\n"
+        f"|---|---|---|---|\n{rows}\n\n"
+        f"**Median scaling efficiency {result['median_efficiency']}** "
+        f"(north-rule target >= 0.8; shared-host variance documented in "
+        f"'Hardware calibration').\n"
     )
     bench_md = os.path.join(REPO, "BENCH.md")
     header = (

@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # >=2 scan waves per core: with exactly one scan partition per core
+        # the slowest analyze task gates the whole stage (no straggler
+        # amortization) — measurably hurts 4N-core scaling efficiency
+        .config("spark.sql.files.minPartitionNum", str(2 * shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
