@@ -1213,10 +1213,11 @@ def pagerank_top20_q(spark, sf_dir):
 _PAGERANK_ITERS = 40
 
 
-def _pagerank_sql() -> str:
-    """DuckDB twin of pagerank_top20_q: the fixture edge list inlined as
-    VALUES, 40 unrolled iteration CTEs of x <- alpha*A*x + beta (recursive
-    CTEs dedupe rows, so unrolling is the faithful encoding)."""
+def _pagerank_ctes() -> str:
+    """CTE fragment computing the fixture graph's PageRank into ``pr40``:
+    edge list inlined as VALUES, 40 unrolled iteration CTEs of
+    x <- alpha*A*x + beta (recursive CTEs dedupe rows, so unrolling is the
+    faithful encoding). Shared by the pagerank and combined-rank oracles."""
     from .fixtures import graph_edges_pandas
     from .graph.pagerank import ALPHA, BETA
 
@@ -1243,10 +1244,67 @@ def _pagerank_sql() -> str:
             f"FROM nodes n LEFT JOIN (SELECT w.dst AS node, sum(p.rank * w.wt) AS inflow "
             f"FROM pr{k - 1} p JOIN w ON w.src = p.node GROUP BY w.dst) s USING (node))"
         )
+    return ",\n".join(ctes)
+
+
+def _pagerank_sql() -> str:
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT node, round(rank, 6) AS rank_r "
+        "WITH " + _pagerank_ctes() + f"\nSELECT node, round(rank, 6) AS rank_r "
         f"FROM pr{_PAGERANK_ITERS} ORDER BY round(rank, 6) DESC, node LIMIT 20"
     )
+
+
+_COMBINED_WEIGHT = 0.1
+
+
+def combined_rank_top20(spark, sf_dir):
+    """R3 combined rank: full TF-IDF frame + weight x PageRank (graph node
+    ids joined onto doc_ids), rounded-boundary top-20. Composes the two
+    already-oracled components; the DuckDB twin composes the same CTEs."""
+    from .fixtures import graph_edges_df
+    from .graph import combined_rank, compute_pagerank
+
+    idx = _ft_index(spark, sf_dir)
+    ranks = compute_pagerank(
+        graph_edges_df(spark, n_nodes=200), num_iterations=40, tol=0.0
+    ).select(F.col("node").cast("string").alias("node"), "rank")
+    res = combined_rank(
+        idx, ranks, _FT_QUERIES["tfidf"], None,
+        pagerank_weight=_COMBINED_WEIGHT,
+    )
+    return (
+        _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _combined_rank_sql() -> str:
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf, log10(c.n_docs::DOUBLE / s.df + 1.0) AS idf
+  FROM {_qterms_values_sql(_FT_QUERIES["tfidf"])}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+tscored AS (
+  SELECT p.doc_id,
+         sum(p.tf::DOUBLE * qw.idf * qw.idf * qw.qtf) AS dot,
+         sum(p.tf::DOUBLE * qw.idf * p.tf::DOUBLE * qw.idf) AS len2
+  FROM postings p JOIN qw ON qw.term = p.term
+  GROUP BY p.doc_id
+),
+{_pagerank_ctes()},
+combined AS (
+  SELECT t.doc_id,
+         (t.dot / sqrt(t.len2))
+         + {_COMBINED_WEIGHT} * coalesce(p.rank, 0.0) AS score
+  FROM tscored t LEFT JOIN pr{_PAGERANK_ITERS} p ON p.node = t.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r FROM combined
+ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1288,6 +1346,7 @@ QUERIES = {
     "wordbreak_en": wordbreak_en_q,
     "wordbreak_cjk": wordbreak_cjk_q,
     "pagerank_top20": pagerank_top20_q,
+    "combined_rank_top20": combined_rank_top20,
     # rows-only (no SQL oracle possible: Porter stemming, binary decode,
     # and the two intentionally-approximate LSH variants whose recall<1 is
     # pinned by pytest instead — tests/test_textops.py):
@@ -1335,4 +1394,5 @@ ORACLES = {
     "wordbreak_en": _wordbreak_en_sql(),
     "wordbreak_cjk": _wordbreak_cjk_sql(),
     "pagerank_top20": _pagerank_sql(),
+    "combined_rank_top20": _combined_rank_sql(),
 }

@@ -122,14 +122,15 @@ def combined_rank(
     """R3: tfidf over ALL matching docs (reference passes topK=null,
     ``IcsSearchEngine.java:195``), plus weight x pagerank, desc, truncate.
     ``ranks.node`` must join the index's doc_id space (caller maps doc ids
-    to graph nodes before passing)."""
+    to graph nodes before passing). ``top_k=None`` returns the full ranked
+    frame (callers applying their own boundary cut)."""
     tfidf = index.search_tfidf(query, None)
     joined = tfidf.join(
         ranks.select(F.col(doc_node_col).alias("doc_id"), "rank"),
         "doc_id",
         "left",
     )
-    return (
+    out = (
         joined.select(
             "doc_id",
             (
@@ -138,5 +139,5 @@ def combined_rank(
             ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(top_k)
     )
+    return out.limit(top_k) if top_k is not None else out
