@@ -54,7 +54,10 @@ def compute_pagerank(
     converges at iteration k stops at exactly k, never overshooting. Each
     iteration is localCheckpoint'ed (lineage truncation for the iterative
     plan) and the diff is one small aggregate over the node table — cheap
-    relative to the edge join the iteration already pays."""
+    relative to the edge join the iteration already pays. With ``tol <= 0``
+    (fixed-iteration mode, e.g. the driver's 40-iteration oracle twins) the
+    diff can never fire, so the join+aggregate+collect is skipped entirely
+    — only the localCheckpoint (the load-bearing lineage truncation) runs."""
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -92,15 +95,17 @@ def compute_pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        diff = (
-            new_ranks.withColumnRenamed("rank", "r2")
-            .join(ranks, "node")
-            .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))).alias("d"))
-            .collect()[0]["d"]
-        )
+        if tol > 0:
+            diff = (
+                new_ranks.withColumnRenamed("rank", "r2")
+                .join(ranks, "node")
+                .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            if diff is not None and diff < tol:
+                ranks = new_ranks
+                break
         ranks = new_ranks
-        if diff is not None and diff < tol:
-            break
     nodes.unpersist()
     weighted.unpersist()
     return ranks
@@ -123,7 +128,17 @@ def combined_rank(
     ``IcsSearchEngine.java:195``), plus weight x pagerank, desc, truncate.
     ``ranks.node`` must join the index's doc_id space (caller maps doc ids
     to graph nodes before passing). ``top_k=None`` returns the full ranked
-    frame (callers applying their own boundary cut)."""
+    frame (callers applying their own boundary cut).
+
+    PARITY DEVIATION (deliberate): the reference derives each document's
+    graph-node id by parsing the FIRST LINE of the document's text
+    (``IcsSearchEngine.java:195-198`` — ``Integer.parseInt`` on line 1).
+    That couples ranking to a corpus-layout convention; here the caller
+    supplies the doc_id->node mapping explicitly by renaming/joining
+    ``ranks`` (any mapping, not just identity — see
+    ``tests/test_pagerank.py`` non-identity mapping test). To reproduce the
+    reference exactly, pre-extract line 1 of each doc into ``node`` and
+    pass that frame as ``ranks``."""
     tfidf = index.search_tfidf(query, None)
     joined = tfidf.join(
         ranks.select(F.col(doc_node_col).alias("doc_id"), "rank"),

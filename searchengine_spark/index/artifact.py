@@ -493,7 +493,13 @@ def append_segment(
     segments = list(prev["segments"])
     if stream_batch_id is not None:
         for s in segments:
-            if s.get("lineage", {}).get("stream_batch_id") == stream_batch_id:
+            lin = s.get("lineage", {})
+            # a merge (subcompact) carries the folded segments' batch ids
+            # forward in merged_stream_batch_ids, so a batch replayed AFTER
+            # its segment was merged away is still recognized as a no-op
+            if stream_batch_id == lin.get("stream_batch_id") or (
+                stream_batch_id in lin.get("merged_stream_batch_ids", ())
+            ):
                 return load_artifact(spark, path)  # replayed batch: no-op
     seg = max(s["segment_id"] for s in segments) + 1
     t0 = time.time()
@@ -578,10 +584,20 @@ class ArtifactIndex(Index):
 
         ords = [int(o) for o in ords]
         segs = sorted({o >> SEG_SHIFT for o in ords})
-        return (
-            self.docs_tbl.where(F.col("seg").isin(segs))
-            .where(F.col("doc_ord").isin(ords))
-            .select("doc_ord", "doc_id")
+        pruned = self.docs_tbl.where(F.col("seg").isin(segs))
+        if len(ords) > 512:
+            # a tie-plateau boundary set can legitimately reach 64k ordinals
+            # (_MAX_TIE_COLLECT); a 64k-literal Catalyst In predicate is slow
+            # to plan — switch to a broadcast semi-join, keeping the seg
+            # partition filter for directory pruning
+            ords_df = self.docs_tbl.sparkSession.createDataFrame(
+                [(o,) for o in ords], "doc_ord long"
+            )
+            return pruned.join(F.broadcast(ords_df), "doc_ord").select(
+                "doc_ord", "doc_id"
+            )
+        return pruned.where(F.col("doc_ord").isin(ords)).select(
+            "doc_ord", "doc_id"
         )
 
     def filter_deleted_ords(self, df: DataFrame) -> DataFrame:
@@ -791,20 +807,29 @@ def subcompact(
     cfg = dict(src.snapshot["config"])
     new_seg = max(all_ids) + 1
 
-    merged_docs = src.filter_deleted(
-        src.docs_tbl.where(F.col("seg").isin(segs)).select("doc_id", "dl")
-    )
+    # old->new ordinal mapping is keyed on the OLD ordinal, not doc_id: the
+    # same doc_id may legally exist in two merged segments (append_segment
+    # enforces no cross-segment uniqueness), and a doc_id equi-join would
+    # match each such posting against both new ordinals, duplicating
+    # postings and inflating df/cf. Ordinals are unique by construction.
+    merged_docs = src.filter_deleted_ords(
+        src.docs_tbl.where(F.col("seg").isin(segs))
+        .select("doc_id", "dl", "doc_ord")
+    ).withColumnRenamed("doc_ord", "old_ord")
     ords = assign_doc_ordinals(merged_docs, base=segment_base(new_seg))
     docs_dir = os.path.join(path, "docs", f"seg={new_seg}")
-    ords.write.mode("overwrite").parquet(docs_dir)
+    ords.drop("old_ord").write.mode("overwrite").parquet(docs_dir)
 
     cols = ["term", "doc_ord", "tf", "dl"] + (
         ["positions"] if cfg["positional"] else []
     )
-    decoded = src._decode(src.blocks.where(F.col("seg").isin(segs)))
+    decoded = src.blocks.where(F.col("seg").isin(segs)).mapInPandas(
+        _make_decoder(cfg["positional"]), schema=DECODED_SCHEMA
+    )
     p = (
-        src.filter_deleted(decoded)
-        .join(ords.select("doc_id", "doc_ord"), "doc_id")
+        src.filter_deleted_ords(decoded)
+        .withColumnRenamed("doc_ord", "old_ord")
+        .join(ords.select("old_ord", "doc_ord"), "old_ord")
         .select(*cols)
         .persist()
     )
@@ -845,6 +870,22 @@ def subcompact(
     ).collect()[0]
 
     snap = dict(src.snapshot)
+    seg_set = set(segs)
+    # exactly-once under streaming: the merged micro-segments' stream batch
+    # ids must survive the merge, or a replay of one of those batches after
+    # a crash would pass append_segment's lineage guard and double-append
+    merged_batch_ids = sorted(
+        {
+            bid
+            for s in snap["segments"]
+            if s["segment_id"] in seg_set
+            for bid in (
+                [s.get("lineage", {}).get("stream_batch_id")]
+                + list(s.get("lineage", {}).get("merged_stream_batch_ids", []))
+            )
+            if bid is not None
+        }
+    )
     kept = [s for s in snap["segments"] if s["segment_id"] not in set(segs)]
     kept.append(
         {
@@ -860,6 +901,7 @@ def subcompact(
                 "source": f"subcompaction of segments {segs} "
                 f"at snapshot {src.snapshot['snapshot_id']}",
                 "filter": f"seg IN {segs}",
+                "merged_stream_batch_ids": merged_batch_ids,
             },
         }
     )
@@ -976,17 +1018,25 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
     cfg = dict(src.snapshot["config"])
     # tombstone purge happens HERE, physically (reference purges removed docs
     # at merge, InvertedIndex.java:640-697) — surviving docs only
-    corpus_like = src.filter_deleted(src.docs_tbl.select("doc_id", "dl"))
+    # ordinal-keyed mapping for the same reason as subcompact: duplicate
+    # doc_ids across source segments must each keep exactly one new ordinal
+    corpus_like = src.filter_deleted_ords(
+        src.docs_tbl.select("doc_id", "dl", "doc_ord")
+    ).withColumnRenamed("doc_ord", "old_ord")
     ords = assign_doc_ordinals(corpus_like, base=0)
     docs_dir = os.path.join(out_path, "docs", "seg=0")
-    ords.write.mode("overwrite").parquet(docs_dir)
+    ords.drop("old_ord").write.mode("overwrite").parquet(docs_dir)
     cols = ["term", "doc_ord", "tf", "dl"] + (
         ["positions"] if cfg["positional"] else []
     )
     # re-pack directly from decoded surviving postings (no re-analysis)
+    decoded = src.blocks.mapInPandas(
+        _make_decoder(cfg["positional"]), schema=DECODED_SCHEMA
+    )
     p = (
-        src.filter_deleted(src.postings)
-        .join(ords.select("doc_id", "doc_ord"), "doc_id")
+        src.filter_deleted_ords(decoded)
+        .withColumnRenamed("doc_ord", "old_ord")
+        .join(ords.select("old_ord", "doc_ord"), "old_ord")
         .select(*cols)
         .persist()
     )
@@ -1048,6 +1098,24 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
                         "source": f"compaction of {path} "
                         f"snapshot {src.snapshot['snapshot_id']}",
                         "filter": "full corpus",
+                        # carry every source batch id so a streaming job
+                        # re-pointed at the compacted artifact (same
+                        # checkpoint) still no-ops replayed batches
+                        "merged_stream_batch_ids": sorted(
+                            {
+                                bid
+                                for s in src.snapshot["segments"]
+                                for bid in (
+                                    [s.get("lineage", {}).get("stream_batch_id")]
+                                    + list(
+                                        s.get("lineage", {}).get(
+                                            "merged_stream_batch_ids", []
+                                        )
+                                    )
+                                )
+                                if bid is not None
+                            }
+                        ),
                     },
                 }
             ],

@@ -116,31 +116,57 @@ def quality_filter(
 
 
 def _simhash64_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized SimHash: per-doc weighted majority over term-hash bits.
-    Term hash = first 16 hex of md5 (64 bits); weight = term frequency."""
+    """Batch-vectorized SimHash: per-doc weighted majority over term-hash
+    bits. Term hash = first 16 hex of md5 (64 bits); weight = term
+    frequency. Python touches only the BATCH-WIDE token vocabulary (md5 has
+    no numpy kernel); everything per-token/per-doc — factorize, bit
+    expansion, vote sums, bit packing — is numpy over the whole Arrow
+    batch, the same shape as ``index.engine._tokenize_batch``."""
     import hashlib
 
     out = np.zeros(len(texts), dtype=np.int64)
-    for row, text in enumerate(texts):
-        if not text:
-            continue
-        tokens = text.lower().split()
-        if not tokens:
-            continue
-        uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
-        hs = np.array(
-            [
-                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-                for t in uniq
-            ],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        sim = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sim |= np.uint64(1) << np.uint64(b)
-        out[row] = np.int64(sim)
+    toks = texts.fillna("").str.lower().str.split()
+    n_per_doc = toks.str.len().to_numpy(dtype=np.int64)
+    if n_per_doc.sum() == 0:
+        return pd.Series(out)
+    flat = np.concatenate([t for t in toks if t])  # doc-major token stream
+    doc_has = np.flatnonzero(n_per_doc > 0)
+    starts = np.zeros(len(doc_has), dtype=np.int64)
+    np.cumsum(n_per_doc[doc_has[:-1]], out=starts[1:])
+    codes, uniq = pd.factorize(flat)
+    # vocabulary-only Python loop: one md5 per DISTINCT token in the batch
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    # per-occurrence bit matrix via unpackbits on the little-endian byte
+    # view (C memcpy speed; bit b of column b == (h >> b) & 1), summed per
+    # doc over the doc-major stream; the +-1 vote sum is then
+    # 2*ones - n_tokens (tf weight = one vote per occurrence).
+    # reduceat stays in the FAST native-int8 path (the dtype=int64 widening
+    # path is ~10x slower) by splitting every doc segment into <=127-token
+    # sub-segments (no int8 overflow), then folding sub-sums in int64.
+    bits = np.unpackbits(
+        hs[codes].astype("<u8")[:, None].view(np.uint8), axis=1,
+        bitorder="little",
+    ).view(np.int8)
+    seg_len = n_per_doc[doc_has]
+    reps = -(-seg_len // 127)  # ceil-div: sub-segments per doc
+    cum = np.zeros(len(reps) + 1, dtype=np.int64)
+    np.cumsum(reps, out=cum[1:])
+    within = (np.arange(cum[-1]) - np.repeat(cum[:-1], reps)) * 127
+    fine = np.repeat(starts, reps) + within
+    part = np.add.reduceat(bits, fine, axis=0)
+    ones = np.add.reduceat(part.astype(np.int64), cum[:-1], axis=0)
+    votes = 2 * ones - seg_len[:, None]
+    sims = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[doc_has] = sims.astype(np.int64)
     return pd.Series(out)
 
 
@@ -227,32 +253,63 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def _fingerprint_batch(texts: pd.Series) -> pd.Series:
-    """Document fingerprint: min of 8-gram (chars) polynomial rolling hashes
-    — a cheap content-defined signature stable under small edits."""
+    """Document fingerprint: min of 8-gram (bytes) polynomial rolling hashes
+    mod the Mersenne prime 2^61-1 — a cheap content-defined signature stable
+    under small edits. Fully batch-vectorized: all docs' utf-8 bytes are
+    concatenated into one buffer, every window hash is computed by a
+    K-step Horner recurrence in two-limb uint64 Mersenne arithmetic (no
+    Python bignums, no per-row loop), boundary-crossing windows are masked,
+    and per-doc minima come from one ``np.minimum.reduceat``. Values are
+    bit-identical to the scalar definition h_i = sum_k B^(K-1-k)*byte[i+k]
+    mod P (the DuckDB oracle twin in entry_queries._fingerprint_sql)."""
     B, P = 257, (1 << 61) - 1
     K = 8
     out = np.zeros(len(texts), dtype=np.int64)
-    for row, text in enumerate(texts):
-        if not text or len(text) < K:
-            out[row] = 0
-            continue
-        vals = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-        n = len(vals)
-        if n < K:
-            out[row] = 0
-            continue
-        # rolling polynomial hash over all K-byte windows, vectorized
-        powers = np.array([pow(B, K - 1 - i, P) for i in range(K)], dtype=object)
-        h = np.zeros(n - K + 1, dtype=object)
-        acc = 0
-        for i in range(K):
-            acc = (acc * B + int(vals[i])) % P
-        h[0] = acc
-        top = int(powers[0])
-        for i in range(1, n - K + 1):
-            acc = ((acc - int(vals[i - 1]) * top) * B + int(vals[i + K - 1])) % P
-            h[i] = acc
-        out[row] = np.int64(min(h) % (1 << 62))
+    s = texts.fillna("")
+    enc = s.str.encode("utf-8", "surrogatepass")
+    blens = enc.str.len().to_numpy(dtype=np.int64)
+    # parity with the scalar kernel/oracle: CHAR length < K is also 0
+    valid = (s.str.len().to_numpy(dtype=np.int64) >= K) & (blens >= K)
+    if not valid.any():
+        return pd.Series(out)
+    lens = blens[valid]
+    buf = np.frombuffer(b"".join(enc[valid].tolist()), dtype=np.uint8).astype(
+        np.uint64
+    )
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    nwin = len(buf) - K + 1
+
+    # Horner over the K window positions, vectorized across ALL windows.
+    # Invariant per step: h < P = 2^61-1. h*B needs up to 70 bits, so split
+    # h = hi*2^32 + lo and use 2^61 === 1 (mod P) to fold hi*B*2^32:
+    #   z = hi*B (< 2^38);  z*2^32 = (z>>29)*2^61 + (z & (2^29-1))*2^32
+    #                              === (z>>29) + ((z & (2^29-1)) << 32)
+    # so every intermediate stays < 2^62 and fits uint64.
+    M61 = np.uint64(P)
+    MASK29 = np.uint64((1 << 29) - 1)
+    MASK32 = np.uint64((1 << 32) - 1)
+    Bu = np.uint64(B)
+    u29, u32, u61 = np.uint64(29), np.uint64(32), np.uint64(61)
+    h = np.zeros(nwin, dtype=np.uint64)
+    for k in range(K):
+        v = buf[k : k + nwin]
+        z = (h >> u32) * Bu
+        w = (z >> u29) + ((z & MASK29) << u32) + (h & MASK32) * Bu + v
+        w = (w & M61) + (w >> u61)
+        h = np.where(w >= M61, w - M61, w)
+
+    # mask windows that cross a doc boundary (starts in
+    # [off[d] + len[d] - K + 1, off[d+1])), then one reduceat per-doc min;
+    # every valid doc has len >= K so each segment keeps >= 1 real window
+    bad_start = np.minimum(offs[:-1] + lens - K + 1, nwin)
+    bad_end = np.minimum(offs[1:], nwin)
+    delta = np.zeros(nwin + 1, dtype=np.int32)
+    np.add.at(delta, bad_start, 1)
+    np.add.at(delta, bad_end, -1)
+    h[np.cumsum(delta[:nwin]) > 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    mins = np.minimum.reduceat(h, offs[:-1])
+    out[valid] = mins.astype(np.int64)  # mins < P < 2^62: `% 2^62` identity
     return pd.Series(out)
 
 
