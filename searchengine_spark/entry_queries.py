@@ -953,14 +953,16 @@ def tr_phrase_planted(spark, sf_dir):
     return idx.search_phrase("merge sort algorithm")
 
 
-_SIMHASH_RADIUS = 7  # 8 chunks x 8 bits: blocking recall-complete at h<=7
+_SIMHASH_RADIUS = 6  # C(8,2)=28 chunk-pair tables, 16-bit keys: recall-
+# complete at h<=6 by pigeonhole (>= 2 clean chunks) with ~n^2/4700
+# worst-case candidates instead of the 8-bit single-chunk ~n^2/64
 
 
 def simhash_pairs_q(spark, sf_dir):
-    """SimHash near-dup pairs at radius 7 (8-bit chunk blocking — the
-    blocking provably covers the requested radius; see
-    quality.simhash_chunk_bounds). DuckDB-oracled: md5 term hashes, bit
-    votes, chunk join and bit_count are all SQL-expressible."""
+    """SimHash near-dup pairs at radius 6 (chunk-pair blocking — the
+    table family provably covers the requested radius with 16-bit keys;
+    see quality.simhash_blocking_tables). DuckDB-oracled: md5 term
+    hashes, bit votes, table join and bit_count are all SQL-expressible."""
     return q.simhash_near_pairs(
         _docs(spark, sf_dir), max_hamming=_SIMHASH_RADIUS
     ).select(
@@ -972,16 +974,27 @@ def simhash_pairs_q(spark, sf_dir):
 
 def _simhash_sql() -> str:
     """DuckDB twin of simhash_near_pairs at _SIMHASH_RADIUS, generated from
-    the same chunk bounds the Spark operator uses. Tokenization matches
-    _simhash64_batch: lower + whitespace split (no punctuation stripping,
-    no stop words); term hash = first 8 bytes of md5, big-endian; per-bit
-    majority vote weighted by tf; docs with no tokens get simhash 0."""
-    from .textops.quality import simhash_chunk_bounds
+    the same blocking tables the Spark operator uses (chunk-pair keys at
+    this radius). Tokenization matches _simhash64_batch: lower + whitespace
+    split (no punctuation stripping, no stop words); term hash = first 8
+    bytes of md5, big-endian; per-bit majority vote weighted by tf; docs
+    with no tokens get simhash 0."""
+    from .textops.quality import simhash_blocking_tables
 
-    bounds = simhash_chunk_bounds(_SIMHASH_RADIUS)
-    chunk_values = ", ".join(
-        f"({i}, {shift}, {(1 << width) - 1})"
-        for i, (shift, width) in enumerate(bounds)
+    def key_sql(table):
+        def chunk(shift, width):
+            if width >= 64:
+                return "sim"
+            return f"((sim >> {shift}) & {(1 << width) - 1}::UBIGINT)"
+
+        expr = chunk(*table[0])
+        for shift, width in table[1:]:
+            expr = f"({expr} * {1 << width}::UBIGINT + {chunk(shift, width)})"
+        return expr
+
+    structs = ", ".join(
+        f"{{'tbl': {i}, 'ckey': {key_sql(t)}}}"
+        for i, t in enumerate(simhash_blocking_tables(_SIMHASH_RADIUS))
     )
     return f"""
 WITH stoks AS (
@@ -1013,15 +1026,17 @@ sims AS (
   SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
   FROM documents d LEFT JOIN simagg s USING (doc_id)
 ),
+exploded AS (
+  SELECT doc_id, sim, unnest([{structs}]) AS u FROM sims
+),
 chunks AS (
-  SELECT doc_id, sim, c.chunk, (sim >> c.shift) & c.mask::UBIGINT AS ckey
-  FROM sims CROSS JOIN (VALUES {chunk_values}) c(chunk, shift, mask)
+  SELECT doc_id, sim, u.tbl AS tbl, u.ckey AS ckey FROM exploded
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.sim, b.sim))::INT AS hamming
   FROM chunks a
-  JOIN chunks b ON a.chunk = b.chunk AND a.ckey = b.ckey
+  JOIN chunks b ON a.tbl = b.tbl AND a.ckey = b.ckey
               AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {_SIMHASH_RADIUS}

@@ -177,19 +177,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
 
 
-def simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
-    """[(shift, width)] for ``max_hamming + 1`` contiguous chunks of the
-    64-bit simhash (the last chunk absorbs the remainder bits). Pigeonhole:
-    two hashes within ``max_hamming`` differing bits must agree on at least
-    one of ``max_hamming + 1`` disjoint chunks — this is the block-permuted
-    table family of Manku et al. (WWW'07) with one table per chunk."""
-    n_chunks = max_hamming + 1
-    if not 0 <= max_hamming <= 31:
-        # width-2 chunks (max_hamming=31) are the useful floor; beyond that
-        # blocking degenerates to all-pairs and must not pretend to recall
-        raise ValueError(
-            f"max_hamming={max_hamming} not blockable over 64 bits; use <= 31"
-        )
+def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """[(shift, width)] for ``n_chunks`` contiguous chunks of the 64-bit
+    simhash; the last chunk absorbs the remainder bits."""
     width = 64 // n_chunks
     bounds = [(i * width, width) for i in range(n_chunks - 1)]
     last_shift = (n_chunks - 1) * width
@@ -197,43 +187,99 @@ def simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
     return bounds
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by SimHash: block on ``max_hamming + 1`` disjoint
-    bit chunks (any equal chunk => candidate — pigeonhole guarantees FULL
-    recall at the requested radius), then verify the exact hamming distance
-    with bit_count. Blocking selectivity falls as the radius grows (chunk
-    width = 64/(h+1) bits): h<=3 blocks on 16-bit keys, h=7 on 8-bit keys;
-    for large corpora keep the radius small or pre-dedup exact duplicates
-    upstream so hot buckets stay bounded."""
-    s = simhash(df, id_col, text_col)
-    bounds = simhash_chunk_bounds(max_hamming)
-    chunks = s.select(
+def simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """[(shift, width)] for ``max_hamming + 1`` contiguous chunks of the
+    64-bit simhash (the last chunk absorbs the remainder bits). Pigeonhole:
+    two hashes within ``max_hamming`` differing bits must agree on at least
+    one of ``max_hamming + 1`` disjoint chunks — this is the block-permuted
+    table family of Manku et al. (WWW'07) with one table per chunk."""
+    if not 0 <= max_hamming <= 31:
+        # width-2 chunks (max_hamming=31) are the useful floor; beyond that
+        # blocking degenerates to all-pairs and must not pretend to recall
+        raise ValueError(
+            f"max_hamming={max_hamming} not blockable over 64 bits; use <= 31"
+        )
+    return _chunk_bounds(max_hamming + 1)
+
+
+def simhash_blocking_tables(
+    max_hamming: int, min_key_bits: int = 14
+) -> list[tuple[tuple[int, int], ...]]:
+    """Blocking-table family for radius ``max_hamming``: each table is a
+    tuple of (shift, width) chunks whose concatenated bits form that
+    table's block key. Recall-complete AND selective:
+
+    - small radii (single-chunk key width >= ``min_key_bits``): one table
+      per chunk of ``max_hamming + 1`` chunks (Manku et al.);
+    - larger radii: chunk-PAIR tables over ``c = max_hamming + 2`` chunks.
+      Pigeonhole: <= max_hamming dirty chunks leaves >= 2 clean chunks, so
+      some PAIR of chunks is fully clean — C(c,2) tables keyed on the
+      ~2x-wider concatenated pair keys cover the radius. At h=6 (c=8,
+      16-bit pair keys) expected candidates fall from ~n^2/64 (8-bit
+      single-chunk keys) to ~28*n^2/2^17 ~ n^2/4700 on worst-case
+      (uniform) hashes — and far lower on real corpora, keeping the
+      self-join ~linear in n per bucket-load instead of quadratic."""
+    if not 0 <= max_hamming <= 30:
+        raise ValueError(
+            f"max_hamming={max_hamming} not pair-blockable over 64 bits; "
+            "use <= 30"
+        )
+    if 64 // (max_hamming + 1) >= min_key_bits:
+        return [(b,) for b in simhash_chunk_bounds(max_hamming)]
+    bounds = _chunk_bounds(max_hamming + 2)
+    c = len(bounds)
+    return [
+        (bounds[i], bounds[j]) for i in range(c) for j in range(i + 1, c)
+    ]
+
+
+def _table_key_expr(table: tuple[tuple[int, int], ...]):
+    """Block-key column for one table: the chunks' bits concatenated
+    (first chunk in the high bits). Arithmetic >> then mask == logical
+    extract because shift + width <= 64 for every chunk."""
+    def chunk_bits(shift, width):
+        if width >= 64:
+            return F.col("simhash")
+        return F.shiftright("simhash", shift).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    key = chunk_bits(*table[0])
+    for shift, width in table[1:]:
+        key = key * F.lit(1 << width) + chunk_bits(shift, width)
+    return key
+
+
+def simhash_candidates(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs ``(doc_a, doc_b, hamming)`` from a precomputed
+    ``(id, simhash)`` frame via the ``simhash_blocking_tables`` family
+    (every true pair within ``max_hamming`` is guaranteed present; blocked
+    coincidences beyond the radius may also appear — callers filter).
+    One explode (|tables| rows per doc), one equi-join on (table, key),
+    one distinct — no all-pairs stage at any radius."""
+    tables = simhash_blocking_tables(max_hamming)
+    chunks = sims.select(
         F.col(id_col),
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk"),
-                        (
-                            F.col("simhash")
-                            if width >= 64
-                            else F.shiftright("simhash", shift).bitwiseAND(
-                                F.lit((1 << width) - 1)
-                            )
-                        ).alias("ckey"),
+                        F.lit(i).alias("tbl"),
+                        _table_key_expr(t).alias("ckey"),
                     )
-                    for i, (shift, width) in enumerate(bounds)
+                    for i, t in enumerate(tables)
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk", "c.ckey")
+    ).select(id_col, "simhash", "c.tbl", "c.ckey")
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
+            (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.ckey") == F.col("b.ckey"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
@@ -246,6 +292,20 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         .distinct()
     )
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the ``simhash_blocking_tables``
+    family (single chunks at small radii, chunk-pair tables at larger ones
+    — pigeonhole guarantees FULL recall at the requested radius either
+    way), then verify the exact hamming distance with bit_count. The pair
+    tables keep block keys >= ~14 bits at every radius, so candidate
+    growth stays ~n x bucket-load instead of going quadratic (see
+    ``simhash_blocking_tables``); for huge corpora additionally pre-dedup
+    exact duplicates upstream so hot buckets stay bounded."""
+    s = simhash(df, id_col, text_col)
+    pairs = simhash_candidates(s, id_col, max_hamming)
     return pairs.where(F.col("hamming") <= max_hamming)
 
 
