@@ -718,13 +718,106 @@ FROM scored WHERE cos_sim >= {_NEARDUP_THRESHOLD}
 
 
 def emb_near_dup_lsh(spark, sf_dir):
-    """LSH-pruned near-dup pairs (the scale path; rows-only check)."""
+    """LSH-pruned near-dup pairs (the scale path). DuckDB-oracled: the
+    hyperplanes are seed-fixed, so the oracle inlines them as literal
+    vectors and replays the two bucketings + rerank exactly."""
     res = sim.embedding_near_dup_pairs(
         _emb(spark, sf_dir), threshold=_NEARDUP_THRESHOLD
     )
     return res.select(
         "doc_a", "doc_b", F.round("cos_sim", 4).alias("cos_sim_r")
     )
+
+
+_EMB_DIM = 64  # all driver testdata embeddings tables are dim-64
+
+
+def _plane_dot_sql(plane) -> str:
+    """DuckDB dot product of ``embedding`` with one literal hyperplane
+    (same left-fold sum over index order as Spark's F.aggregate)."""
+    lits = ", ".join(repr(float(x)) for x in plane)
+    return (
+        "list_sum(list_transform(list_zip(embedding, ["
+        + lits
+        + "]), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    )
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of ann_lsh_top10: replay the seed-42, 4-plane bucket
+    assignment with the planes inlined as literals, then take the exact
+    cosine top-10 over the full Hamming-ball-radius-2 multiprobe candidate
+    set (bit_count(xor(key, qkey)) <= 2 == probing every bucket within
+    hamming 2 of the query's bucket)."""
+    from .textops.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, 4, seed=42)
+    key = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(p)} >= 0 THEN {1 << (3 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH keys AS (
+  SELECT vec_id, embedding, ({key}) AS bkey FROM embeddings
+),
+qk AS (SELECT bkey AS qkey, embedding AS q FROM keys WHERE vec_id = {_ANN_QUERY_ID}),
+cand AS (
+  SELECT k.vec_id, k.embedding, qk.q
+  FROM keys k CROSS JOIN qk
+  WHERE k.vec_id <> {_ANN_QUERY_ID}
+    AND bit_count(xor(k.bkey::BIGINT, qk.qkey::BIGINT)) <= 2
+),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(list_zip(embedding, q),
+                                 x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q, x -> x::DOUBLE * x::DOUBLE))))
+           AS cos_sim
+  FROM cand
+)
+SELECT vec_id, round(cos_sim, 4) AS cos_sim_r
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def _emb_near_dup_lsh_sql() -> str:
+    """DuckDB twin of emb_near_dup_lsh: replay BOTH seed-fixed 6-plane
+    bucketings (seeds 42 and 43, OR-ed candidate sets), then the exact
+    cosine rerank and threshold."""
+    from .textops.similarity import _hyperplanes
+
+    key_exprs = []
+    for s in (42, 43):
+        planes = _hyperplanes(_EMB_DIM, 6, seed=s)
+        bits = " || ".join(
+            f"(CASE WHEN {_plane_dot_sql(p)} >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        key_exprs.append(f"'s{s}:' || {bits}")
+    return f"""
+WITH keyed AS (
+  SELECT vec_id, unnest([{key_exprs[0]}, {key_exprs[1]}]) AS bkey
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                                 x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE))))
+           AS cos_sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.doc_a
+  JOIN embeddings eb ON eb.vec_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(cos_sim, 4) AS cos_sim_r
+FROM scored WHERE cos_sim >= {_NEARDUP_THRESHOLD}
+"""
 
 
 def emb_norm_by_label(spark, sf_dir):
@@ -1362,13 +1455,15 @@ QUERIES = {
     "wordbreak_cjk": wordbreak_cjk_q,
     "pagerank_top20": pagerank_top20_q,
     "combined_rank_top20": combined_rank_top20,
-    # rows-only (no SQL oracle possible: Porter stemming, binary decode,
-    # and the two intentionally-approximate LSH variants whose recall<1 is
-    # pinned by pytest instead — tests/test_textops.py):
-    "tr_bm25_top10": tr_bm25_top10,
-    "tr_phrase_planted": tr_phrase_planted,
+    # the two LSH variants are approximate-by-design but DETERMINISTIC
+    # (seed-fixed hyperplanes), so their oracles replay the bucketing
+    # exactly; recall floors vs the exact path are additionally pinned by
+    # pytest (tests/test_textops.py)
     "ann_lsh_top10": ann_lsh_top10,
     "emb_near_dup_lsh": emb_near_dup_lsh,
+    # rows-only (no SQL oracle possible: Porter stemming / binary decode):
+    "tr_bm25_top10": tr_bm25_top10,
+    "tr_phrase_planted": tr_phrase_planted,
     "media_features": media_features_q,
 }
 
@@ -1405,6 +1500,8 @@ ORACLES = {
     # top-10 at the graded scales, so the exact brute-force SQL is the
     # oracle — any recall regression becomes a driver-visible hash mismatch
     "ann_ivf_top10": ANN_COSINE_SQL,
+    "ann_lsh_top10": _ann_lsh_sql(),
+    "emb_near_dup_lsh": _emb_near_dup_lsh_sql(),
     "doc_fingerprints": _fingerprint_sql(),
     "wordbreak_en": _wordbreak_en_sql(),
     "wordbreak_cjk": _wordbreak_cjk_sql(),

@@ -245,7 +245,16 @@ def _make_decoder(positional: bool):
 # ---------------------------------------------------------------------------
 
 
-def _build_segment(
+def _build_segment(spark: SparkSession, *args, **kwargs) -> dict:
+    """Build + write one segment under the build-scoped >=2-scan-waves conf
+    (``session.scan_waves``); returns its snapshot entry (uncommitted)."""
+    from ..session import scan_waves
+
+    with scan_waves(spark):
+        return _build_segment_impl(spark, *args, **kwargs)
+
+
+def _build_segment_impl(
     spark: SparkSession,
     seg_corpus: DataFrame,
     path: str,
@@ -259,7 +268,6 @@ def _build_segment(
     pack_partitions: int | None,
     n_buckets: int = N_BUCKETS,
 ) -> dict:
-    """Build + write one segment; returns its snapshot entry (uncommitted)."""
     from .engine import build_doc_terms, explode_doc_terms
 
     # persist the PRE-explode frame (one row per doc): same bytes as the

@@ -16,7 +16,16 @@ block row carries:
   tf and decreasing in dl, so part(max_tf, min_dl) evaluated with the
   *query-time* avgdl upper-bounds every posting in the block — storing the
   raw pair instead of a precomputed score keeps bounds valid when later
-  segments shift avgdl.
+  segments shift avgdl,
+- ``ub_tfs``/``ub_dls``: the block's (tf, dl) PARETO FRONT (postings not
+  dominated by another with tf' >= tf and dl' <= dl). Because the score
+  part is increasing in tf and decreasing in dl for every valid
+  (k1, b, avgdl), the maximizing posting is always ON the front, so
+  max over the front is the block's EXACT max score part — a strictly
+  tighter WAND bound than the (max_tf, min_dl) composite, still valid
+  under any later avgdl shift and any (k1, b). Fronts are tiny (usually
+  1-4 pairs); a front wider than 8 falls back to the dominating synthetic
+  pair [(max_tf, min_dl)] (a valid upper bound, never an under-estimate).
 
 Blocks are doc-ordinal-ordered within a term; ``first_ord``/``last_ord``
 give the block's doc range for alignment/pruning.
@@ -33,8 +42,28 @@ BLOCK_SIZE = 128
 # Spark-side schema for one packed block row (mapInPandas output).
 BLOCK_SCHEMA = (
     "term string, block_seq int, n int, first_ord long, last_ord long, "
-    "max_tf int, min_dl int, docs binary, tfs binary, dls binary, pos binary"
+    "max_tf int, min_dl int, ub_tfs array<int>, ub_dls array<int>, "
+    "docs binary, tfs binary, dls binary, pos binary"
 )
+
+_FRONT_CAP = 8
+
+
+def score_front(tfs: np.ndarray, dls: np.ndarray) -> tuple[list, list]:
+    """(tf, dl) Pareto front of a block (tf desc, dl strictly decreasing
+    along the front). If wider than ``_FRONT_CAP``, collapse to the
+    dominating synthetic pair (max_tf, min_dl)."""
+    order = np.lexsort((dls, -tfs))
+    tfs_s, dls_s = tfs[order], dls[order]
+    run_min = np.minimum.accumulate(dls_s)
+    prev_min = np.concatenate(([np.iinfo(np.int64).max], run_min[:-1]))
+    keep = dls_s < prev_min
+    if int(keep.sum()) > _FRONT_CAP:
+        return [int(tfs.max())], [int(dls.min())]
+    return (
+        [int(x) for x in tfs_s[keep]],
+        [int(x) for x in dls_s[keep]],
+    )
 
 
 def pack_term_run(
@@ -64,6 +93,7 @@ def pack_term_run(
             if pos_lists is not None
             else b""
         )
+        front_tfs, front_dls = score_front(b_tfs, b_dls)
         out.append(
             {
                 "term": term,
@@ -73,6 +103,8 @@ def pack_term_run(
                 "last_ord": int(b_ords[-1]),
                 "max_tf": int(b_tfs.max()),
                 "min_dl": int(b_dls.min()),
+                "ub_tfs": front_tfs,
+                "ub_dls": front_dls,
                 # ordinals stored relative to first_ord: the leading absolute
                 # value stays 1 byte even under large segment bases
                 "docs": varbyte.encode(b_ords - b_ords[0]),

@@ -435,6 +435,8 @@ def build_index(
     ``cache=True`` persists the postings (they back every query); for the
     persisted-artifact path use ``artifact.build_artifact`` instead.
     """
+    from ..session import scan_waves
+
     postings = build_postings(corpus, doc_id_col, text_col, analyzer, positional)
     if cache:
         postings = postings.persist()
@@ -444,12 +446,15 @@ def build_index(
     )
     if cache:
         term_stats = term_stats.persist()
-    # n_docs counts every corpus row (docs whose analyzed text is empty still
-    # count toward N, matching the reference's docNum accounting).
-    n_docs = corpus.count()
-    # total tokens = Σ tf over all postings = Σ cf — read off the (much
-    # smaller) stats table instead of re-shuffling postings by doc_id.
-    total_tokens = term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
+    # the analyze scan materializes inside this block (total_tokens pulls
+    # term_stats <- postings): build-scoped >=2 scan waves per core
+    with scan_waves(spark):
+        # n_docs counts every corpus row (docs whose analyzed text is empty
+        # still counts toward N, matching the reference's docNum accounting).
+        n_docs = corpus.count()
+        # total tokens = Σ tf over all postings = Σ cf — read off the (much
+        # smaller) stats table instead of re-shuffling postings by doc_id.
+        total_tokens = term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     return Index(
         spark=spark,

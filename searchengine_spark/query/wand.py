@@ -6,9 +6,12 @@ vectorized/distributed restatement (SURVEY.md §4.2.2):
 1. **Candidate blocks**: parquet scan of block rows for the query terms
    (``term IN (...)`` pushed to the scan; only metadata + compressed bytes
    of the query terms' blocks are ever read).
-2. **Per-block upper bound**: ub = qtf·idf·(k1+1)·max_tf /
-   (max_tf + k1·(1−b+b·min_dl/avgdl)) — monotone bounds from stored
-   (max_tf, min_dl), evaluated with the current global avgdl.
+2. **Per-block upper bound**: ub = qtf·idf·max over the block's stored
+   (tf, dl) Pareto front of tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — the
+   EXACT per-block max score part for the current (k1, b) and global
+   avgdl (the maximizer of a tf-increasing, dl-decreasing function lies
+   on the front); falls back to the looser monotone (max_tf, min_dl)
+   composite for artifacts packed before the front columns existed.
 3. **Seed θ**: decode only the ⌈k/block_size⌉+1 highest-ub blocks per term,
    score them exactly; the k-th best (partial) score is a valid lower bound
    θ of the true k-th score.
@@ -144,9 +147,24 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
 
     k1, b = float(aidx.k1), float(aidx.b)
     avgdl = float(aidx.avgdl) or 1.0
-    mtf = F.col("max_tf").cast("double")
-    ub_norm = mtf + k1 * (1.0 - b + b * F.col("min_dl") / F.lit(avgdl))
-    ub = F.col("qtf") * F.col("idf") * mtf * (k1 + 1.0) / ub_norm
+
+    def part(tf, dl):
+        t = tf.cast("double")
+        return t * (k1 + 1.0) / (
+            t + k1 * (1.0 - b + b * dl.cast("double") / F.lit(avgdl))
+        )
+
+    # block bound from the stored (tf, dl) Pareto front: the EXACT max
+    # score part over the block for the current (k1, b, avgdl) — tighter
+    # than part(max_tf, min_dl), which remains the fallback for artifacts
+    # packed before the front columns existed (null there)
+    front_tfs = F.coalesce(F.col("ub_tfs"), F.array(F.col("max_tf")))
+    front_dls = F.coalesce(F.col("ub_dls"), F.array(F.col("min_dl")))
+    ub = (
+        F.col("qtf")
+        * F.col("idf")
+        * F.array_max(F.zip_with(front_tfs, front_dls, part))
+    )
 
     # persist: the candidate block set feeds three jobs (per-term ub budget,
     # seed scoring, final pruned scoring) — without it each job re-lists and

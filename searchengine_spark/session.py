@@ -11,8 +11,35 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def scan_waves(spark: SparkSession, factor: int = 2):
+    """Temporarily require >= ``factor x shuffle_partitions`` input-scan
+    partitions (>= 2 scan waves per core). Build pipelines want this — with
+    exactly one scan partition per core the slowest analyze task gates the
+    whole stage (no straggler amortization), which measurably hurts 4N-core
+    scaling efficiency. Query-time scans must NOT inherit it: forcing a
+    tiny term-filtered read into 2x-cores tasks just inflates task-launch
+    overhead (the round-2 bench regression on sub-second queries). Hence a
+    scoped conf around builds instead of a session-wide default."""
+    key = "spark.sql.files.minPartitionNum"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    n = factor * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -48,10 +75,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # >=2 scan waves per core: with exactly one scan partition per core
-        # the slowest analyze task gates the whole stage (no straggler
-        # amortization) — measurably hurts 4N-core scaling efficiency
-        .config("spark.sql.files.minPartitionNum", str(2 * shuffle_partitions))
+        # NB: spark.sql.files.minPartitionNum (>=2 scan waves) is applied
+        # per-BUILD via the scan_waves() context manager, not session-wide:
+        # builds want straggler amortization, while tiny query-time scans
+        # regress ~25-60% when force-split into 2x-cores tasks
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -97,8 +97,10 @@ def quality_filter(
 ) -> DataFrame:
     """Training-data corpus filter: keep docs passing all quality gates
     (C4/Gopher-style heuristics re-expressed over text_quality's features).
-    Returns the surviving rows of ``df`` plus the computed features — one
-    JVM-expression pass, filter applied before any downstream shuffle."""
+    Returns the surviving rows of ``df`` with its ORIGINAL columns only
+    (left-semi join against the gate) — one JVM-expression pass, filter
+    applied before any downstream shuffle; call ``text_quality`` directly
+    if you also need the feature columns."""
     feats = text_quality(df, id_col, text_col)
     keep = feats.where(
         (F.col("n_tokens") >= min_tokens)

@@ -72,6 +72,90 @@ def test_pack_unpack_roundtrip():
     assert got_dls == list(dls) and got_pos == pos
 
 
+def test_score_front_exact_block_bound():
+    """The stored (tf, dl) Pareto front yields the EXACT per-block max of
+    the BM25 score part for any (k1, b, avgdl) — and is therefore always
+    <= the (max_tf, min_dl) composite bound (tightness) and >= every
+    posting's actual part (validity)."""
+    import itertools
+
+    from searchengine_spark.index.blocks import (
+        bm25_part_upper_bound,
+        score_front,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def part(tf, dl, k1, b, avgdl):
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    for trial in range(50):
+        n = int(rng.integers(1, 129))
+        tfs = rng.integers(1, 30, size=n).astype(np.int64)
+        dls = rng.integers(1, 500, size=n).astype(np.int64)
+        f_tfs, f_dls = score_front(tfs, dls)
+        assert len(f_tfs) == len(f_dls) >= 1
+        for k1, b, avgdl in itertools.product(
+            (0.5, 1.2, 2.0), (0.0, 0.4, 0.75, 1.0), (3.0, 80.0, 1e4)
+        ):
+            exact = max(part(t, d, k1, b, avgdl) for t, d in zip(tfs, dls))
+            front = max(part(t, d, k1, b, avgdl) for t, d in zip(f_tfs, f_dls))
+            comp = bm25_part_upper_bound(tfs.max(), dls.min(), k1, b, avgdl)
+            if len(f_tfs) == 1 and (f_tfs[0], f_dls[0]) == (
+                tfs.max(),
+                dls.min(),
+            ):
+                # capped/collapsed front: valid upper bound, not exact
+                assert front >= exact - 1e-12
+            else:
+                assert abs(front - exact) < 1e-12
+            assert front <= comp + 1e-12
+
+
+def test_subcompact_crash_before_commit_invisible_and_gced(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Iceberg-style atomicity: if subcompact crashes AFTER writing the new
+    segment's files but BEFORE committing the snapshot, readers still see
+    the old snapshot exactly, and expire_snapshots removes the orphaned
+    segment directory."""
+    import os
+
+    from searchengine_spark.index import artifact as art
+
+    path = str(tmp_path / "crash_idx")
+    a = corpus.where("doc_id < 'conv-00000010'")
+    b = corpus.where("doc_id >= 'conv-00000010'")
+    build_artifact(spark, a.select("doc_id", "text"), path)
+    art.append_segment(spark, b.select("doc_id", "text"), path)
+    before = latest_snapshot(path)
+    seg_dirs_before = set(os.listdir(os.path.join(path, "blocks")))
+
+    real_commit = art._commit_snapshot
+
+    def boom(p, snap):
+        raise RuntimeError("simulated crash before snapshot commit")
+
+    monkeypatch.setattr(art, "_commit_snapshot", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        art.subcompact(spark, path, [0, 1])
+    monkeypatch.setattr(art, "_commit_snapshot", real_commit)
+
+    # reader view is byte-identical to the pre-crash snapshot...
+    assert latest_snapshot(path) == before
+    reloaded = load_artifact(spark, path)
+    assert {s["segment_id"] for s in reloaded.snapshot["segments"]} == {0, 1}
+    # ...even though orphan files exist on disk
+    orphans = set(os.listdir(os.path.join(path, "blocks"))) - seg_dirs_before
+    assert orphans, "crash test is vacuous: no orphan segment was written"
+    # physical GC removes the orphans; live segments survive
+    art.expire_snapshots(path, keep_last=1)
+    after = set(os.listdir(os.path.join(path, "blocks")))
+    assert after == seg_dirs_before
+    # and the artifact still answers queries
+    assert reloaded.search_bm25("spark shuffle error", 5).count() == 5
+
+
 def test_varbyte_large_values_roundtrip():
     vals = [0, 1, 2**31 - 1, 2**40, 2**40 + 7, 2**62]
     assert list(varbyte.decode(varbyte.encode(vals))) == vals

@@ -81,6 +81,86 @@ def test_auto_merge_bounds_segment_count(spark, corpus, tmp_path):
     assert l == a
 
 
+def test_replay_after_merge_is_noop(spark, corpus, tmp_path):
+    """Exactly-once across compaction: a micro-batch whose segment was
+    merged away by subcompact must STILL be recognized as already-applied
+    when Structured Streaming replays it after a crash (the merge carries
+    the folded segments' stream_batch_ids forward in lineage). Without the
+    carry-forward this silently double-appends."""
+    from searchengine_spark.index.artifact import subcompact
+
+    path = str(tmp_path / "replay_idx")
+    a = corpus.where("conv_id < 'conv-00000008'").select("doc_id", "text")
+    b = corpus.where(
+        "conv_id >= 'conv-00000008' and conv_id < 'conv-00000015'"
+    ).select("doc_id", "text")
+    c = corpus.where("conv_id >= 'conv-00000015'").select("doc_id", "text")
+    build_artifact(spark, a, path)
+    append_segment(spark, b, path, stream_batch_id=1)
+    append_segment(spark, c, path, stream_batch_id=2)
+    merged = subcompact(spark, path, [1, 2])  # folds both micro-segments
+    lin = [
+        s["lineage"]
+        for s in merged.snapshot["segments"]
+        if "subcompaction" in s["lineage"]["source"]
+    ][0]
+    assert lin["merged_stream_batch_ids"] == [1, 2]
+    n = merged.n_docs
+    snap = merged.snapshot["snapshot_id"]
+    # crash-replay of batches 1 and 2: both must be no-ops
+    for bid, df in ((1, b), (2, c)):
+        again = append_segment(spark, df, path, stream_batch_id=bid)
+        assert again.n_docs == n
+        assert again.snapshot["snapshot_id"] == snap
+    # a second-generation merge keeps carrying the ids forward
+    append_segment(spark, b.limit(3), path, stream_batch_id=3)
+    seg_ids = [s["segment_id"] for s in latest_snapshot(path)["segments"]]
+    merged2 = subcompact(spark, path, seg_ids)
+    lin2 = [
+        s["lineage"]
+        for s in merged2.snapshot["segments"]
+        if "subcompaction" in s["lineage"]["source"]
+    ][-1]
+    assert set(lin2["merged_stream_batch_ids"]) >= {1, 2, 3}
+
+
+def test_subcompact_handles_duplicate_doc_ids(spark, corpus, tmp_path):
+    """The same doc_id appended in two merged segments must keep exactly
+    one posting set per (segment-instance): the old->new ordinal mapping is
+    keyed on ordinals, so a doc_id equi-join can no longer cross-match and
+    duplicate postings / inflate df."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.index.artifact import subcompact
+
+    path = str(tmp_path / "dup_idx")
+    base = corpus.where("conv_id < 'conv-00000005'").select("doc_id", "text")
+    dup = corpus.where(
+        "conv_id >= 'conv-00000005' and conv_id < 'conv-00000008'"
+    ).select("doc_id", "text")
+    build_artifact(spark, base, path)
+    append_segment(spark, dup, path, stream_batch_id=1)
+    append_segment(spark, dup, path, stream_batch_id=2)  # same doc_ids again
+    before = load_artifact(spark, path)
+    n_postings_before = before.postings.count()
+    df_before = {
+        r["term"]: r["df"]
+        for r in before.postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    merged = subcompact(spark, path, [1, 2])
+    assert merged.n_docs == before.n_docs  # both instances kept, none cloned
+    assert merged.postings.count() == n_postings_before
+    df_after = {
+        r["term"]: r["df"]
+        for r in merged.postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    assert df_after == df_before
+
+
 def test_windowed_counts_with_watermark_drops_late_rows(spark, tmp_path):
     """Run the watermarked windowed agg as a real stream in append mode:
     a row 3 hours older than the max seen event time (watermark 2h) arrives

@@ -177,3 +177,36 @@ def test_combined_rank(spark, tiny_corpus):
     ranks = spark.createDataFrame([(boosted_doc, 100.0)], "node string, rank double")
     out = combined_rank(idx, ranks, "elizabeth darcy", 5, pagerank_weight=1.0)
     assert out.collect()[0]["doc_id"] == boosted_doc
+
+
+def test_combined_rank_non_identity_doc_node_mapping(spark, tiny_corpus):
+    """Parity-deviation contract (see combined_rank docstring): the
+    reference parses the graph node id from a doc's first text line; here
+    the caller supplies ANY doc_id->node mapping by pre-joining. Exercise
+    a genuinely non-identity mapping (integer node ids <-> string doc_ids)
+    and check the boost lands on the mapped doc."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.graph import combined_rank
+    from searchengine_spark.index import build_index
+
+    idx = build_index(spark, tiny_corpus.select("doc_id", "text"), cache=False)
+    base = idx.search_tfidf("elizabeth darcy", 5).collect()
+    assert len(base) >= 2
+    boosted_doc = base[-1]["doc_id"]
+    # graph space: integer node ids; mapping table doc_id <-> node
+    mapping = spark.createDataFrame(
+        [(r["doc_id"], 1000 + i) for i, r in enumerate(base)],
+        "doc_id string, node int",
+    )
+    boosted_node = 1000 + len(base) - 1
+    int_ranks = spark.createDataFrame(
+        [(boosted_node, 100.0)], "node int, rank double"
+    )
+    # caller-side translation of graph ranks into doc_id space
+    ranks = (
+        int_ranks.join(mapping, "node")
+        .select(F.col("doc_id").alias("node"), "rank")
+    )
+    out = combined_rank(idx, ranks, "elizabeth darcy", 5, pagerank_weight=1.0)
+    assert out.collect()[0]["doc_id"] == boosted_doc
