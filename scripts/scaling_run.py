@@ -73,6 +73,19 @@ def loadavg() -> float:
         return float(fh.read().split()[0])
 
 
+def settle(threshold: float, max_wait: float = 180.0) -> float:
+    """Wait for the 1-min load average to decay below ``threshold`` (our own
+    just-finished children count against it) so each measurement starts in
+    a comparably quiet window; give up after ``max_wait`` s and proceed."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        la = loadavg()
+        if la < threshold:
+            return la
+        time.sleep(10)
+    return loadavg()
+
+
 def _calib_worker(args) -> float:
     """One calibration process: run the engine's vectorized analyze kernel
     on a deterministic synthetic batch `iters` times; return elapsed sec."""
@@ -100,7 +113,7 @@ def _calib_worker(args) -> float:
     return _t.perf_counter() - t0
 
 
-def run_calibration(low: int, high: int, n_docs: int = 800, iters: int = 4) -> dict:
+def run_calibration(low: int, high: int, n_docs: int = 800, iters: int = 8) -> dict:
     """In-window host CPU-scaling measurement: aggregate analyze-kernel
     throughput (docs/sec across all workers) at `low` and `high` procs."""
     ctx = mp.get_context("spawn")
@@ -138,7 +151,9 @@ def run_child(cpus: int, src: str, out: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--convs", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "60000")))
+    # >= 1M turns: at ~330k turns the fixed per-job driver time dominates
+    # the local[16] run and the measured efficiency collapses (BENCH.md)
+    ap.add_argument("--convs", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "250000")))
     # 4 vs 16 (not 8 vs 32): the shared-host VM throttles per-core speed as
     # all 32 cores go busy (see BENCH.md "Hardware calibration"), which caps
     # any 8->32 comparison below the 0.8 target regardless of software.
@@ -149,6 +164,9 @@ def main() -> None:
     # effects) and report the median efficiency
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--no-calibrate", action="store_true")
+    ap.add_argument("--settle", type=float, default=2.0,
+                    help="wait (<=3 min) for 1-min loadavg below this "
+                    "before each trial")
     ap.add_argument("--no-bench-md", action="store_true",
                     help="print JSON only; don't append to BENCH.md")
     args = ap.parse_args()
@@ -176,7 +194,7 @@ def main() -> None:
             raise RuntimeError("input generation failed")
 
         for t in range(args.trials):
-            rec = {"load_start": loadavg()}
+            rec = {"load_start": settle(args.settle)}
             if not args.no_calibrate:
                 rec["calib"] = run_calibration(args.low, args.high)
             order = (
@@ -185,7 +203,9 @@ def main() -> None:
             res = {}
             for cpus in order:
                 out_dir = os.path.join(work, f"idx{cpus}_{t}")
+                la = settle(args.settle)
                 res[cpus] = run_child(cpus, src, out_dir)
+                res[cpus]["load_before"] = la
                 shutil.rmtree(out_dir, ignore_errors=True)
             rec["load_end"] = loadavg()
             lo, hi = res[args.low], res[args.high]
@@ -194,7 +214,12 @@ def main() -> None:
             )
             rec.update({"low": lo, "high": hi, "eff": round(eff, 3)})
             if "calib" in rec and rec["calib"]["calib_eff"] > 0:
-                rec["eff_norm"] = round(eff / rec["calib"]["calib_eff"], 3)
+                # clamp: a calibration > 1 (the host favoring the HIGH
+                # level, e.g. 2 procs landing on hyperthread siblings)
+                # must not inflate-or-deflate the spark reading
+                rec["eff_norm"] = round(
+                    eff / min(rec["calib"]["calib_eff"], 1.0), 3
+                )
             trials.append(rec)
             print(json.dumps({"trial": t, **rec}), flush=True)
     finally:
