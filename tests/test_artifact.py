@@ -112,6 +112,97 @@ def test_score_front_exact_block_bound():
             assert front <= comp + 1e-12
 
 
+def test_wand_front_bound_prunes_more_than_composite(spark, tmp_path):
+    """The Pareto-front bound must (a) keep WAND exact and (b) prune
+    strictly MORE blocks than the (max_tf, min_dl) composite on a corpus
+    with anti-correlated tf/dl — high-tf postings living in long docs.
+    There the composite crosses max_tf with another posting's min_dl into
+    an infeasible high bound, while the front bound sees the block's true
+    (low) max score part and drops it below θ."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.ranked import _query_weights, bm25_idf
+    from searchengine_spark.query.wand import _score_blocks
+
+    rows = []
+    # blocks 0-1 (doc_ids a****): heavy docs — "target" x8 in 400-token
+    # docs — interleaved with light matches in medium docs. Their true max
+    # score part is LOW (length-normalized away), but max_tf=8 with a
+    # neighbor's small dl makes the composite bound high.
+    for i in range(256):
+        if i % 2 == 0:
+            filler = " ".join(f"fill{i}w{j}" for j in range(397))
+            rows.append((f"a{i:04d}", ("target " * 3) + filler))
+        else:
+            filler = " ".join(f"fill{i}w{j}" for j in range(40 + (i % 11)))
+            rows.append((f"a{i:04d}", "target " + filler))
+    # blocks 2-3 (doc_ids z****): short docs with one "target" — the top
+    # scorers that set θ (varying dl => distinct scores, no tie plateau)
+    for i in range(256):
+        filler = " ".join(f"zfill{i}w{j}" for j in range(11 + (i % 30)))
+        rows.append((f"z{i:04d}", "target " + filler))
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+    path = str(tmp_path / "frontidx")
+    aidx = build_artifact(spark, corpus, path, analyzer="punctuation")
+
+    k = 20
+    # exactness first: WAND == logical on the same corpus
+    lidx = build_index(spark, corpus, analyzer="punctuation", cache=False)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in aidx.search_bm25("target", k).collect()]
+    l = [(r["doc_id"], round(r["score"], 9)) for r in lidx.search_bm25("target", k).collect()]
+    assert a == l
+
+    # replay the prune decision under both bounds at the same θ
+    k1, b = float(aidx.k1), float(aidx.b)
+    avgdl = float(aidx.avgdl) or 1.0
+
+    def part(tf, dl):
+        t = tf.cast("double")
+        return t * (k1 + 1.0) / (
+            t + k1 * (1.0 - b + b * dl.cast("double") / F.lit(avgdl))
+        )
+
+    weights = _query_weights(aidx, "target", bm25_idf)
+    qdf = spark.createDataFrame(weights, "term string, qtf int, idf double")
+    mtf = F.col("max_tf").cast("double")
+    comp = mtf * (k1 + 1.0) / (
+        mtf + k1 * (1.0 - b + b * F.col("min_dl") / F.lit(avgdl))
+    )
+    cand = (
+        aidx.blocks_for_terms([w[0] for w in weights])
+        .join(F.broadcast(qdf), "term")
+        .withColumn("ubf", F.col("qtf") * F.col("idf") * F.array_max(
+            F.zip_with("ub_tfs", "ub_dls", part)))
+        .withColumn("ubo", F.col("qtf") * F.col("idf") * comp)
+        .persist()
+    )
+    n_seed = math.ceil(k / aidx.block_size) + 1
+    w = Window.partitionBy("term").orderBy(
+        F.desc("ubf"), F.asc("first_ord"), F.asc("block_seq")
+    )
+    seed = cand.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= n_seed
+    )
+    top = (
+        _score_blocks(aidx, seed, qdf).orderBy(F.desc("score")).limit(k).collect()
+    )
+    assert len(top) >= k
+    theta = min(r["score"] for r in top)
+    # single term => "others" budget is 0: prune test is ub >= θ directly
+    kept_front = cand.where(F.col("ubf") >= theta).count()
+    kept_comp = cand.where(F.col("ubo") >= theta).count()
+    n_cand = cand.count()
+    cand.unpersist()
+    assert kept_front <= kept_comp  # front is never looser
+    assert kept_front < kept_comp, (
+        f"front bound should prune strictly more: cand={n_cand} "
+        f"front={kept_front} comp={kept_comp} theta={theta}"
+    )
+
+
 def test_subcompact_crash_before_commit_invisible_and_gced(
     spark, corpus, tmp_path, monkeypatch
 ):
