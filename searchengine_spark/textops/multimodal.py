@@ -11,10 +11,19 @@ Decode status per modality:
   PCM, mono-mixed; features are the true duration, RMS energy,
   zero-crossing rate, and peak amplitude (value-level tested against
   synthesized sine waves).
-- **image / video: STUBBED** — the decode libraries (Pillow/ffmpeg) are
-  not in this container; their rows get a deterministic sha256 fake
-  feature (``decoded = false``) so downstream plumbing stays testable, and
-  strict mode raises NotImplementedError instead.
+- **image (PNG / BMP / PPM-PGM): REAL** — a from-scratch PNG decoder
+  (stdlib ``zlib`` inflate + numpy per-row unfiltering, all five PNG
+  filter types, color types gray/RGB/gray+alpha/RGBA at bit depth 8),
+  plus uncompressed 24/32-bit BMP and binary PPM/PGM; features are the
+  true dimensions, channel count, luma mean/std, and histogram entropy
+  (round-trip and value-level tested). JPEG/WebP/interlaced PNG raise in
+  strict mode (their entropy coders genuinely need external libs).
+- **video (YUV4MPEG2): REAL** — uncompressed y4m container parse + frame
+  sampling with numpy; features are the true frame count/rate/geometry,
+  luma stats, and inter-frame motion energy. Compressed video (mp4/webm)
+  raises in strict mode (needs ffmpeg).
+- rows that fail or hit a stubbed codec get a deterministic sha256 fake
+  feature (``decoded = false``) so downstream plumbing stays testable.
 """
 
 from __future__ import annotations
@@ -66,15 +75,300 @@ FEATURE_SCHEMA = StructType(
 AUDIO_FEATURE_NAMES = ["duration_s", "rms", "zero_crossing_rate", "peak"]
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB: real impl would be PIL.Image.open(BytesIO(payload)).
-    Raises in strict mode; extract_features falls back to the fake."""
-    raise NotImplementedError("image decode requires Pillow (not in container)")
+# --- image decode (REAL: PNG / BMP / PPM-PGM, from scratch) ---------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (bit depth 8, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _decode_video(payload: bytes) -> np.ndarray:
-    """STUB: real impl would frame-sample via ffmpeg/PyAV."""
-    raise NotImplementedError("video decode requires ffmpeg (not in container)")
+def decode_png(payload: bytes) -> np.ndarray:
+    """From-scratch PNG decode: chunk walk, zlib inflate, per-row
+    unfiltering (all five filter types) -> (H, W, C) uint8. Supports bit
+    depth 8, color types gray/RGB/gray+alpha/RGBA, non-interlaced — the
+    overwhelming majority of real PNGs. Palette/16-bit/Adam7 raise
+    NotImplementedError (honest stub edge)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace}: only "
+            "8-bit gray/RGB/LA/RGBA non-interlaced supported without "
+            "external libs"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    rows = raw.reshape(h, stride + 1)
+    ftypes, rows = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        r, ft = rows[y], int(ftypes[y])
+        if ft == 0:
+            cur = r.copy()
+        elif ft == 1:  # Sub: prefix sums per channel stride
+            cur = r.reshape(w, ch).cumsum(axis=0, dtype=np.int64) % 256
+            cur = cur.reshape(stride).astype(np.int32)
+        elif ft == 2:  # Up
+            cur = (r + prev) % 256
+        elif ft == 3:  # Average (left-sequential per pixel, numpy rows)
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                a = cur[(x - 1) * ch : x * ch] if x else np.zeros(ch, np.int32)
+                cur[sl] = (r[sl] + (a + prev[sl]) // 2) % 256
+        elif ft == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            zero = np.zeros(ch, np.int32)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                a = cur[(x - 1) * ch : x * ch] if x else zero
+                b = prev[sl]
+                c = prev[(x - 1) * ch : x * ch] if x else zero
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[sl] = (r[sl] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (8-bit gray/LA/RGB/RGBA; one filter type for
+    every row) — deterministic test media + decoder round-trip fixture."""
+    import struct
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = arr.astype(np.int32).reshape(h, w * ch)
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    zero = np.zeros(ch, np.int32)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([zero, cur[:-ch]])
+        ul = np.concatenate([zero, prev[:-ch]])
+        if filter_type == 0:
+            res = cur
+        elif filter_type == 1:
+            res = (cur - left) % 256
+        elif filter_type == 2:
+            res = (cur - prev) % 256
+        elif filter_type == 3:
+            res = (cur - (left + prev) // 2) % 256
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            res = (cur - pred) % 256
+        else:
+            raise ValueError(filter_type)
+        lines.append(bytes([filter_type]) + res.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP -> (H, W, 3) uint8 (top-down)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_sz, w, h, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    step = bpp // 8
+    row_bytes = (w * step + 3) & ~3
+    flipped = h > 0
+    h = abs(h)
+    rows = np.frombuffer(
+        payload, np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * step].reshape(h, w, step)
+    rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB
+    return (rgb[::-1] if flipped else rgb).copy()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5), maxval <= 255 -> (H, W, C) uint8."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM")
+    ch = 3 if payload[:2] == b"P6" else 1
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    # (comment lines start with '#')
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM")
+    return (
+        np.frombuffer(payload, np.uint8, count=w * h * ch, offset=pos)
+        .reshape(h, w, ch)
+        .copy()
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode by magic-byte sniffing: PNG, BMP, binary PPM/PGM.
+    Formats whose entropy coding genuinely needs external libs (JPEG,
+    WebP, ...) raise NotImplementedError — an honest, narrow stub edge."""
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "image codec not supported without external libs (JPEG/WebP/...)"
+    )
+
+
+IMAGE_FEATURE_NAMES = ["width", "height", "channels", "luma_mean", "luma_std", "entropy"]
+
+
+def image_features(payload: bytes) -> list[float]:
+    """[width, height, channels, luma_mean, luma_std, entropy] from a real
+    decode (IMAGE_FEATURE_NAMES); luma = ITU-R 601 on RGB, the gray channel
+    otherwise; entropy in bits over the 256-bin luma histogram."""
+    img = decode_image(payload)
+    h, w, ch = img.shape
+    if ch >= 3:
+        luma = (
+            0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+        )
+    else:
+        luma = img[:, :, 0].astype(np.float64)
+    hist = np.bincount(
+        np.clip(luma, 0, 255).astype(np.uint8).ravel(), minlength=256
+    )
+    p = hist[hist > 0] / luma.size
+    entropy = float(-(p * np.log2(p)).sum())
+    return [
+        float(w), float(h), float(ch),
+        float(luma.mean()), float(luma.std()), entropy,
+    ]
+
+
+# --- video decode (REAL: uncompressed YUV4MPEG2) --------------------------
+
+
+def decode_y4m(payload: bytes, max_frames: int | None = None):
+    """YUV4MPEG2 parse -> (luma_frames (T, H, W) uint8, fps). Supports the
+    common C420* / C444 / Cmono colorspaces (only the luma plane is read).
+    Compressed containers (mp4/webm) raise NotImplementedError."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "video codec not supported without ffmpeg (mp4/webm/...)"
+        )
+    nl = payload.index(b"\n")
+    w = h = 0
+    num, den = 25, 1
+    cs = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = (int(x) for x in t[1:].split(":"))
+        elif t[0] == "C":
+            cs = t[1:]
+    if not w or not h:
+        raise ValueError("y4m missing geometry")
+    if cs.startswith("420"):
+        frame_bytes = w * h * 3 // 2
+    elif cs.startswith("444"):
+        frame_bytes = w * h * 3
+    elif cs.startswith("mono"):
+        frame_bytes = w * h
+    else:
+        raise NotImplementedError(f"y4m colorspace {cs}")
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad y4m FRAME marker")
+        pos = payload.index(b"\n", pos) + 1
+        frames.append(
+            np.frombuffer(payload, np.uint8, count=w * h, offset=pos)
+            .reshape(h, w)
+        )
+        pos += frame_bytes
+        if max_frames and len(frames) >= max_frames:
+            break
+    return np.stack(frames), num / den
+
+
+VIDEO_FEATURE_NAMES = [
+    "n_frames", "fps", "width", "height", "luma_mean", "motion"
+]
+
+
+def video_features(payload: bytes, max_frames: int = 64) -> list[float]:
+    """[n_frames, fps, width, height, luma_mean, motion] from a real y4m
+    decode (VIDEO_FEATURE_NAMES); motion = mean |frame delta| per pixel —
+    0 for a static clip, large for scene changes."""
+    frames, fps = decode_y4m(payload, max_frames=max_frames)
+    t, h, w = frames.shape
+    f = frames.astype(np.float64)
+    motion = float(np.abs(np.diff(f, axis=0)).mean()) if t > 1 else 0.0
+    return [float(t), float(fps), float(w), float(h), float(f.mean()), motion]
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -121,24 +415,27 @@ def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
 def extract_features(df: DataFrame, batch_rows: int = 64, strict: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary media payloads.
 
-    Audio rows get REAL WAV features (audio_features); image/video rows get
-    the sha256 fake with ``decoded = false`` (or raise in strict mode).
-    batch_rows bounds Arrow batch size: large blobs * default 10k-row
-    batches would blow executor memory; the real knob at scale is
-    spark.sql.execution.arrow.maxRecordsPerBatch set per-job.
+    Every modality gets a REAL decode for its supported codecs (WAV audio,
+    PNG/BMP/PPM images, y4m video — see module docstring); rows in
+    unsupported codecs get the sha256 fake with ``decoded = false``, or
+    raise in strict mode. batch_rows bounds Arrow batch size: large blobs
+    * default 10k-row batches would blow executor memory; the real knob at
+    scale is spark.sql.execution.arrow.maxRecordsPerBatch set per-job.
     """
 
     def one(kind: str, payload) -> tuple[bool, list[float]]:
         p = bytes(payload or b"")
-        if kind == "audio":
+        fn = {
+            "audio": audio_features,
+            "image": image_features,
+            "video": video_features,
+        }.get(kind)
+        if fn is not None:
             try:
-                return True, audio_features(p)
+                return True, fn(p)
             except Exception:
                 if strict:
                     raise
-                return False, _fake_feature(p)
-        if strict:
-            (_decode_image if kind == "image" else _decode_video)(p)
         return False, _fake_feature(p)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -181,16 +478,56 @@ def synth_wav(
     return buf.getvalue()
 
 
+def synth_png(
+    width: int, height: int, seed: int = 0, channels: int = 3,
+    filter_type: int = 0,
+) -> bytes:
+    """Deterministic gradient PNG (real, decodable) as test media."""
+    y, x = np.mgrid[0:height, 0:width]
+    base = (x * 3 + y * 5 + seed * 17) % 256
+    img = np.stack(
+        [(base + 31 * c) % 256 for c in range(channels)], axis=2
+    ).astype(np.uint8)
+    return encode_png(img, filter_type=filter_type)
+
+
+def synth_y4m(
+    width: int = 32, height: int = 24, n_frames: int = 8,
+    fps: int = 25, motion_step: int = 0, seed: int = 0,
+) -> bytes:
+    """Deterministic YUV4MPEG2 (C420) clip; ``motion_step`` shifts the luma
+    gradient per frame (0 = perfectly static clip)."""
+    header = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C420jpeg\n"
+    y, x = np.mgrid[0:height, 0:width]
+    out = [header.encode("ascii")]
+    chroma = np.full((height // 2) * (width // 2) * 2, 128, np.uint8).tobytes()
+    for t in range(n_frames):
+        luma = ((x * 7 + y * 3 + seed + t * motion_step) % 256).astype(np.uint8)
+        out.append(b"FRAME\n" + luma.tobytes() + chroma)
+    return b"".join(out)
+
+
 def sample_media_df(spark, n: int = 32) -> DataFrame:
-    """Deterministic synthetic media table for plumbing tests. Audio rows
-    carry REAL WAV payloads (synthesized sines) so the decode path runs."""
+    """Deterministic synthetic media table for plumbing tests. EVERY
+    modality carries real decodable payloads (WAV sines, gradient PNGs
+    cycling all five row filters, y4m clips), except every 9th media row
+    which is an unsupported-codec blob exercising the fallback path."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        if kind == "audio":
-            payload = synth_wav(220.0 + 10 * i, 0.05 + 0.01 * (i % 5))
-        else:
+        if i % 9 == 8:  # undecodable payloads: fallback/strict path
             payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+        elif kind == "audio":
+            payload = synth_wav(220.0 + 10 * i, 0.05 + 0.01 * (i % 5))
+        elif kind == "image":
+            payload = synth_png(
+                24 + i, 16 + (i % 7), seed=i,
+                channels=(1, 3, 4)[i % 3], filter_type=i % 5,
+            )
+        else:
+            payload = synth_y4m(
+                32, 24, n_frames=4 + i % 5, motion_step=(i % 4) * 3, seed=i
+            )
         rows.append(
             (
                 f"m-{i:05d}",

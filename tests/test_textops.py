@@ -193,7 +193,51 @@ def test_audio_features_values():
     assert peak == pytest.approx(0.5, rel=0.01)
 
 
-def test_extract_features_decodes_audio_for_real(spark):
+def test_png_decoder_roundtrip_all_filters():
+    """From-scratch PNG decode must invert the encoder for every PNG row
+    filter type and channel count."""
+    import numpy as np
+
+    from searchengine_spark.textops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 2, 3, 4):
+        for ft in range(5):
+            img = rng.integers(0, 256, size=(13, 17, ch), dtype=np.uint8)
+            assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
+
+
+def test_image_and_video_feature_values():
+    import numpy as np
+
+    from searchengine_spark.textops.multimodal import (
+        decode_image,
+        image_features,
+        synth_png,
+        synth_y4m,
+        video_features,
+    )
+
+    flat = np.full((10, 20, 3), 77, dtype=np.uint8)
+    from searchengine_spark.textops.multimodal import encode_png
+
+    w, h, ch, mean, std, ent = image_features(encode_png(flat))
+    assert (w, h, ch) == (20.0, 10.0, 3.0)
+    assert mean == pytest.approx(77.0, abs=0.5) and std == 0.0 and ent == 0.0
+    # gradient PNG has spread luma
+    _, _, _, _, std2, ent2 = image_features(synth_png(24, 16, seed=2))
+    assert std2 > 10 and ent2 > 4
+    # decode_image sniffs PPM too
+    ppm = b"P5\n4 2\n255\n" + bytes(range(8))
+    assert decode_image(ppm).shape == (2, 4, 1)
+
+    static = video_features(synth_y4m(32, 24, n_frames=6, motion_step=0))
+    moving = video_features(synth_y4m(32, 24, n_frames=6, motion_step=5))
+    assert static[0] == 6.0 and static[1] == 25.0 and static[5] == 0.0
+    assert moving[5] > 1.0  # real inter-frame motion energy
+
+
+def test_extract_features_decodes_all_modalities_for_real(spark):
     from searchengine_spark.textops.multimodal import (
         audio_features,
         extract_features,
@@ -206,22 +250,30 @@ def test_extract_features_decodes_audio_for_real(spark):
     assert len(rows) == 12
     for i in range(12):
         r = rows[f"m-{i:05d}"]
-        if r["kind"] == "audio":
+        if i % 9 == 8:  # the planted unsupported-codec rows
+            assert r["decoded"] is False and len(r["feature"]) == 16
+        elif r["kind"] == "audio":
             assert r["decoded"] is True and len(r["feature"]) == 4
             want = audio_features(synth_wav(220.0 + 10 * i, 0.05 + 0.01 * (i % 5)))
             assert r["feature"] == pytest.approx(want, rel=1e-6)
+        elif r["kind"] == "image":
+            assert r["decoded"] is True and len(r["feature"]) == 6
+            # true decoded dimensions, not metadata echoes
+            assert r["feature"][0] == 24 + i and r["feature"][1] == 16 + (i % 7)
         else:
-            assert r["decoded"] is False and len(r["feature"]) == 16
+            assert r["decoded"] is True and len(r["feature"]) == 6
+            assert r["feature"][0] == 4 + i % 5  # true frame count
 
 
-def test_extract_features_strict_raises_on_stubbed_modalities(spark):
+def test_extract_features_strict_raises_on_unsupported_codecs(spark):
     from searchengine_spark.textops.multimodal import (
         extract_features,
         sample_media_df,
     )
 
-    with pytest.raises(Exception, match="NotImplementedError|Pillow|ffmpeg"):
-        extract_features(sample_media_df(spark, n=3), strict=True).collect()
+    # n=9 includes the planted unsupported-codec row (i == 8)
+    with pytest.raises(Exception, match="NotImplementedError|external libs|ffmpeg"):
+        extract_features(sample_media_df(spark, n=9), strict=True).collect()
 
 
 @pytest.fixture(scope="module")
