@@ -576,8 +576,22 @@ class ArtifactIndex(Index):
             out = out.where(F.col("bucket").isin(buckets))
         return out.where(F.col("term").isin(terms))
 
-    def postings_for_terms(self, terms) -> DataFrame:
-        return self.filter_deleted(self._decode(self.blocks_for_terms(terms)))
+    def postings_for_terms(self, terms, positional: bool = True) -> DataFrame:
+        """``positional=False``: decode WITHOUT the position bytes — the
+        ``pos`` parquet column is projected out of the block scan, so the
+        (dominant) position data never leaves disk. ``positions`` comes
+        back null; callers asking for it must use the default."""
+        blocks = self.blocks_for_terms(terms)
+        if not (positional and self.positional):
+            nopos = blocks.select(
+                "term", "first_ord", "docs", "tfs", "dls"
+            ).mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA)
+            return self.filter_deleted(
+                nopos.join(
+                    self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord"
+                ).select("doc_id", "term", "tf", "positions", "dl")
+            )
+        return self.filter_deleted(self._decode(blocks))
 
     def docs_for_ordinals(self, ords) -> DataFrame:
         """Point-lookup hydration: ``(doc_ord, doc_id)`` for the given

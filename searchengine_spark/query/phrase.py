@@ -10,6 +10,15 @@ Spark shape: filter postings to the phrase's terms, collect a per-document
 chain over shifted position arrays — all built-in expressions, no Python in
 the hot path. Duplicate terms inside the phrase are handled naturally since
 the map is keyed by term and shifts differ per slot.
+
+Scale shape (artifact path, multi-term phrases): a PHASE-1 candidate pass
+scans the term blocks WITHOUT the position bytes (``postings_for_terms``
+with ``positional=False`` — the ``pos`` parquet column never leaves disk)
+and keeps only doc_ids containing every phrase term; phase 2 then decodes
+positions but left-semi-joins to the candidates BEFORE the posmap shuffle.
+For the common asymmetric phrase ("merge" in 10^9 docs + a rare second
+term), the position arrays of the 10^9 non-candidates are never shuffled
+— the dominant cost at corpus scale.
 """
 
 from __future__ import annotations
@@ -23,9 +32,19 @@ def search_phrase(index, phrase) -> DataFrame:
     if not terms:
         return index.spark.createDataFrame([], "doc_id string")
     uniq = sorted(set(terms))
+    post = index.postings_for_terms(uniq)
+    if len(uniq) > 1:
+        # artifact path: positions-free candidate scan (pos column pruned)
+        nopos = index.postings_for_terms(uniq, positional=False)
+        cand_docs = (
+            nopos.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nt"))
+            .where(F.col("nt") == len(uniq))
+            .select("doc_id")
+        )
+        post = post.join(cand_docs, "doc_id", "left_semi")
     per_doc = (
-        index.postings_for_terms(uniq)
-        .groupBy("doc_id")
+        post.groupBy("doc_id")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("term", "positions"))

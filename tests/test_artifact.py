@@ -353,6 +353,22 @@ def test_wand_scoring_plan_has_no_doc_table_scan(spark, aidx):
     assert "/blocks" in plan  # sanity: it is reading the block artifact
 
 
+def test_phrase_candidate_scan_prunes_position_bytes(spark, aidx, lidx):
+    """Phrase search's phase-1 candidate pass must scan the block files
+    WITHOUT the pos column (the dominant bytes of a positional index), and
+    the two-phase plan must return exactly the logical path's results."""
+    nopos = aidx.postings_for_terms(["spark", "error"], positional=False)
+    plan = _plan_of(nopos)
+    assert "/blocks" in plan
+    assert "pos:binary" not in plan, "position bytes leak into nopos scan"
+    withpos = aidx.postings_for_terms(["spark", "error"])
+    assert "pos:binary" in _plan_of(withpos)  # sanity: default reads them
+    for q in ("spark shuffle", "merge sort algorithm", "spark spark"):
+        a = sorted(r["doc_id"] for r in aidx.search_phrase(q).collect())
+        l = sorted(r["doc_id"] for r in lidx.search_phrase(q).collect())
+        assert a == l
+
+
 def test_docs_for_ordinals_pushes_filters(aidx):
     """Hydration point lookup: seg partition filter (directory pruning) and
     doc_ord IN (row-group pruning) must reach the parquet scan."""
