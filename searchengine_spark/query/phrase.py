@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# below this total df the phrase terms' postings are small enough that the
+# single-pass plan wins (the phase-1 scan would cost more than it saves)
+_TWO_PHASE_MIN_DF = 65536
+
 
 def search_phrase(index, phrase) -> DataFrame:
     terms = index.analyze_query(phrase)
@@ -33,7 +37,13 @@ def search_phrase(index, phrase) -> DataFrame:
         return index.spark.createDataFrame([], "doc_id string")
     uniq = sorted(set(terms))
     post = index.postings_for_terms(uniq)
-    if len(uniq) > 1:
+    # two-phase only when the term postings are big enough that shuffling
+    # non-candidate position arrays dominates the second scan (same
+    # small-query escape hatch shape as WAND's <=256-block fast path);
+    # df stats come from the broadcast-sized stats table, no extra job
+    stats = index.query_term_stats(uniq)
+    total_df = sum(df for df, _ in stats.values())
+    if len(uniq) > 1 and total_df > _TWO_PHASE_MIN_DF:
         # artifact path: positions-free candidate scan (pos column pruned)
         nopos = index.postings_for_terms(uniq, positional=False)
         cand_docs = (

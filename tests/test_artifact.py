@@ -353,20 +353,31 @@ def test_wand_scoring_plan_has_no_doc_table_scan(spark, aidx):
     assert "/blocks" in plan  # sanity: it is reading the block artifact
 
 
-def test_phrase_candidate_scan_prunes_position_bytes(spark, aidx, lidx):
+def test_phrase_candidate_scan_prunes_position_bytes(
+    spark, aidx, lidx, monkeypatch
+):
     """Phrase search's phase-1 candidate pass must scan the block files
     WITHOUT the pos column (the dominant bytes of a positional index), and
     the two-phase plan must return exactly the logical path's results."""
+    from searchengine_spark.query import phrase as ph
+
     nopos = aidx.postings_for_terms(["spark", "error"], positional=False)
     plan = _plan_of(nopos)
     assert "/blocks" in plan
     assert "pos:binary" not in plan, "position bytes leak into nopos scan"
     withpos = aidx.postings_for_terms(["spark", "error"])
     assert "pos:binary" in _plan_of(withpos)  # sanity: default reads them
+    # force the two-phase path on the tiny fixture (real gate is df-based)
+    monkeypatch.setattr(ph, "_TWO_PHASE_MIN_DF", 0)
     for q in ("spark shuffle", "merge sort algorithm", "spark spark"):
         a = sorted(r["doc_id"] for r in aidx.search_phrase(q).collect())
         l = sorted(r["doc_id"] for r in lidx.search_phrase(q).collect())
         assert a == l
+    # and the small-query gate keeps the single-pass plan
+    monkeypatch.setattr(ph, "_TWO_PHASE_MIN_DF", 1 << 60)
+    a = sorted(r["doc_id"] for r in aidx.search_phrase("spark shuffle").collect())
+    l = sorted(r["doc_id"] for r in lidx.search_phrase("spark shuffle").collect())
+    assert a == l
 
 
 def test_docs_for_ordinals_pushes_filters(aidx):
