@@ -5,10 +5,13 @@ DataFrame) with ANSI SQL that DuckDB runs over the same parquet views; the
 driver hash-compares them (CORRECTNESS_r{N}.json). Column names/types are
 aligned on both sides, floats rounded identically before comparison.
 
-Full-text entries run the engine with the ``punctuation`` analyzer (no
-stemming) so the oracle is SQL-expressible; the composable analyzer chain
-(with the Porter stemmer) is verified by the pytest oracle-parity suite
-instead (tests/test_engine_parity.py) — stemming is not expressible in SQL.
+Full-text entries over the open-vocabulary sf tables run the engine with
+the ``punctuation`` analyzer (no stemming) so the oracle is SQL-expressible;
+the composable analyzer chain (with the Porter stemmer) is verified by the
+pytest oracle-parity suite (tests/test_engine_parity.py) AND by the ``tr_*``
+entries, whose fixed tiny transcripts corpus has a closed vocabulary — there
+the oracle inlines a token->stem map as SQL literals (_tr_corpus_ctes), so
+the stemmed chain is hash-checked end-to-end too.
 
 Shared constants (stop words, MinHash params, shingle width, BM25 k1/b) are
 imported from the same modules the Spark operators use, so the SQL is
@@ -1026,16 +1029,27 @@ ORDER BY n_sessions DESC, user_id LIMIT 25
 # ---------------------------------------------------------------------------
 
 
+_TR_BM25_QUERY = "spark shuffle error checkpoint"
+_TR_PHRASE = "merge sort algorithm"  # fixtures.PLANTED_PHRASE
+
+
 def tr_bm25_top10(spark, sf_dir):
     """BM25 with the full composable analyzer (Porter stemming) over the
-    deterministic synthetic transcripts corpus — pytest oracle-verified;
-    the driver records a rows-only check (stemming is not SQL-expressible)."""
+    deterministic synthetic transcripts corpus. DuckDB-oracled despite the
+    stemmer: the tiny corpus is fixed and its vocabulary closed, so the
+    oracle inlines the corpus rows and a token->stem map as SQL literals
+    (_tr_corpus_ctes) and independently replays tokenization, stop-word
+    removal, tf/df/dl accounting, the BM25 math and the rounded top-k cut."""
     from .fixtures import doc_key_col, transcripts_df
 
     corpus = transcripts_df(spark, "tiny").withColumn("doc_id", doc_key_col())
     idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
-    res = idx.search_bm25("spark shuffle error checkpoint", 10)
-    return res.select("doc_id", F.round("score", 4).alias("score_r"))
+    res = idx.search_bm25(_TR_BM25_QUERY, None)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(10)
+    )
 
 
 def tr_phrase_planted(spark, sf_dir):
@@ -1043,7 +1057,115 @@ def tr_phrase_planted(spark, sf_dir):
 
     corpus = transcripts_df(spark, "tiny").withColumn("doc_id", doc_key_col())
     idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
-    return idx.search_phrase("merge sort algorithm")
+    return idx.search_phrase(_TR_PHRASE)
+
+
+def _tr_corpus_ctes() -> str:
+    """Shared CTEs for the transcripts-engine oracles: the deterministic
+    tiny corpus (fixtures.transcripts_pandas — byte-identical to the Spark
+    side's transcripts_df(spark, 'tiny')) inlined as literal rows, plus a
+    token -> Porter-stem map covering the corpus's closed vocabulary. The
+    stem strings come from the golden-tested stemmer (analysis/porter,
+    pinned against reference vectors in tests/test_analysis.py); everything
+    else — tokenization, stop words, positions, tf/df/dl, scoring, top-k —
+    is replayed independently in SQL."""
+    from .analysis.porter import stem
+    from .fixtures import SIZES, doc_key, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    docs = ", ".join(
+        "('{}', '{}')".format(doc_key(str(cid), int(ti)), txt.replace("'", "''"))
+        for cid, ti, txt in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"])
+    )
+    vocab = sorted({t for txt in pdf["text"] for t in punctuation_tokenize(txt)})
+    stems = ", ".join(f"('{t}', '{stem(t)}')" for t in vocab)
+    return f"""
+trdocs AS (SELECT * FROM (VALUES {docs}) AS v(doc_id, text)),
+trstems AS (SELECT * FROM (VALUES {stems}) AS v(tok, term)),
+trlists AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                              '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> '' AND x NOT IN ({_STOP_SQL})
+         ) AS toks
+  FROM trdocs
+),
+trtok AS (
+  SELECT r.doc_id, s.term, r.e['pos'] AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(toks, (x, i) -> {{'tok': x, 'pos': i - 1}})) AS e
+    FROM trlists
+  ) r
+  JOIN trstems s ON s.tok = r.e['tok']
+),
+trpostings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM trtok GROUP BY doc_id, term
+),
+trdoclen AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl FROM trlists
+),
+trstats AS (
+  SELECT term, count(*)::BIGINT AS df FROM trpostings GROUP BY term
+),
+trcorpus AS (
+  SELECT (SELECT count(*) FROM trdocs)::BIGINT AS n_docs,
+         (SELECT sum(dl) FROM trdoclen)::DOUBLE
+           / (SELECT count(*) FROM trdocs)::DOUBLE AS avgdl
+)
+"""
+
+
+def _tr_analyzed(query: str) -> list[str]:
+    from .analysis.analyzer import analyze
+
+    return analyze(query)
+
+
+def _tr_bm25_sql(query: str, k: int) -> str:
+    from collections import Counter
+
+    counts = Counter(_tr_analyzed(query))
+    qrows = ", ".join(f"('{t}', {c})" for t, c in sorted(counts.items()))
+    return f"""
+WITH {_tr_corpus_ctes()},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM (VALUES {qrows}) AS q(term, qtf)
+  JOIN trstats s ON s.term = q.term
+  CROSS JOIN trcorpus c
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM trpostings p
+  JOIN qw ON qw.term = p.term
+  JOIN trdoclen d ON d.doc_id = p.doc_id
+  CROSS JOIN trcorpus c
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT {k}
+"""
+
+
+def _tr_phrase_sql(phrase: str) -> str:
+    terms = _tr_analyzed(phrase)
+    joins, conds = [], [f"t0.term = '{terms[0]}'"]
+    for j in range(1, len(terms)):
+        joins.append(
+            f"JOIN trtok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
+        )
+        conds.append(f"t{j}.term = '{terms[j]}'")
+    return f"""
+WITH {_tr_corpus_ctes()}
+SELECT DISTINCT t0.doc_id FROM trtok t0 {' '.join(joins)}
+WHERE {' AND '.join(conds)}
+"""
 
 
 _SIMHASH_RADIUS = 6  # C(8,2)=28 chunk-pair tables, 16-bit keys: recall-
@@ -1461,9 +1583,12 @@ QUERIES = {
     # pytest (tests/test_textops.py)
     "ann_lsh_top10": ann_lsh_top10,
     "emb_near_dup_lsh": emb_near_dup_lsh,
-    # rows-only (no SQL oracle possible: Porter stemming / binary decode):
+    # Porter-stemmed, but over the FIXED tiny transcripts corpus whose
+    # vocabulary is closed — oracled by inlining corpus + stem map as SQL
+    # literals (_tr_corpus_ctes); stems themselves are golden-tested
     "tr_bm25_top10": tr_bm25_top10,
     "tr_phrase_planted": tr_phrase_planted,
+    # rows-only (no SQL oracle possible: binary media decode):
     "media_features": media_features_q,
 }
 
@@ -1507,4 +1632,6 @@ ORACLES = {
     "wordbreak_cjk": _wordbreak_cjk_sql(),
     "pagerank_top20": _pagerank_sql(),
     "combined_rank_top20": _combined_rank_sql(),
+    "tr_bm25_top10": _tr_bm25_sql(_TR_BM25_QUERY, 10),
+    "tr_phrase_planted": _tr_phrase_sql(_TR_PHRASE),
 }
