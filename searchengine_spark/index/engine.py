@@ -47,13 +47,26 @@ from ..analysis import get_analyzer
 from ..analysis.porter import stem
 from ..analysis.tokenizers import punctuation_tokenize
 
-TERM_POSITIONS_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("term", StringType()),
-            StructField("positions", ArrayType(IntegerType())),
-        ]
-    )
+# Flat Arrow boundary for the analyze UDFs: one struct of parallel arrays
+# per document instead of a list of per-term dicts. Arrow converts flat
+# numpy/str arrays ~2x faster than list-of-dict rows (measured 9.3 s ->
+# 5.8 s for the 1.37M-turn analyze, BENCH.md round-3 notes); the
+# per-term structs are zipped back JVM-side by `_zip_terms` at zero
+# Python cost. `dl` rides along so no downstream aggregate recomputes it.
+DOC_TERMS_SCHEMA = StructType(
+    [
+        StructField("dl", IntegerType()),
+        StructField("terms", ArrayType(StringType())),
+        StructField("poss", ArrayType(ArrayType(IntegerType()))),
+    ]
+)
+
+DOC_COUNTS_SCHEMA = StructType(
+    [
+        StructField("dl", IntegerType()),
+        StructField("terms", ArrayType(StringType())),
+        StructField("tfs", ArrayType(IntegerType())),
+    ]
 )
 
 
@@ -121,31 +134,78 @@ def _doc_term_runs(doc_idx, tcodes, positions):
     return d_s, t_s, p_s, starts, ends
 
 
-def make_term_positions_udf(analyzer: str = "composable"):
-    """pandas UDF: text -> array<struct<term, positions>> (per-document
-    postings, built entirely inside one Arrow batch — no groupBy needed).
-    All per-token work is C-level (regex tokenize, factorize, numpy index
-    arithmetic); Python loops touch only the batch vocabulary (stemming)
-    and the (doc, term) runs. Position arrays are handed to Arrow as int32
-    numpy slices — no per-position Python ints are ever allocated."""
+def make_doc_terms_udf(analyzer: str = "composable", positional: bool = True):
+    """pandas UDF: text -> struct<dl, terms, poss|tfs> (per-document
+    postings as parallel flat arrays, built entirely inside one Arrow
+    batch — no groupBy needed). All per-token work is C-level (regex
+    tokenize, factorize, numpy index arithmetic); Python loops touch only
+    the batch vocabulary (stemming) and the (doc, term) runs. Position
+    arrays are handed to Arrow as int32 numpy slices — no per-position
+    Python ints are ever allocated — and the flat layout avoids the
+    list-of-dict conversion that used to dominate the Arrow return path."""
     analyzer_name = analyzer
 
-    def _batch(texts: pd.Series) -> pd.Series:
+    def _batch(texts: pd.Series) -> pd.DataFrame:
         lens, doc_idx, tcodes, positions, terms = _tokenize_batch(
             texts, analyzer_name
         )
-        out: list[list] = [[] for _ in range(len(lens))]
+        nd = len(lens)
+        terms_out: list[list] = [[] for _ in range(nd)]
+        vals_out: list[list] = [[] for _ in range(nd)]
         if doc_idx is not None:
             d_s, t_s, p_s, starts, ends = _doc_term_runs(
                 doc_idx, tcodes, positions
             )
-            for s, e in zip(starts, ends):
-                out[d_s[s]].append(
-                    {"term": terms[t_s[s]], "positions": p_s[s:e]}
-                )
-        return pd.Series(out)
+            if positional:
+                for s, e in zip(starts, ends):
+                    d = d_s[s]
+                    terms_out[d].append(terms[t_s[s]])
+                    vals_out[d].append(p_s[s:e])
+            else:
+                for s, e in zip(starts, ends):
+                    d = d_s[s]
+                    terms_out[d].append(terms[t_s[s]])
+                    vals_out[d].append(int(e - s))
+        return pd.DataFrame(
+            {
+                "dl": lens.astype("int32"),
+                "terms": terms_out,
+                ("poss" if positional else "tfs"): vals_out,
+            }
+        )
 
-    return pandas_udf(_batch, TERM_POSITIONS_SCHEMA)
+    return pandas_udf(
+        _batch, DOC_TERMS_SCHEMA if positional else DOC_COUNTS_SCHEMA
+    )
+
+
+def _zip_terms(r, positional: bool = True):
+    """struct<dl, terms, poss|tfs> column -> array<struct<term, positions|tf>>
+    (pure JVM expression; pairs the flat UDF output back into the per-term
+    struct shape downstream operators consume)."""
+    if positional:
+        return F.transform(
+            F.arrays_zip(r["terms"], r["poss"]),
+            lambda s: F.struct(
+                s["terms"].alias("term"), s["poss"].alias("positions")
+            ),
+        )
+    return F.transform(
+        F.arrays_zip(r["terms"], r["tfs"]),
+        lambda s: F.struct(s["terms"].alias("term"), s["tfs"].alias("tf")),
+    )
+
+
+def make_term_positions_udf(analyzer: str = "composable"):
+    """Column function: text -> array<struct<term, positions>>. Kept for
+    compatibility with per-column composition (streaming windows); now a
+    thin zip over the flat `make_doc_terms_udf` boundary."""
+    udf = make_doc_terms_udf(analyzer, positional=True)
+
+    def col_fn(c):
+        return _zip_terms(udf(c), positional=True)
+
+    return col_fn
 
 
 @dataclass
@@ -326,36 +386,15 @@ class Index:
         return results.join(self.corpus, on=self.doc_id_col, how="inner")
 
 
-TERM_COUNTS_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("term", StringType()),
-            StructField("tf", IntegerType()),
-        ]
-    )
-)
-
-
 def make_term_counts_udf(analyzer: str = "composable"):
-    """Non-positional fast path: text -> array<struct<term, tf>>. Shares the
-    factorize-based kernel with the positional UDF — per-token work is all
-    C-level; tf per (doc, term) falls out of the run lengths."""
-    analyzer_name = analyzer
+    """Column function: text -> array<struct<term, tf>> (non-positional
+    fast path; zip over the flat UDF boundary, same factorize kernel)."""
+    udf = make_doc_terms_udf(analyzer, positional=False)
 
-    def _batch(texts: pd.Series) -> pd.Series:
-        lens, doc_idx, tcodes, positions, terms = _tokenize_batch(
-            texts, analyzer_name
-        )
-        out: list[list] = [[] for _ in range(len(lens))]
-        if doc_idx is not None:
-            d_s, t_s, _, starts, ends = _doc_term_runs(
-                doc_idx, tcodes, positions
-            )
-            for s, e in zip(starts, ends):
-                out[d_s[s]].append({"term": terms[t_s[s]], "tf": int(e - s)})
-        return pd.Series(out)
+    def col_fn(c):
+        return _zip_terms(udf(c), positional=False)
 
-    return pandas_udf(_batch, TERM_COUNTS_SCHEMA)
+    return col_fn
 
 
 def build_doc_terms(
@@ -369,20 +408,18 @@ def build_doc_terms(
     per-doc array of term structs. The artifact build persists THIS (1 row
     per doc) instead of the exploded postings (1 row per (doc, term)): same
     bytes, far fewer row objects to cache, and the doc-length table falls
-    out with no groupBy shuffle."""
-    if positional:
-        udf = make_term_positions_udf(analyzer)
-        return corpus.select(
-            F.col(doc_id_col).cast("string").alias("doc_id"),
-            udf(F.col(text_col)).alias("tp"),
-        ).withColumn(
-            "dl", F.expr("aggregate(tp, 0, (a, x) -> a + size(x.positions))")
-        )
-    udf = make_term_counts_udf(analyzer)
-    return corpus.select(
+    out with no groupBy shuffle. ``dl`` rides out of the UDF directly and
+    ``tp`` is zipped from the flat arrays JVM-side (see DOC_TERMS_SCHEMA)."""
+    udf = make_doc_terms_udf(analyzer, positional)
+    flat = corpus.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
-        udf(F.col(text_col)).alias("tp"),
-    ).withColumn("dl", F.expr("aggregate(tp, 0, (a, x) -> a + x.tf)"))
+        udf(F.col(text_col)).alias("r"),
+    )
+    return flat.select(
+        "doc_id",
+        _zip_terms(F.col("r"), positional).alias("tp"),
+        F.col("r.dl").alias("dl"),
+    )
 
 
 def explode_doc_terms(doc_terms: DataFrame, positional: bool = True) -> DataFrame:
