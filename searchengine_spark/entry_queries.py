@@ -1322,9 +1322,81 @@ FROM documents d LEFT JOIN fp f USING (doc_id)
 
 
 def media_features_q(spark, sf_dir):
+    """Multimodal feature-extraction plumbing over the deterministic 32-row
+    synthetic media table (WAV sines / gradient PNGs / y4m clips / one
+    undecodable blob per 9 rows). Oracled via a construction-derived VALUES
+    table: the expected (payload_sha, n_bytes, decoded) per row is computed
+    driver-side with plain hashlib/numpy on the SAME synthesized payloads,
+    never through Spark — so a hash match pins exactly the Spark-side
+    surface (binary fidelity through createDataFrame -> Arrow ->
+    mapInPandas, batch slicing, schema mapping). The float feature vectors
+    are dropped here and value-tested in pytest instead
+    (tests/test_textops.py)."""
     from .textops.multimodal import extract_features, sample_media_df
 
-    return extract_features(sample_media_df(spark)).drop("feature")
+    return (
+        extract_features(sample_media_df(spark))
+        .drop("feature")
+        .orderBy("media_id")
+    )
+
+
+def _media_features_sql() -> str:
+    """DuckDB twin of media_features_q: expected rows computed in plain
+    Python (no Spark) from the same deterministic synthesis, inlined as a
+    VALUES table. ``decoded`` is replayed by calling the per-modality
+    feature functions directly on the payload bytes."""
+    import hashlib as _hl
+
+    # Re-synthesize the payloads without Spark: sample_media_df's row
+    # recipe is deterministic; mirror it via the module's own synth_*
+    # helpers (tests/test_textops.py pins the recipe against drift).
+    from .textops.multimodal import (
+        audio_features,
+        image_features,
+        synth_png,
+        synth_wav,
+        synth_y4m,
+        video_features,
+    )
+
+    decode_fn = {
+        "audio": audio_features,
+        "image": image_features,
+        "video": video_features,
+    }
+    vals = []
+    for i in range(32):
+        kind = ("image", "audio", "video")[i % 3]
+        if i % 9 == 8:
+            payload = _hl.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+        elif kind == "audio":
+            payload = synth_wav(220.0 + 10 * i, 0.05 + 0.01 * (i % 5))
+        elif kind == "image":
+            payload = synth_png(
+                24 + i, 16 + (i % 7), seed=i,
+                channels=(1, 3, 4)[i % 3], filter_type=i % 5,
+            )
+        else:
+            payload = synth_y4m(
+                32, 24, n_frames=4 + i % 5, motion_step=(i % 4) * 3, seed=i
+            )
+        try:
+            decode_fn[kind](payload)
+            decoded = "TRUE"
+        except Exception:
+            decoded = "FALSE"
+        sha = _hl.sha256(payload).hexdigest()
+        vals.append(
+            f"('m-{i:05d}', '{kind}', '{sha}', "
+            f"{len(payload)}::BIGINT, {decoded})"
+        )
+    return (
+        "SELECT media_id, kind, payload_sha, n_bytes, decoded FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(media_id, kind, payload_sha, n_bytes, decoded) "
+        "ORDER BY media_id"
+    )
 
 
 def wordbreak_en_q(spark, sf_dir):
@@ -1570,7 +1642,8 @@ QUERIES = {
     "events_windowed": events_windowed,
     "events_sessionize": events_sessionize,
     "simhash_pairs": simhash_pairs_q,
-    # rows-only (no SQL oracle possible):
+    # oracled since r2/r3 (exact-SQL or construction-derived twins — see
+    # each entry's docstring for the independence argument):
     "ann_ivf_top10": ann_ivf_top10,
     "doc_fingerprints": doc_fingerprints_q,
     "wordbreak_en": wordbreak_en_q,
@@ -1588,7 +1661,9 @@ QUERIES = {
     # literals (_tr_corpus_ctes); stems themselves are golden-tested
     "tr_bm25_top10": tr_bm25_top10,
     "tr_phrase_planted": tr_phrase_planted,
-    # rows-only (no SQL oracle possible: binary media decode):
+    # media plumbing: oracled via a construction-derived VALUES table
+    # (expected sha/bytes/decoded computed driver-side without Spark);
+    # float feature vectors are pytest-value-tested instead
     "media_features": media_features_q,
 }
 
@@ -1634,4 +1709,5 @@ ORACLES = {
     "combined_rank_top20": _combined_rank_sql(),
     "tr_bm25_top10": _tr_bm25_sql(_TR_BM25_QUERY, 10),
     "tr_phrase_planted": _tr_phrase_sql(_TR_PHRASE),
+    "media_features": _media_features_sql(),
 }
