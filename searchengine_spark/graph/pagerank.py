@@ -136,7 +136,7 @@ def combined_rank(
     That couples ranking to a corpus-layout convention; here the caller
     supplies the doc_id->node mapping explicitly by renaming/joining
     ``ranks`` (any mapping, not just identity — see
-    ``tests/test_pagerank.py`` non-identity mapping test). To reproduce the
+    ``tests/test_wordbreak_pagerank.py`` non-identity mapping test). To reproduce the
     reference exactly, pre-extract line 1 of each doc into ``node`` and
     pass that frame as ``ranks``."""
     tfidf = index.search_tfidf(query, None)
