@@ -15,8 +15,33 @@ vectorized/distributed restatement (SURVEY.md §4.2.2):
 3. **Seed θ**: decode only the ⌈k/block_size⌉+1 highest-ub blocks per term,
    score them exactly; the k-th best (partial) score is a valid lower bound
    θ of the true k-th score.
-4. **Prune**: a block of term t is dropped iff ub(block) + Σ_{t'≠t}
-   max-ub(t') < θ. Any doc in a dropped block has true score < θ ≤ true
+4. **Prune**: a block of term t is dropped iff ub(block) + others(block)
+   < θ, where others(block) upper-bounds what any doc in the block's
+   doc-ordinal range can collect from the OTHER query terms. Two
+   admissible bounds, tightest applicable wins:
+
+   - *global others* (small queries): Σ_{t'≠t} max-ub(t') — one scalar
+     per term, no extra jobs;
+   - *block-aligned others* (the real Block-Max WAND, used when the
+     candidate set is large): for each block, Σ_{t'≠t} max(ub over t''s
+     blocks whose ordinal range overlaps this block's). Distributed
+     restatement: ordinal space is bucketed (width ≈ the densest term's
+     block span); each NARROW block (≤ ``_ALIGNED_MAX_SPAN`` buckets)
+     posts its ub into its buckets, and per-(bucket, term) maxima form a
+     metadata-sized table; a candidate block then takes, per other term,
+     the max over its own buckets (equi-join on bucket — never a range
+     join), falling back to that term's max over WIDE blocks when no
+     narrow block shares a bucket. Admissible because a doc's posting
+     for t' lives in a t'-block containing its ordinal, which therefore
+     overlaps the candidate block's range: if narrow it shares the
+     doc's bucket (buckets cover ranges inclusively), if wide it is
+     covered by the wide max. Hot-term blocks — the ones worth pruning
+     — are exactly the narrow ones, so the aligned sum varies along the
+     ordinal axis and drops blocks the global bound never could (on
+     disjunctive multi-term queries the global bound prunes ~nothing:
+     Σ other-max alone usually exceeds θ).
+
+   Any doc in a dropped block has true score < θ ≤ true
    k-th score, so: (a) every true top-k doc has ALL its blocks kept (its
    blocks can't satisfy the drop test — the doc itself is a witness), hence
    is scored exactly; (b) docs scored partially (some blocks dropped) have
@@ -53,6 +78,23 @@ from .ranked import _query_weights, bm25_idf
 # the k-th score, fall back to a distributed cut (pathological corpora only —
 # e.g. every doc identical).
 _MAX_TIE_COLLECT = 65536
+
+# Candidate-set size above which the block-aligned others bound is computed
+# (below it, the two extra metadata-sized jobs cost more than decoding).
+_ALIGNED_MIN_BLOCKS = 1024
+# A block spanning more than this many buckets is "wide": it posts no
+# per-bucket entries and is bounded by its term's global wide max instead.
+_ALIGNED_MAX_SPAN = 16
+# Two-phase seed: how many top phase-A ordinals get their buckets'
+# candidate blocks decoded for complete scores (× k), and the θ_A/total_ub
+# fraction above which phase B is skipped (θ already near the best any doc
+# could reach — completion cannot raise it usefully).
+_SEED_COMPLETE_FACTOR = 8
+_SEED_COMPLETE_MIN_FRAC = 0.8
+# Necessary-term gating: max number of wide gating-term blocks to decode
+# for exact posting buckets (wide blocks are rare-term blocks, so this is
+# ~65k postings); above it gating is skipped.
+_GATE_MAX_WIDE_DECODE = 512
 
 
 def _empty(index) -> DataFrame:
@@ -137,6 +179,171 @@ def _finalize_topk(aidx, scored: DataFrame, k: int) -> DataFrame:
         scored.unpersist()
 
 
+def _bucket_wlog(med_span) -> int:
+    """log2 bucket width: the next power of two >= the densest query term's
+    median block span, so hot-term blocks span ~1 bucket."""
+    return max(0, int(max(1, med_span) - 1).bit_length())
+
+
+def _block_buckets(cand, wlog) -> DataFrame:
+    """Per-block bucket metadata: (bid, term, ub, bk0, bk1, narrow)."""
+    return cand.select(
+        "bid",
+        "term",
+        "ub",
+        F.shiftright("first_ord", wlog).alias("bk0"),
+        F.shiftright("last_ord", wlog).alias("bk1"),
+        (
+            F.shiftright("last_ord", wlog) - F.shiftright("first_ord", wlog)
+            < _ALIGNED_MAX_SPAN
+        ).alias("narrow"),
+    )
+
+
+def _wide_max(meta, g) -> dict:
+    """Per-term max ub over WIDE blocks (0.0 for terms with none)."""
+    wide = dict.fromkeys(g, 0.0)
+    wide.update(
+        {
+            r["term"]: r["wm"]
+            for r in meta.where(~F.col("narrow"))
+            .groupBy("term")
+            .agg(F.max("ub").alias("wm"))
+            .collect()
+        }
+    )
+    return wide
+
+
+def _aligned_keep_ids(spark, meta, g, total_ub, theta, wide) -> DataFrame:
+    """bid column of blocks surviving the block-aligned others bound.
+
+    Bound shape per narrow candidate block B of term t:
+        others(B) = Σ_{u≠t} max( max{ub(B'): B' narrow block of u sharing a
+                                 bucket with B}, wide_max(u) )
+                  = (Σ_{u≠t} wide_max(u))                       [``base``]
+                    + Σ_{u≠t, present} max(0, nmax_u(B) − wide_max(u))
+                                                                [``extra``]
+    which is ≤ the global Σ_{u≠t} max-ub(u) (every ub ≤ its term's global
+    max), i.e. never looser. Wide candidate blocks keep the global bound —
+    they are rare-term blocks spanning most of the ordinal axis, where
+    alignment cannot discriminate anyway. All joins move block METADATA
+    only (bid, term, ub, bucket) — never the compressed bytes."""
+    wide_total = sum(wide.values())
+    buckets = meta.where("narrow").select(
+        "bid", "term", "ub", F.explode(F.sequence("bk0", "bk1")).alias("bk")
+    )
+    bucket_max = (
+        buckets.groupBy("bk", "term")
+        .agg(F.max("ub").alias("bmax"))
+        .select(F.col("bk"), F.col("term").alias("oterm"), "bmax")
+    )
+    wdf = spark.createDataFrame(
+        [(t, float(wide[t])) for t in g], "oterm string, wm double"
+    )
+    extra = (
+        buckets.select("bid", "term", "bk")
+        .join(bucket_max, "bk")
+        .where(F.col("term") != F.col("oterm"))
+        .groupBy("bid", "oterm")
+        .agg(F.max("bmax").alias("nmax"))
+        .join(F.broadcast(wdf), "oterm")
+        .select(
+            "bid",
+            F.greatest(F.lit(0.0), F.col("nmax") - F.col("wm")).alias("c"),
+        )
+        .groupBy("bid")
+        .agg(F.sum("c").alias("extra"))
+    )
+    base = spark.createDataFrame(
+        [(t, wide_total - wide[t]) for t in g], "term string, base double"
+    )
+    gothers = spark.createDataFrame(
+        [(t, total_ub - g[t]) for t in g], "term string, gothers double"
+    )
+    return (
+        meta.join(extra, "bid", "left")
+        .join(F.broadcast(base), "term")
+        .join(F.broadcast(gothers), "term")
+        .withColumn(
+            "others",
+            F.when(
+                F.col("narrow"),
+                F.col("base") + F.coalesce(F.col("extra"), F.lit(0.0)),
+            ).otherwise(F.col("gothers")),
+        )
+        .where(F.col("ub") + F.col("others") >= theta)
+        .select("bid")
+    )
+
+
+def _aligned_keep(spark, cand, g, total_ub, theta, med_span) -> DataFrame:
+    """Kept subset of ``cand`` under the block-aligned others bound (see
+    ``_aligned_keep_ids``)."""
+    meta = _block_buckets(cand, _bucket_wlog(med_span))
+    keep_ids = _aligned_keep_ids(
+        spark, meta, g, total_ub, theta, _wide_max(meta, g)
+    )
+    return cand.join(keep_ids, "bid", "left_semi")
+
+
+def _gate_keep_ids(spark, aidx, cand, meta, g, theta, wlog):
+    """Necessary-term gating (the classic WAND pivot-skip, restated for
+    whole-block sets): sort terms by global max ub desc and take the
+    smallest prefix S with Σ_{u∉S} max-ub(u) < θ. A doc containing only
+    non-S terms then has true score < θ, so every doc with true score ≥ θ
+    carries at least one S-term posting — and a non-S block whose ordinal
+    range shares no bucket with any S posting cannot contain such a doc
+    and is dropped whole. D (the S-posting bucket set) = narrow S blocks'
+    bucket spans ∪ exact posting buckets of wide S blocks (decoded — wide
+    blocks are rare-term blocks, so this is cheap and gives the
+    posting-level precision the pivot-skip needs; with more than
+    ``_GATE_MAX_WIDE_DECODE`` of them gating is skipped). At corpus scale
+    this is the dominant win for rare+hot queries: the hot terms' blocks
+    collapse to the rare terms' neighborhoods. Returns the bid keep-set,
+    or None when gating does not apply."""
+    order = sorted(g.items(), key=lambda kv: -kv[1])
+    rest = sum(v for _, v in order)
+    S = []
+    for t, v in order:
+        if rest < theta:
+            break
+        S.append(t)
+        rest -= v
+    if rest >= theta or not S or len(S) == len(g):
+        return None
+    s_meta = meta.where(F.col("term").isin(S))
+    s_wide_ids = s_meta.where(~F.col("narrow")).select("bid")
+    n_wide = s_wide_ids.count()
+    if n_wide > _GATE_MAX_WIDE_DECODE:
+        return None
+    d_buckets = s_meta.where("narrow").select(
+        F.explode(F.sequence("bk0", "bk1")).alias("bk")
+    )
+    if n_wide:
+        from ..index.artifact import DECODED_SCHEMA, _make_decoder
+
+        d_wide = (
+            cand.join(s_wide_ids, "bid", "left_semi")
+            .select("term", "first_ord", "docs", "tfs", "dls")
+            .mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA)
+            .select(F.shiftright("doc_ord", wlog).alias("bk"))
+        )
+        d_buckets = d_buckets.union(d_wide)
+    d_buckets = d_buckets.distinct()
+    non_s_keep = (
+        meta.where(~F.col("term").isin(S) & F.col("narrow"))
+        .select("bid", F.explode(F.sequence("bk0", "bk1")).alias("bk"))
+        .join(d_buckets, "bk")
+        .select("bid")
+        .distinct()
+    )
+    always = meta.where(F.col("term").isin(S) | ~F.col("narrow")).select(
+        "bid"
+    )
+    return non_s_keep.union(always).distinct()
+
+
 def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
     weights = _query_weights(aidx, query, bm25_idf)
     if not weights or k == 0:
@@ -173,18 +380,28 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
         aidx.blocks_for_terms(terms)
         .join(F.broadcast(qdf), "term")
         .withColumn("ub", ub)
+        # deterministic per-block key for the aligned-prune joins (seg and
+        # block_seq are numeric, so a '#'-joined key is unambiguous no
+        # matter what characters the term contains)
+        .withColumn("bid", F.concat_ws("#", "seg", "block_seq", "term"))
         .persist()
     )
 
-    # per-term global max ub (|q| rows) — the "other terms" budget
+    # per-term global max ub (|q| rows) — the "other terms" budget — plus
+    # the per-term median block span (sets the aligned-bound bucket width)
     stats = cand.groupBy("term").agg(
-        F.max("ub").alias("m"), F.count(F.lit(1)).alias("nb")
+        F.max("ub").alias("m"),
+        F.count(F.lit(1)).alias("nb"),
+        F.expr("approx_percentile(last_ord - first_ord + 1, 0.5)").alias("ms"),
     ).collect()
     g = {r["term"]: r["m"] for r in stats}
     if not g:
         return _empty(aidx)
     total_ub = sum(g.values())
     n_cand_blocks = sum(r["nb"] for r in stats)
+    # densest term's median span: hot-term blocks are the prunable ones and
+    # alignment needs buckets at THEIR granularity
+    med_span = min(r["ms"] for r in stats if r["ms"] is not None)
 
     # small queries: decoding everything is cheaper than a seed+prune pass
     if n_cand_blocks <= 256:
@@ -200,8 +417,69 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
     seed = cand.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= n_seed
     )
-    top = (
+    aligned = len(g) > 1 and n_cand_blocks >= _ALIGNED_MIN_BLOCKS
+    if not aligned:
+        top = (
+            _score_blocks(aidx, seed, qdf)
+            .orderBy(F.desc("score"))
+            .limit(k)
+            .collect()
+        )
+        theta = (
+            min(r["score"] for r in top) if len(top) >= k else float("-inf")
+        )
+        if theta == float("-inf"):
+            kept = cand
+        else:
+            others = spark.createDataFrame(
+                [(t, total_ub - g[t]) for t in g],
+                "term string, others double",
+            )
+            kept = cand.join(F.broadcast(others), "term").where(
+                F.col("ub") + F.col("others") >= theta
+            )
+        out = _finalize_topk(aidx, _score_blocks(aidx, kept, qdf), k)
+        cand.unpersist()
+        return out
+
+    # multi-term + large candidate set: the global others bound prunes
+    # ~nothing (Σ other-max alone usually clears θ). Strengthen θ with a
+    # two-phase seed, then prune with the block-aligned bound plus
+    # necessary-term gating — all joins metadata-sized.
+    wlog = _bucket_wlog(med_span)
+    meta = _block_buckets(cand, wlog)
+    wide = _wide_max(meta, g)
+
+    # phase A: per-term top blocks, scored separately — each doc only
+    # collects partials from the decoded blocks, so θ_A is weak whenever
+    # the terms' best blocks live in different ordinal regions
+    pa = (
         _score_blocks(aidx, seed, qdf)
+        .orderBy(F.desc("score"), F.asc("doc_ord"))
+        .limit(_SEED_COMPLETE_FACTOR * k)
+        .collect()
+    )
+    theta_a = pa[k - 1]["score"] if len(pa) >= k else float("-inf")
+    seed_final = seed
+    if pa and theta_a < _SEED_COMPLETE_MIN_FRAC * total_ub:
+        # phase B (seed completion): decode ALL candidate blocks in the
+        # top phase-A ordinals' buckets so those docs get complete scores
+        # — θ then approaches the true k-th score instead of the best
+        # single-term partial. Skipped when θ_A is already near total_ub
+        # (flat corpora: the per-term seeds overlap and complete anyway).
+        bks = sorted({r["doc_ord"] >> wlog for r in pa})
+        bdf = spark.createDataFrame([(b,) for b in bks], "bk long")
+        comp_ids = (
+            meta.where("narrow")
+            .select("bid", F.explode(F.sequence("bk0", "bk1")).alias("bk"))
+            .join(F.broadcast(bdf), "bk")
+            .select("bid")
+        )
+        seed_final = cand.join(
+            comp_ids.union(seed.select("bid")).distinct(), "bid", "left_semi"
+        )
+    top = (
+        _score_blocks(aidx, seed_final, qdf)
         .orderBy(F.desc("score"))
         .limit(k)
         .collect()
@@ -211,12 +489,11 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
     if theta == float("-inf"):
         kept = cand
     else:
-        others = spark.createDataFrame(
-            [(t, total_ub - g[t]) for t in g], "term string, others double"
-        )
-        kept = cand.join(F.broadcast(others), "term").where(
-            F.col("ub") + F.col("others") >= theta
-        )
+        keep_ids = _aligned_keep_ids(spark, meta, g, total_ub, theta, wide)
+        gate_ids = _gate_keep_ids(spark, aidx, cand, meta, g, theta, wlog)
+        if gate_ids is not None:
+            keep_ids = keep_ids.join(gate_ids, "bid", "left_semi")
+        kept = cand.join(keep_ids, "bid", "left_semi")
 
     out = _finalize_topk(aidx, _score_blocks(aidx, kept, qdf), k)
     cand.unpersist()

@@ -203,6 +203,231 @@ def test_wand_front_bound_prunes_more_than_composite(spark, tmp_path):
     )
 
 
+def test_wand_aligned_others_prunes_and_stays_exact(
+    spark, tmp_path, monkeypatch
+):
+    """Block-aligned others (true BMW): on a corpus where the two query
+    terms cluster in DIFFERENT doc_id regions (ordinals follow doc_id, so
+    term blocks are ordinal-local), the aligned bound must (a) keep WAND
+    bit-identical to the logical path and (b) prune blocks the global
+    others bound keeps. Region A is pure-alpha (long docs, low parts),
+    region B pure-beta including a few high-tf short docs that push beta's
+    GLOBAL max ub above θ (so the global bound keeps every alpha block),
+    region C holds the true top scorers (both terms): aligned others for
+    region-A alpha blocks is ~0 (no beta block shares their buckets), so
+    they prune; C blocks share buckets with both terms and survive — as
+    admissibility requires, since they contain the top-k docs."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query import wand
+    from searchengine_spark.query.ranked import _query_weights, bm25_idf
+    from searchengine_spark.query.wand import _aligned_keep, _score_blocks
+
+    rows = []
+    for i in range(1500):  # region A: alpha-only, long docs
+        filler = " ".join(f"af{i}w{j}" for j in range(150))
+        rows.append((f"a{i:05d}", "alpha " + filler))
+    for i in range(1500):  # region B: beta-only, long docs
+        filler = " ".join(f"bf{i}w{j}" for j in range(150))
+        rows.append((f"b{i:05d}", "beta " + filler))
+    for i in range(40):  # region B hot-beta: raises beta's global max ub
+        filler = " ".join(f"bh{i}w{j}" for j in range(12))
+        rows.append((f"bzz{i:04d}", ("beta " * 8) + filler))
+    for i in range(100):  # region C: both terms — the true top-k docs
+        filler = " ".join(f"cf{i}w{j}" for j in range(46 + i % 5))
+        rows.append((f"c{i:05d}", "alpha beta " + filler))
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+    path = str(tmp_path / "alignidx")
+    aidx = build_artifact(spark, corpus, path, analyzer="punctuation")
+    lidx = build_index(spark, corpus, analyzer="punctuation", cache=False)
+
+    k = 10
+    monkeypatch.setattr(wand, "_ALIGNED_MIN_BLOCKS", 1)
+    a = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in aidx.search_bm25("alpha beta", k).collect()
+    ]
+    l = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in lidx.search_bm25("alpha beta", k).collect()
+    ]
+    assert a == l
+    assert all(d.startswith("c") for d, _ in a)
+
+    # replay the prune decision: aligned must drop blocks global keeps
+    k1, b = float(aidx.k1), float(aidx.b)
+    avgdl = float(aidx.avgdl) or 1.0
+
+    def part(tf, dl):
+        t = tf.cast("double")
+        return t * (k1 + 1.0) / (
+            t + k1 * (1.0 - b + b * dl.cast("double") / F.lit(avgdl))
+        )
+
+    weights = _query_weights(aidx, "alpha beta", bm25_idf)
+    qdf = spark.createDataFrame(weights, "term string, qtf int, idf double")
+    cand = (
+        aidx.blocks_for_terms([w[0] for w in weights])
+        .join(F.broadcast(qdf), "term")
+        .withColumn(
+            "ub",
+            F.col("qtf") * F.col("idf")
+            * F.array_max(F.zip_with("ub_tfs", "ub_dls", part)),
+        )
+        .withColumn("bid", F.concat_ws("#", "seg", "block_seq", "term"))
+        .persist()
+    )
+    stats = cand.groupBy("term").agg(
+        F.max("ub").alias("m"),
+        F.expr("approx_percentile(last_ord - first_ord + 1, 0.5)").alias("ms"),
+    ).collect()
+    g = {r["term"]: r["m"] for r in stats}
+    total_ub = sum(g.values())
+    med_span = min(r["ms"] for r in stats)
+    n_seed = math.ceil(k / aidx.block_size) + 1
+    w = Window.partitionBy("term").orderBy(
+        F.desc("ub"), F.asc("first_ord"), F.asc("block_seq")
+    )
+    seed = cand.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= n_seed
+    )
+    top = (
+        _score_blocks(aidx, seed, qdf)
+        .orderBy(F.desc("score")).limit(k).collect()
+    )
+    assert len(top) >= k
+    theta = min(r["score"] for r in top)
+
+    others = spark.createDataFrame(
+        [(t, total_ub - g[t]) for t in g], "term string, others double"
+    )
+    kept_global = cand.join(F.broadcast(others), "term").where(
+        F.col("ub") + F.col("others") >= theta
+    ).count()
+    kept_aligned = _aligned_keep(
+        spark, cand, g, total_ub, theta, med_span
+    ).count()
+    n_cand = cand.count()
+    cand.unpersist()
+    assert kept_aligned <= kept_global  # aligned is never looser
+    assert kept_aligned < kept_global, (
+        f"aligned others should prune strictly more: cand={n_cand} "
+        f"aligned={kept_aligned} global={kept_global} theta={theta}"
+    )
+
+
+def test_wand_necessary_term_gating_exact_and_prunes(
+    spark, tmp_path, monkeypatch
+):
+    """Necessary-term gating (the WAND pivot-skip): a rare high-idf term
+    ("needle") dominates θ while the ubiquitous term ("hay") has max ub ≪ θ,
+    so S = {needle} and every hay block sharing no bucket with a needle
+    posting must be dropped whole. The needle postings sit at BOTH ends of
+    the ordinal range, so needle's single block is WIDE — a span-based
+    bucket set would cover every bucket and prune nothing; the exact-decode
+    branch (the risky code) recovers just the two edge buckets. Exactness:
+    gating only drops blocks that cannot contain a ≥θ doc, so results stay
+    bit-identical to the logical path."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query import wand
+    from searchengine_spark.query.ranked import _query_weights, bm25_idf
+    from searchengine_spark.query.wand import (
+        _block_buckets,
+        _bucket_wlog,
+        _gate_keep_ids,
+    )
+
+    rows = []
+    for i in range(3060):
+        if i < 15 or i >= 3045:
+            # needle docs: short (high BM25 partial → the true top-k),
+            # slightly varying length to avoid mass ties
+            filler = " ".join(f"nf{i}w{j}" for j in range(8 + i % 5))
+            rows.append((f"d{i:05d}", "needle hay " + filler))
+        else:
+            filler = " ".join(f"hf{i}w{j}" for j in range(150))
+            rows.append((f"d{i:05d}", "hay " + filler))
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+    path = str(tmp_path / "gateidx")
+    aidx = build_artifact(spark, corpus, path, analyzer="punctuation")
+    lidx = build_index(spark, corpus, analyzer="punctuation", cache=False)
+
+    k = 10
+    monkeypatch.setattr(wand, "_ALIGNED_MIN_BLOCKS", 1)
+    a = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in aidx.search_bm25("needle hay", k).collect()
+    ]
+    l_rows = lidx.search_bm25("needle hay", k).collect()
+    l = [(r["doc_id"], round(r["score"], 9)) for r in l_rows]
+    assert a == l
+    assert len(a) == k
+
+    # replay the gate decision at the true k-th score (max admissible θ)
+    k1v, bv = float(aidx.k1), float(aidx.b)
+    avgdl = float(aidx.avgdl) or 1.0
+
+    def part(tf, dl):
+        t = tf.cast("double")
+        return t * (k1v + 1.0) / (
+            t + k1v * (1.0 - bv + bv * dl.cast("double") / F.lit(avgdl))
+        )
+
+    weights = _query_weights(aidx, "needle hay", bm25_idf)
+    qdf = spark.createDataFrame(weights, "term string, qtf int, idf double")
+    cand = (
+        aidx.blocks_for_terms([w[0] for w in weights])
+        .join(F.broadcast(qdf), "term")
+        .withColumn(
+            "ub",
+            F.col("qtf") * F.col("idf")
+            * F.array_max(F.zip_with("ub_tfs", "ub_dls", part)),
+        )
+        .withColumn("bid", F.concat_ws("#", "seg", "block_seq", "term"))
+        .persist()
+    )
+    stats = cand.groupBy("term").agg(
+        F.max("ub").alias("m"),
+        F.expr("approx_percentile(last_ord - first_ord + 1, 0.5)").alias(
+            "ms"
+        ),
+    ).collect()
+    g = {r["term"]: r["m"] for r in stats}
+    med_span = min(r["ms"] for r in stats)
+    wlog = _bucket_wlog(med_span)
+    meta = _block_buckets(cand, wlog)
+    needle_term = max(g, key=g.get)
+    theta = min(r["score"] for r in l_rows)
+    assert g[needle_term] >= theta > min(g.values())  # S = {needle} setup
+
+    gate = _gate_keep_ids(spark, aidx, cand, meta, g, theta, wlog)
+    assert gate is not None, "gating must apply on this corpus"
+    n_cand = cand.count()
+    n_kept = gate.count()
+    # the wide-decode branch must have run (needle's block spans the range)
+    assert (
+        meta.where((F.col("term") == needle_term) & ~F.col("narrow")).count()
+        >= 1
+    )
+    # every S-term block is kept (gating never drops the necessary terms)
+    n_needle = meta.where(F.col("term") == needle_term).count()
+    kept_needle = (
+        meta.join(gate, "bid", "left_semi")
+        .where(F.col("term") == needle_term)
+        .count()
+    )
+    cand.unpersist()
+    assert kept_needle == n_needle
+    assert n_kept <= n_cand - 15, (
+        f"gating should drop the needle-free hay blocks wholesale: "
+        f"cand={n_cand} kept={n_kept} theta={theta}"
+    )
+
+
 def test_subcompact_crash_before_commit_invisible_and_gced(
     spark, corpus, tmp_path, monkeypatch
 ):
