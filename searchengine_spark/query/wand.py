@@ -448,7 +448,6 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
     # necessary-term gating — all joins metadata-sized.
     wlog = _bucket_wlog(med_span)
     meta = _block_buckets(cand, wlog)
-    wide = _wide_max(meta, g)
 
     # phase A: per-term top blocks, scored separately — each doc only
     # collects partials from the decoded blocks, so θ_A is weak whenever
@@ -478,17 +477,25 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
         seed_final = cand.join(
             comp_ids.union(seed.select("bid")).distinct(), "bid", "left_semi"
         )
-    top = (
-        _score_blocks(aidx, seed_final, qdf)
-        .orderBy(F.desc("score"))
-        .limit(k)
-        .collect()
-    )
-    theta = min(r["score"] for r in top) if len(top) >= k else float("-inf")
+    if seed_final is seed:
+        # phase B skipped: θ_A already IS the k-th best over the seed —
+        # rescoring the identical seed would repeat the same Spark job
+        theta = theta_a
+    else:
+        top = (
+            _score_blocks(aidx, seed_final, qdf)
+            .orderBy(F.desc("score"))
+            .limit(k)
+            .collect()
+        )
+        theta = (
+            min(r["score"] for r in top) if len(top) >= k else float("-inf")
+        )
 
     if theta == float("-inf"):
         kept = cand
     else:
+        wide = _wide_max(meta, g)
         keep_ids = _aligned_keep_ids(spark, meta, g, total_ub, theta, wide)
         gate_ids = _gate_keep_ids(spark, aidx, cand, meta, g, theta, wlog)
         if gate_ids is not None:
