@@ -95,6 +95,9 @@ _SEED_COMPLETE_MIN_FRAC = 0.8
 # for exact posting buckets (wide blocks are rare-term blocks, so this is
 # ~65k postings); above it gating is skipped.
 _GATE_MAX_WIDE_DECODE = 512
+# Candidate-set size at or below which everything is decoded outright (a
+# seed+prune pass costs more than it saves on tiny queries).
+_SMALL_QUERY_BLOCKS = 256
 
 
 def _empty(index) -> DataFrame:
@@ -404,7 +407,7 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
     med_span = min(r["ms"] for r in stats if r["ms"] is not None)
 
     # small queries: decoding everything is cheaper than a seed+prune pass
-    if n_cand_blocks <= 256:
+    if n_cand_blocks <= _SMALL_QUERY_BLOCKS:
         out = _finalize_topk(aidx, _score_blocks(aidx, cand, qdf), k)
         cand.unpersist()
         return out

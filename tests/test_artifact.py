@@ -428,6 +428,58 @@ def test_wand_necessary_term_gating_exact_and_prunes(
     )
 
 
+def test_wand_randomized_differential(spark, tmp_path, monkeypatch):
+    """Randomized differential exactness for the full pruning stack: on
+    random corpora with CLUSTERED term placement (each term concentrates
+    around a random doc-id center, so ordinal-aligned bounds really prune
+    — uniform corpora only exercise the keep-everything fallback), every
+    artifact WAND result must be bit-identical to the logical index, with
+    the seed+prune and aligned+gating paths forced on by dropping their
+    size thresholds."""
+    import numpy as np
+
+    from searchengine_spark.query import wand
+
+    monkeypatch.setattr(wand, "_SMALL_QUERY_BLOCKS", 0)
+    monkeypatch.setattr(wand, "_ALIGNED_MIN_BLOCKS", 1)
+
+    for seed in (7, 23):
+        rng = np.random.default_rng(seed)
+        n_docs = 1500
+        vocab = [f"t{seed}w{v:03d}" for v in range(40)]
+        centers = rng.integers(0, n_docs, size=len(vocab))
+        widths = rng.integers(30, n_docs // 2, size=len(vocab))
+        rows = []
+        for i in range(n_docs):
+            toks = []
+            for v, term in enumerate(vocab):
+                if abs(i - int(centers[v])) < int(widths[v]) and (
+                    rng.random() < 0.35
+                ):
+                    toks.extend([term] * int(rng.integers(1, 4)))
+            toks.extend(
+                f"f{seed}d{i}x{j}" for j in range(int(rng.integers(3, 40)))
+            )
+            rows.append((f"d{i:05d}", " ".join(toks)))
+        corpus = spark.createDataFrame(rows, "doc_id string, text string")
+        path = str(tmp_path / f"rnd{seed}")
+        aidx = build_artifact(spark, corpus, path, analyzer="punctuation")
+        lidx = build_index(spark, corpus, analyzer="punctuation", cache=False)
+        for _ in range(4):
+            nt = int(rng.integers(2, 5))
+            q = " ".join(rng.choice(vocab, size=nt, replace=False))
+            k = int(rng.integers(3, 25))
+            a = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in aidx.search_bm25(q, k).collect()
+            ]
+            l = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in lidx.search_bm25(q, k).collect()
+            ]
+            assert a == l, (seed, q, k)
+
+
 def test_subcompact_crash_before_commit_invisible_and_gced(
     spark, corpus, tmp_path, monkeypatch
 ):
