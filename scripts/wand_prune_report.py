@@ -207,6 +207,14 @@ def main() -> None:
         "partially overlapping) and query burst triples — the "
         "time-ordered-transcripts shape where block alignment pays",
     )
+    ap.add_argument(
+        "--rarehot", action="store_true",
+        help="with --bursty: query a rare burst term paired with the "
+        "global Zipf HEAD word (present in ~every doc) — the classic "
+        "necessary-term-gating shape: the hot term's max ub sits below "
+        "θ, so its blocks outside the rare term's posting buckets drop "
+        "wholesale",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import Window
@@ -267,7 +275,11 @@ def main() -> None:
         )
     aidx = load_artifact(spark, path)
 
-    if args.zipf_vocab and args.bursty:
+    if args.zipf_vocab and args.bursty and args.rarehot:
+        words, _ = _make_zipf_vocab(args.zipf_vocab)
+        queries = [f"qburst{3 * q} {words[0]}" for q in range(5)]
+        print(json.dumps({"rarehot_queries": queries}), flush=True)
+    elif args.zipf_vocab and args.bursty:
         queries = [
             " ".join(f"qburst{3 * q + j}" for j in range(3))
             for q in range(5)
