@@ -98,6 +98,15 @@ _GATE_MAX_WIDE_DECODE = 512
 # Candidate-set size at or below which everything is decoded outright (a
 # seed+prune pass costs more than it saves on tiny queries).
 _SMALL_QUERY_BLOCKS = 256
+# Candidate sets whose block metadata fits comfortably on the driver have
+# their keep-set computed there in vectorized pandas (ONE metadata collect
+# + ONE broadcast semi-join instead of ~10 tiny shuffle stages whose fixed
+# latency exceeds the decode savings below ~10^6 docs — measured: the
+# distributed plan LOST 18% wall-clock on rare+hot queries at 600k docs
+# despite pruning 96% of blocks). Above the cap the distributed plan runs
+# with identical semantics; 256k blocks ≈ 32M postings per query term set,
+# ~20 MB of metadata on the driver.
+_DRIVER_PRUNE_MAX_BLOCKS = 262144
 
 
 def _empty(index) -> DataFrame:
@@ -290,6 +299,132 @@ def _aligned_keep(spark, cand, g, total_ub, theta, med_span) -> DataFrame:
     return cand.join(keep_ids, "bid", "left_semi")
 
 
+def _explode_buckets_pd(mpd):
+    """Driver-side bucket explosion of NARROW blocks: pandas frame
+    (bid, term, ub, bk) — one row per (block, covered bucket). Narrow
+    spans are < ``_ALIGNED_MAX_SPAN``, so this is at most 16× the block
+    count."""
+    import numpy as np
+    import pandas as pd
+
+    nar = mpd[mpd["narrow"]]
+    spans = (nar["bk1"] - nar["bk0"] + 1).to_numpy()
+    idx = np.repeat(np.arange(len(nar)), spans)
+    offs = np.arange(spans.sum()) - np.repeat(np.cumsum(spans) - spans, spans)
+    return pd.DataFrame(
+        {
+            "bid": nar["bid"].to_numpy()[idx],
+            "term": nar["term"].to_numpy()[idx],
+            "ub": nar["ub"].to_numpy()[idx],
+            "bk": nar["bk0"].to_numpy()[idx] + offs,
+        }
+    )
+
+
+def _wide_max_pd(mpd, g) -> dict:
+    """Driver-side twin of ``_wide_max``."""
+    wide = dict.fromkeys(g, 0.0)
+    wide.update(mpd[~mpd["narrow"]].groupby("term")["ub"].max().to_dict())
+    return wide
+
+
+def _aligned_keep_bids(mpd, g, total_ub, theta, wide) -> set:
+    """Driver-side twin of ``_aligned_keep_ids``: the surviving bid set,
+    computed with vectorized pandas over collected block metadata. Same
+    bound, same admissibility argument — pinned identical to the
+    distributed plan by tests."""
+    import numpy as np
+
+    wide_total = sum(wide.values())
+    buckets = _explode_buckets_pd(mpd)
+    bucket_max = (
+        buckets.groupby(["bk", "term"], sort=False)["ub"]
+        .max()
+        .rename("bmax")
+        .reset_index()
+        .rename(columns={"term": "oterm"})
+    )
+    m = buckets[["bid", "term", "bk"]].merge(bucket_max, on="bk")
+    m = m[m["term"] != m["oterm"]]
+    nmax = (
+        m.groupby(["bid", "oterm"], sort=False)["bmax"].max().reset_index()
+    )
+    c = np.maximum(
+        0.0, nmax["bmax"].to_numpy() - nmax["oterm"].map(wide).to_numpy()
+    )
+    extra = nmax.assign(c=c).groupby("bid", sort=False)["c"].sum()
+    base = {t: wide_total - wide[t] for t in g}
+    gothers = {t: total_ub - g[t] for t in g}
+    others = np.where(
+        mpd["narrow"].to_numpy(),
+        mpd["term"].map(base).to_numpy()
+        + mpd["bid"].map(extra).fillna(0.0).to_numpy(),
+        mpd["term"].map(gothers).to_numpy(),
+    )
+    keepmask = mpd["ub"].to_numpy() + others >= theta
+    return set(mpd["bid"].to_numpy()[keepmask])
+
+
+def _gate_terms(g, theta):
+    """The necessary-term prefix S (see ``_gate_keep_ids``), or None when
+    gating does not apply."""
+    order = sorted(g.items(), key=lambda kv: -kv[1])
+    rest = sum(v for _, v in order)
+    S = []
+    for t, v in order:
+        if rest < theta:
+            break
+        S.append(t)
+        rest -= v
+    if rest >= theta or not S or len(S) == len(g):
+        return None
+    return S
+
+
+def _gate_wide_buckets(spark, aidx, cand, wide_bids, wlog) -> set:
+    """Exact posting buckets of the given wide blocks (one decode job —
+    wide blocks are rare-term blocks, so this is bounded postings)."""
+    from ..index.artifact import DECODED_SCHEMA, _make_decoder
+
+    bdf = spark.createDataFrame([(b,) for b in wide_bids], "bid string")
+    rows = (
+        cand.join(F.broadcast(bdf), "bid", "left_semi")
+        .select("term", "first_ord", "docs", "tfs", "dls")
+        .mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA)
+        .select(F.shiftright("doc_ord", wlog).alias("bk"))
+        .distinct()
+        .collect()
+    )
+    return {r["bk"] for r in rows}
+
+
+def _gate_keep_bids(spark, aidx, cand, mpd, g, theta, wlog):
+    """Driver-side twin of ``_gate_keep_ids``: the keep bid set, or None
+    when gating does not apply. Wide S-term blocks still take one Spark
+    decode job for exact posting buckets; everything else is pandas over
+    collected metadata."""
+    S = _gate_terms(g, theta)
+    if S is None:
+        return None
+    s_set = set(S)
+    s_rows = mpd[mpd["term"].isin(s_set)]
+    s_wide = s_rows[~s_rows["narrow"]]
+    if len(s_wide) > _GATE_MAX_WIDE_DECODE:
+        return None
+    d = set()
+    nar = s_rows[s_rows["narrow"]]
+    for bk0, bk1 in zip(nar["bk0"].to_numpy(), nar["bk1"].to_numpy()):
+        d.update(range(int(bk0), int(bk1) + 1))
+    if len(s_wide):
+        d |= _gate_wide_buckets(spark, aidx, cand, list(s_wide["bid"]), wlog)
+    keep = set(s_rows["bid"])
+    non_s = mpd[~mpd["term"].isin(s_set)]
+    keep.update(non_s[~non_s["narrow"]]["bid"])
+    eb = _explode_buckets_pd(non_s)
+    keep.update(eb["bid"][eb["bk"].isin(d)])
+    return keep
+
+
 def _gate_keep_ids(spark, aidx, cand, meta, g, theta, wlog):
     """Necessary-term gating (the classic WAND pivot-skip, restated for
     whole-block sets): sort terms by global max ub desc and take the
@@ -305,15 +440,8 @@ def _gate_keep_ids(spark, aidx, cand, meta, g, theta, wlog):
     this is the dominant win for rare+hot queries: the hot terms' blocks
     collapse to the rare terms' neighborhoods. Returns the bid keep-set,
     or None when gating does not apply."""
-    order = sorted(g.items(), key=lambda kv: -kv[1])
-    rest = sum(v for _, v in order)
-    S = []
-    for t, v in order:
-        if rest < theta:
-            break
-        S.append(t)
-        rest -= v
-    if rest >= theta or not S or len(S) == len(g):
+    S = _gate_terms(g, theta)
+    if S is None:
         return None
     s_meta = meta.where(F.col("term").isin(S))
     s_wide_ids = s_meta.where(~F.col("narrow")).select("bid")
@@ -448,9 +576,17 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
     # multi-term + large candidate set: the global others bound prunes
     # ~nothing (Σ other-max alone usually clears θ). Strengthen θ with a
     # two-phase seed, then prune with the block-aligned bound plus
-    # necessary-term gating — all joins metadata-sized.
+    # necessary-term gating. Below _DRIVER_PRUNE_MAX_BLOCKS the keep-set
+    # is computed driver-side over ONE metadata collect (the distributed
+    # twin's ~10 tiny shuffle stages cost more than the decode they save
+    # at local scale); above it, the distributed plan — all joins
+    # metadata-sized either way.
     wlog = _bucket_wlog(med_span)
     meta = _block_buckets(cand, wlog)
+    mpd = (
+        meta.toPandas() if n_cand_blocks <= _DRIVER_PRUNE_MAX_BLOCKS
+        else None
+    )
 
     # phase A: per-term top blocks, scored separately — each doc only
     # collects partials from the decoded blocks, so θ_A is weak whenever
@@ -469,14 +605,25 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
         # — θ then approaches the true k-th score instead of the best
         # single-term partial. Skipped when θ_A is already near total_ub
         # (flat corpora: the per-term seeds overlap and complete anyway).
-        bks = sorted({r["doc_ord"] >> wlog for r in pa})
-        bdf = spark.createDataFrame([(b,) for b in bks], "bk long")
-        comp_ids = (
-            meta.where("narrow")
-            .select("bid", F.explode(F.sequence("bk0", "bk1")).alias("bk"))
-            .join(F.broadcast(bdf), "bk")
-            .select("bid")
-        )
+        bks = {r["doc_ord"] >> wlog for r in pa}
+        if mpd is not None:
+            eb = _explode_buckets_pd(mpd)
+            comp = sorted(set(eb["bid"][eb["bk"].isin(bks)]))
+            comp_ids = spark.createDataFrame(
+                [(b,) for b in comp], "bid string"
+            )
+        else:
+            bdf = spark.createDataFrame(
+                [(b,) for b in sorted(bks)], "bk long"
+            )
+            comp_ids = (
+                meta.where("narrow")
+                .select(
+                    "bid", F.explode(F.sequence("bk0", "bk1")).alias("bk")
+                )
+                .join(F.broadcast(bdf), "bk")
+                .select("bid")
+            )
         seed_final = cand.join(
             comp_ids.union(seed.select("bid")).distinct(), "bid", "left_semi"
         )
@@ -497,6 +644,14 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
 
     if theta == float("-inf"):
         kept = cand
+    elif mpd is not None:
+        wide = _wide_max_pd(mpd, g)
+        keep = _aligned_keep_bids(mpd, g, total_ub, theta, wide)
+        gate = _gate_keep_bids(spark, aidx, cand, mpd, g, theta, wlog)
+        if gate is not None:
+            keep &= gate
+        kdf = spark.createDataFrame([(b,) for b in sorted(keep)], "bid string")
+        kept = cand.join(F.broadcast(kdf), "bid", "left_semi")
     else:
         wide = _wide_max(meta, g)
         keep_ids = _aligned_keep_ids(spark, meta, g, total_ub, theta, wide)

@@ -311,7 +311,30 @@ def test_wand_aligned_others_prunes_and_stays_exact(
         spark, cand, g, total_ub, theta, med_span
     ).count()
     n_cand = cand.count()
+
+    # driver-side pandas twin must produce the IDENTICAL keep set
+    from searchengine_spark.query.wand import (
+        _aligned_keep_bids,
+        _aligned_keep_ids,
+        _block_buckets,
+        _bucket_wlog,
+        _wide_max,
+        _wide_max_pd,
+    )
+
+    meta = _block_buckets(cand, _bucket_wlog(med_span))
+    mpd = meta.toPandas()
+    keep_driver = _aligned_keep_bids(
+        mpd, g, total_ub, theta, _wide_max_pd(mpd, g)
+    )
+    keep_dist = {
+        r["bid"]
+        for r in _aligned_keep_ids(
+            spark, meta, g, total_ub, theta, _wide_max(meta, g)
+        ).collect()
+    }
     cand.unpersist()
+    assert keep_driver == keep_dist
     assert kept_aligned <= kept_global  # aligned is never looser
     assert kept_aligned < kept_global, (
         f"aligned others should prune strictly more: cand={n_cand} "
@@ -420,7 +443,17 @@ def test_wand_necessary_term_gating_exact_and_prunes(
         .where(F.col("term") == needle_term)
         .count()
     )
+
+    # driver-side gate twin (incl. the wide-decode branch) must produce
+    # the IDENTICAL keep set
+    from searchengine_spark.query.wand import _gate_keep_bids
+
+    gate_driver = _gate_keep_bids(
+        spark, aidx, cand, meta.toPandas(), g, theta, wlog
+    )
+    gate_dist = {r["bid"] for r in gate.collect()}
     cand.unpersist()
+    assert gate_driver == gate_dist
     assert kept_needle == n_needle
     assert n_kept <= n_cand - 15, (
         f"gating should drop the needle-free hay blocks wholesale: "
@@ -465,10 +498,15 @@ def test_wand_randomized_differential(spark, tmp_path, monkeypatch):
         path = str(tmp_path / f"rnd{seed}")
         aidx = build_artifact(spark, corpus, path, analyzer="punctuation")
         lidx = build_index(spark, corpus, analyzer="punctuation", cache=False)
-        for _ in range(4):
+        for qi in range(4):
             nt = int(rng.integers(2, 5))
             q = " ".join(rng.choice(vocab, size=nt, replace=False))
             k = int(rng.integers(3, 25))
+            # first query per corpus also forces the DISTRIBUTED keep
+            # plan (driver cap 0); the rest take the driver-side path
+            monkeypatch.setattr(
+                wand, "_DRIVER_PRUNE_MAX_BLOCKS", 0 if qi == 0 else 262144
+            )
             a = [
                 (r["doc_id"], round(r["score"], 9))
                 for r in aidx.search_bm25(q, k).collect()
