@@ -14,7 +14,18 @@ import sys
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def _find_spark_submit() -> str:
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    import pyspark  # the pip wheel ships its own launcher scripts
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+SPARK_SUBMIT = _find_spark_submit()
 
 
 @pytest.mark.skipif(
