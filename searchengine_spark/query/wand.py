@@ -79,9 +79,15 @@ from .ranked import _query_weights, bm25_idf
 # e.g. every doc identical).
 _MAX_TIE_COLLECT = 65536
 
-# Candidate-set size above which the block-aligned others bound is computed
-# (below it, the two extra metadata-sized jobs cost more than decoding).
-_ALIGNED_MIN_BLOCKS = 1024
+# Candidate-set size above which the block-aligned others bound is computed.
+# Measured crossover (600k-doc bursty corpus, local[32]): the machinery
+# costs ~2-3 extra job round-trips (~1 s locally); decode+score runs
+# ~0.6 ms/block, so a typically-prunable (≥60%) candidate set breaks even
+# near 2.5-3k blocks — 5.1k-block rare+hot queries WIN 19% wall-clock,
+# 1.4k-block burst triples LOSE 33% (BENCH.md A/B tables). On a real
+# cluster per-block cost is orders of magnitude higher and job latency
+# similar, so this local calibration is the conservative setting.
+_ALIGNED_MIN_BLOCKS = 3072
 # A block spanning more than this many buckets is "wide": it posts no
 # per-bucket entries and is bounded by its term's global wide max instead.
 _ALIGNED_MAX_SPAN = 16
