@@ -67,6 +67,26 @@ def main() -> None:
     q["ft_or"], _ = timed(lambda: idx.search_or("vector stream").collect())
     q["ft_phrase"], _ = timed(lambda: idx.search_phrase("table hash").collect())
 
+    # --- batched query workload: Q queries in ONE postings scan ---
+    # (informational extras; demonstrates the per-query fixed cost —
+    # scan + shuffle setup — amortizing across a workload, the shape that
+    # dominates at cluster scale)
+    batch_qs = {
+        "b0": "spark join hash",
+        "b1": "merge join hash",
+        "b2": "vector stream",
+        "b3": "table hash",
+        "b4": "spark checkpoint",
+        "b5": "merge vector",
+    }
+    extras_times: dict[str, float] = {}
+    extras_times["bm25_seq6"], _ = timed(
+        lambda: [idx.search_bm25(t, 20).collect() for t in batch_qs.values()]
+    )
+    extras_times["bm25_batch6"], _ = timed(
+        lambda: idx.search_bm25_batch(batch_qs, 20).collect()
+    )
+
     # --- compressed artifact: build + block-max WAND query ---
     import shutil
     import tempfile
@@ -98,7 +118,6 @@ def main() -> None:
     )
     # new-op timings live in extras (headline total stays comparable
     # across rounds; these are informational)
-    extras_times: dict[str, float] = {}
     docs_tok = docs.select(
         "doc_id",
         "text",

@@ -256,6 +256,81 @@ def ft_bm25_wand(spark, sf_dir):
     )
 
 
+_FT_BATCH_QUERIES = {
+    # distinct cost/selectivity shapes, plus degenerate members: a
+    # stop-word-only query and an unknown term (both must yield no rows on
+    # both sides)
+    "q_bm25": "spark join hash",
+    "q_and": "merge join hash",
+    "q_or": "vector stream",
+    "q_phrase": "table hash",
+    "q_stop": "the of and",
+    "q_unknown": "spark zzznotaterm",
+}
+
+
+def ft_bm25_batch(spark, sf_dir):
+    """Batched BM25: all _FT_BATCH_QUERIES scored in ONE postings scan
+    (query/ranked.py search_bm25_batch), per-query top-20 cut at the
+    ROUNDED score + doc_id tie-break (same rank-k boundary rule as
+    ft_bm25_top20)."""
+    from pyspark.sql import Window
+
+    idx = _ft_index(spark, sf_dir)
+    res = idx.search_bm25_batch(_FT_BATCH_QUERIES, None)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_r"), F.asc("doc_id")
+    )
+    return (
+        _as_long_doc_id(
+            res.select(
+                "query_id", "doc_id", F.round("score", 4).alias("score_r")
+            )
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 20)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score_r"), F.asc("doc_id"))
+    )
+
+
+def _bm25_batch_sql(queries: dict[str, str], k: int) -> str:
+    from collections import Counter
+
+    rows = []
+    for qid, text in sorted(queries.items()):
+        for term, qtf in sorted(Counter(punctuation_tokenize(text)).items()):
+            rows.append(f"('{qid}', '{term}', {qtf})")
+    values = ", ".join(rows)
+    return f"""
+WITH {TOK_CTES},
+qq AS (SELECT * FROM (VALUES {values}) AS q(query_id, term, qtf)),
+qw AS (
+  SELECT qq.query_id, qq.term, qq.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM qq JOIN stats s ON s.term = qq.term
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT qw.query_id, p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY qw.query_id, p.doc_id
+)
+SELECT query_id, doc_id, round(score, 4) AS score_r
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id
+) <= {k}
+ORDER BY query_id, score_r DESC, doc_id
+"""
+
+
 _DELETE_KW = "checkpoint"
 _DELETE_QUERY = "spark join"
 
@@ -1621,6 +1696,7 @@ QUERIES = {
     "ft_phrase": ft_phrase,
     "ft_bm25_top20": ft_bm25_top20,
     "ft_bm25_wand": ft_bm25_wand,
+    "ft_bm25_batch": ft_bm25_batch,
     "ft_delete_search": ft_delete_search,
     "ft_tfidf_top20": ft_tfidf_top20,
     "ft_df": ft_df,
@@ -1675,6 +1751,7 @@ ORACLES = {
     "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),
     "ft_bm25_top20": _bm25_sql(_FT_QUERIES["bm25"], 20),
     "ft_bm25_wand": _bm25_sql(_FT_QUERIES["bm25"], 20),
+    "ft_bm25_batch": _bm25_batch_sql(_FT_BATCH_QUERIES, 20),
     "ft_delete_search": _delete_search_sql(),
     "ft_tfidf_top20": _tfidf_sql(_FT_QUERIES["tfidf"], 20),
     "ft_df": FT_DF_SQL,

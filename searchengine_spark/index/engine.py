@@ -323,6 +323,14 @@ class Index:
 
         return search_tfidf(self, query, k)
 
+    def search_bm25_batch(self, queries, k: int | None = None) -> DataFrame:
+        """Many queries, one postings scan — see query/ranked.py. Inherited
+        by ArtifactIndex, where the union term filter reaches the compressed
+        block scan before the decode barrier."""
+        from ..query.ranked import search_bm25_batch
+
+        return search_bm25_batch(self, queries, k)
+
     def document_frequency(self, token: str) -> int:
         """Reference ``getDocumentFrequency`` (InvertedIndexManager.java:660-670),
         global (no segments to sum over)."""

@@ -631,6 +631,23 @@ def test_wand_rank_identical_to_logical(lidx, aidx, q):
     assert np.allclose([s for _, s in l], [s for _, s in w], rtol=0, atol=1e-12)
 
 
+def test_bm25_batch_over_artifact_matches_wand(lidx, aidx):
+    """The inherited search_bm25_batch decodes only the union-term blocks;
+    per query_id it must match both the logical batch and the per-query
+    WAND path bit-identically."""
+    queries = {f"w{i}": q for i, q in enumerate(WAND_QUERIES)}
+    ab = aidx.search_bm25_batch(queries, 10).collect()
+    lb = lidx.search_bm25_batch(queries, 10).collect()
+    key = lambda r: (r["query_id"], r["doc_id"], r["score"])  # noqa: E731
+    assert sorted(map(key, ab)) == sorted(map(key, lb))
+    for qid, q in queries.items():
+        got = [(r["doc_id"], r["score"]) for r in ab if r["query_id"] == qid]
+        want = [
+            (r["doc_id"], r["score"]) for r in aidx.search_bm25(q, 10).collect()
+        ]
+        assert got == want, f"{qid}: artifact batch != per-query WAND"
+
+
 def test_wand_exhaustive_modes_agree(aidx):
     q = "spark shuffle error"
     wand = [(r["doc_id"], round(r["score"], 10))

@@ -111,3 +111,33 @@ def test_analyzed_away_query_is_empty(built):
     index, _, _ = built
     assert index.search_and("the of and").count() == 0
     assert index.search_bm25("the of and", 5).count() == 0
+
+
+def test_bm25_batch_bit_identical_to_per_query(built):
+    """search_bm25_batch must return, per query_id, exactly the rows of the
+    single-query path — same ranks, bit-equal scores — including degenerate
+    members (stop-word-only, unknown-term) that contribute no rows."""
+    index, _, _ = built
+    queries = {
+        f"q{q['query_id']}": q["query_text"]
+        for q in QUERY_SET
+        if q["kind"] == "bm25"
+    }
+    queries["q_stop"] = "the of and"
+    queries["q_unk"] = "zzzznotaterm"
+    k = 10
+    batch = index.search_bm25_batch(queries, k).collect()
+    by_qid: dict[str, list] = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert set(by_qid) <= set(queries)
+    for qid, text in queries.items():
+        want = _ranked_rows(index.search_bm25(text, k))
+        got = by_qid.get(qid, [])
+        assert got == want, f"{qid}: batch != per-query"
+    assert by_qid.get("q_stop", []) == [] and by_qid.get("q_unk", []) == []
+    # list form auto-keys q0..qN; k=0 and empty dict return empty frames
+    lst = index.search_bm25_batch(["spark shuffle error"], 3).collect()
+    assert [r["query_id"] for r in lst] == ["q0"] * 3
+    assert index.search_bm25_batch({}, 5).count() == 0
+    assert index.search_bm25_batch(queries, 0).count() == 0
