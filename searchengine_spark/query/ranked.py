@@ -147,6 +147,14 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
     )
     if not queries or k == 0:
         return empty
+    if len(queries) == 1:
+        # a 1-query "workload" has nothing to amortize — delegate to the
+        # per-query path, which on the artifact backend keeps block-max
+        # WAND pruning (the batch plan scans the union exhaustively)
+        ((qid, text),) = queries.items()
+        return index.search_bm25(text, k).select(
+            F.lit(qid).alias("query_id"), "doc_id", "score"
+        )
     weights = _batch_query_weights(index, queries, bm25_idf)
     rows = [
         (qid, term, qtf, idf)

@@ -38,6 +38,15 @@ def test_logical_delete_filters_all_query_kinds(spark, corpus):
         assert victims.isdisjoint({r["doc_id"] for r in res.collect()})
     # deleting again is a no-op (already tombstoned)
     assert idx.delete_documents("zqmarkeralpha") == 0
+    # the batched path shares postings_for_terms -> filter_deleted, so
+    # tombstones must filter it identically (incl. the single-query
+    # delegation shape)
+    batch = idx.search_bm25_batch(
+        {"a": "zqmarkeralpha function", "b": "error function"}, 50
+    ).collect()
+    assert victims.isdisjoint({r["doc_id"] for r in batch})
+    one = idx.search_bm25_batch({"a": "zqmarkeralpha function"}, 50).collect()
+    assert victims.isdisjoint({r["doc_id"] for r in one})
 
 
 def test_artifact_delete_persists_and_purges(spark, corpus, tmp_path):
