@@ -155,18 +155,64 @@ def jaccard_for_pairs(
     )
 
 
+# Pair-count cap under which connected components run driver-side: the
+# verified near-dup pair set is METADATA-scale (edges, not documents — a
+# corpus where 1M+ pairs survive Jaccard verification is mid-dedup of a
+# pathological corpus), and each distributed label-prop round costs ~4
+# tiny jobs whose fixed latency dwarfs the work at that size (same
+# driver/distributed twin pattern as query/wand.py's keep-set).
+_DRIVER_CC_MAX_PAIRS = 1 << 20
+
+
+def _cc_driver(pairs: DataFrame) -> DataFrame:
+    """Union-find over collected pairs; merging always attaches the larger
+    root under the smaller, so by induction each root IS the min id of its
+    cluster — identical output to min-label propagation."""
+    rows = pairs.select("doc_a", "doc_b").collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    id_type = pairs.schema["doc_a"].dataType.simpleString()
+    return pairs.sparkSession.createDataFrame(
+        [(v, find(v)) for v in parent],
+        f"node {id_type}, component {id_type}",
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25, driver_max_pairs: int | None = None
 ) -> DataFrame:
     """Min-label propagation over an undirected pair graph ->
     ``(node, component)`` where component = min node id in the cluster.
 
-    Each round joins labels across edges and keeps the per-node min; stops
+    Below ``driver_max_pairs`` (default ``_DRIVER_CC_MAX_PAIRS``) the
+    components are computed by union-find on the driver from ONE collect —
+    the edge set is metadata-sized long before the corpus is, and each
+    distributed round costs ~4 fixed-latency jobs. The distributed twin
+    (pinned set-identical by tests) runs above the cap:
+
+    each round joins labels across edges and keeps the per-node min; stops
     when no label changes (checked every round with one tiny aggregate).
     Rounds needed = graph diameter — near-dup clusters are cliquish (dozens
     of hops at worst), so this stays a handful of shuffles even at 100 TB.
     For adversarial long-chain graphs swap in large-star/small-star
     (Kiveris et al., 2014); the operator contract is the same."""
+    cap = _DRIVER_CC_MAX_PAIRS if driver_max_pairs is None else driver_max_pairs
+    if cap > 0 and pairs.limit(cap + 1).count() <= cap:
+        return _cc_driver(pairs)
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # localCheckpoint (not persist): each round's frame references the
     # previous one twice, so without lineage truncation the logical plan
@@ -183,6 +229,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -194,14 +241,29 @@ def connected_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("nc").alias("nc"))
         )
+        # pointer jumping: also adopt the label OF the current label
+        # (path-halving), so rounds needed are O(log diameter) instead of
+        # O(diameter) — a pure one-hop propagation silently fails to
+        # converge on chains longer than max_iter
+        grand = labels.select(
+            F.col("node").alias("component"), F.col("component").alias("gc")
+        )
         new = (
             labels.join(neigh, "node", "left")
+            .join(grand, "component", "left")
             .select(
                 "node",
                 F.least(
-                    "component", F.coalesce("nc", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("nc", F.col("component")) < F.col("component"))
+                    "component",
+                    F.coalesce("nc", F.col("component")),
+                    F.coalesce("gc", F.col("component")),
+                ).alias("new_component"),
+                F.col("component").alias("old_component"),
+            )
+            .select(
+                "node",
+                F.col("new_component").alias("component"),
+                (F.col("new_component") < F.col("old_component"))
                 .cast("int")
                 .alias("changed"),
             )
@@ -210,7 +272,12 @@ def connected_components(
         n_changed = new.agg(F.sum("changed")).collect()[0][0] or 0
         labels = new.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels
 
 

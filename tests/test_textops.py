@@ -118,6 +118,41 @@ def test_connected_components_matches_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+    # driver (union-find) and distributed (label-prop) twins are
+    # set-identical; driver_max_pairs=0 forces the distributed path
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_max_pairs=0).collect()
+    }
+    assert dist == want
+
+
+def test_connected_components_twins_randomized(spark):
+    """Randomized chain/clique/singleton-link graphs: driver union-find and
+    distributed label propagation must agree exactly (incl. string ids and
+    the empty edge set)."""
+    import random
+
+    from searchengine_spark.textops.dedup import connected_components
+
+    rng = random.Random(20260817)
+    nodes = [f"d{i:03d}" for i in range(120)]
+    edges = set()
+    for _ in range(150):
+        a, b = rng.sample(nodes, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    # add a long chain (diameter stress for label prop)
+    chain = [f"c{i:02d}" for i in range(30)]
+    edges |= {(chain[i], chain[i + 1]) for i in range(29)}
+    pairs = spark.createDataFrame(sorted(edges), "doc_a string, doc_b string")
+    drv = {(r["node"], r["component"])
+           for r in connected_components(pairs).collect()}
+    dist = {(r["node"], r["component"])
+            for r in connected_components(pairs, driver_max_pairs=0).collect()}
+    assert drv == dist and drv
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(empty).count() == 0
 
 
 def test_pipeline_agrees_with_all_pairs_jaccard(spark, dup_corpus):
