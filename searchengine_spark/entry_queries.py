@@ -718,7 +718,7 @@ def lang_script_q(spark, sf_dir):
 
 LANG_SCRIPT_SQL = """
 SELECT doc_id,
-       CASE WHEN regexp_matches(text, '[一-鿿぀-ヿ]') THEN 'cjk'
+       CASE WHEN regexp_matches(text, '[一-鿿぀-ヿᄀ-ᇿ㄰-㆏가-힯]') THEN 'cjk'
             ELSE 'latin' END AS script_guess
 FROM documents
 """

@@ -3,10 +3,13 @@
 ``conversation_sessions``: assembles per-conversation running state from a
 stream of transcript turns — turn count, analyzed-token count, last event
 time — and EMITS a conversation summary row only when the conversation
-goes quiet (processing-time timeout) or the stream ends. This is the
-canonical "session window with custom state" shape that windowed
-aggregation can't express (the emitted row depends on accumulated state,
-not a fixed window).
+goes quiet (processing-time timeout). Conversations still open when the
+query is STOPPED are retained in the state store, not emitted — they
+flush on the next run's timeout after a restart from the checkpoint
+(ProcessingTimeTimeout fires only while a query runs; there is no
+at-shutdown flush hook). This is the canonical "session window with
+custom state" shape that windowed aggregation can't express (the emitted
+row depends on accumulated state, not a fixed window).
 
 State flows through Arrow as a single-row pandas DataFrame per key; the
 timeout uses ``GroupStateTimeout.ProcessingTimeTimeout`` so idle
@@ -58,7 +61,11 @@ def _session_fn(analyzer_name: str, idle_ms: int):
                 sum(len(analyze(t)) for t in pdf["text"] if t is not None)
             )
             batch_max = pdf["ts"].max()
-            if last_ts is None or batch_max > last_ts:
+            # an all-null chunk yields NaT; adopting it would poison every
+            # later comparison (x > NaT is always False), freezing last_ts
+            if not pd.isna(batch_max) and (
+                last_ts is None or pd.isna(last_ts) or batch_max > last_ts
+            ):
                 last_ts = batch_max
         state.update((n_turns, n_tokens, last_ts))
         state.setTimeoutDuration(idle_ms)

@@ -25,19 +25,22 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """Tumbling-window counts + value sums per key with late-data tolerance
-    of ``watermark``. Works on both streaming and batch frames (batch just
-    ignores the watermark), so the same definition is testable both ways."""
+    """Tumbling-window counts (+ ``value_col`` sums when the stream has
+    one; pass ``value_col=None`` for count-only schemas) per key with
+    late-data tolerance of ``watermark``. Works on both streaming and
+    batch frames (batch just ignores the watermark), so the same
+    definition is testable both ways."""
     src = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
-    return (
-        src.groupBy(F.window(ts_col, window).alias("w"), key_col)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("sum_value"),
-        )
-        .select(F.col("w.start").alias("w_start"), key_col, "n", "sum_value")
-    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    return src.groupBy(F.window(ts_col, window).alias("w"), key_col).agg(
+        *aggs
+    ).select(F.col("w.start").alias("w_start"), key_col, "n", *(
+        [f"sum_{value_col}"] if value_col is not None else []
+    ))
 
 
 def windowed_term_counts(

@@ -59,13 +59,24 @@ def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep the min-id representative of each exact text group."""
-    w = df.select(
-        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("text_hash")
+def _exact_keep_ids(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col) frame of the min-id representative per exact text group —
+    the single definition of exact-dedup keep semantics (shared by
+    exact_dedup and dedup_pipeline so the two can't drift)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
+        .groupBy("_th")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_th")
     )
-    keep = w.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
-    return w.join(keep, [id_col, "text_hash"]).drop("text_hash")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each exact text group (all input
+    columns pass through)."""
+    return df.join(_exact_keep_ids(df, id_col, text_col), id_col, "left_semi")
 
 
 def shingle_df(df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id") -> DataFrame:
@@ -124,6 +135,10 @@ def jaccard_for_pairs(
     (the scale-safe verification kernel: work is O(|pairs| x shingles), not
     O(n^2)). Shingles are computed just for docs that appear in a pair
     (semi-join pruning)."""
+    # a duplicated (doc_a, doc_b) row would count every shared shingle once
+    # per duplicate, inflating jaccard past 1.0 — dedupe defensively (free
+    # when the caller already passed distinct pairs)
+    pairs = pairs.select("doc_a", "doc_b").distinct()
     involved = (
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select(F.col("doc_b").alias(id_col)))
@@ -164,11 +179,10 @@ def jaccard_for_pairs(
 _DRIVER_CC_MAX_PAIRS = 1 << 20
 
 
-def _cc_driver(pairs: DataFrame) -> DataFrame:
+def _cc_driver(pairs: DataFrame, rows: list) -> DataFrame:
     """Union-find over collected pairs; merging always attaches the larger
     root under the smaller, so by induction each root IS the min id of its
     cluster — identical output to min-label propagation."""
-    rows = pairs.select("doc_a", "doc_b").collect()
     parent: dict = {}
 
     def find(x):
@@ -211,8 +225,13 @@ def connected_components(
     For adversarial long-chain graphs swap in large-star/small-star
     (Kiveris et al., 2014); the operator contract is the same."""
     cap = _DRIVER_CC_MAX_PAIRS if driver_max_pairs is None else driver_max_pairs
-    if cap > 0 and pairs.limit(cap + 1).count() <= cap:
-        return _cc_driver(pairs)
+    if cap > 0:
+        # one job decides AND feeds the fast path: collect at most cap+1
+        # rows — if the edge set fits, union-find runs on exactly these
+        # rows (no second execution of an unpersisted upstream plan)
+        head = pairs.select("doc_a", "doc_b").limit(cap + 1).collect()
+        if len(head) <= cap:
+            return _cc_driver(pairs, head)
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # localCheckpoint (not persist): each round's frame references the
     # previous one twice, so without lineage truncation the logical plan
@@ -316,12 +335,7 @@ def dedup_pipeline(
     metrics: dict[str, int] = {}
     if with_metrics:
         metrics["n_input"] = df.count()
-    exact_keep = (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
-        .groupBy("_th")
-        .agg(F.min(id_col).alias(id_col))
-        .drop("_th")
-    )
+    exact_keep = _exact_keep_ids(df, id_col, text_col)
     survivors = df.join(exact_keep, id_col, "left_semi").persist()
     if with_metrics:
         metrics["n_after_exact"] = survivors.count()

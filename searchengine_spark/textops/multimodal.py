@@ -436,6 +436,10 @@ def extract_features(df: DataFrame, batch_rows: int = 64, strict: bool = False) 
             except Exception:
                 if strict:
                     raise
+        elif strict:
+            # an unknown modality must not silently ship a sha256 noise
+            # vector when the caller asked for strict decoding
+            raise ValueError(f"unknown media kind {kind!r} (strict mode)")
         return False, _fake_feature(p)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -23,7 +23,10 @@ TOKEN_SPLIT_RE = "[ \\t\\n\\x0b\\f\\r]+"
 PUNCT_RE = "[,.;?!]"
 # BPE-ish pre-tokenizer: letter runs, digit runs, single other symbols
 BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-CJK_RANGE_RE = "[一-鿿぀-ヿ]"  # CJK ideographs + kana
+# CJK ideographs + kana + Hangul (jamo U+1100-11FF, compat jamo U+3130-318F,
+# syllables U+AC00-D7AF) — without the Hangul blocks Korean text would
+# bucket "latin"
+CJK_RANGE_RE = "[一-鿿぀-ヿᄀ-ᇿ㄰-㆏가-힯]"
 
 
 def _raw_tokens(text_col):

@@ -58,6 +58,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _hamming_ball(qkey: str, radius: int) -> set[str]:
+    """Every bit-string within ``radius`` flips of ``qkey`` (inclusive) —
+    the single definition of multi-probe enumeration (a previous version
+    flipped only single bits whatever the radius — silent under-probing —
+    and the fix must never have to be applied in two places)."""
+    from itertools import combinations
+
+    n = len(qkey)
+    probe = set()
+    for r in range(0, min(radius, n) + 1):
+        for idxs in combinations(range(n), r):
+            flipped = list(qkey)
+            for i in idxs:
+                flipped[i] = "1" if qkey[i] == "0" else "0"
+            probe.add("".join(flipped))
+    return probe
+
+
 def bucket_col(vec_col, planes: np.ndarray):
     """LSH bucket id = sign-bit string over random hyperplanes."""
     bits = []
@@ -87,21 +105,11 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: exact rerank within the query's LSH bucket plus
     all buckets within the given hamming distance (multi-probe)."""
-    from itertools import combinations
-
     dim = len(query)
     planes = _hyperplanes(dim, n_planes, seed)
     qbits = (planes @ np.asarray(query, dtype=np.float64) >= 0).astype(int)
     qkey = "".join(map(str, qbits))
-    # probe every bucket within the full hamming ball (a previous version
-    # only flipped single bits whatever the radius — silent under-probing)
-    probe = set()
-    for r in range(0, min(multiprobe_hamming, n_planes) + 1):
-        for idxs in combinations(range(n_planes), r):
-            flipped = list(qkey)
-            for i in idxs:
-                flipped[i] = "1" if qkey[i] == "0" else "0"
-            probe.add("".join(flipped))
+    probe = _hamming_ball(qkey, multiprobe_hamming)
     bucketed = df.withColumn("_bucket", bucket_col(F.col(vec_col), planes))
     cands = bucketed.where(F.col("_bucket").isin(sorted(probe)))
     return brute_force_topk(cands, query, k, id_col, vec_col)
@@ -124,7 +132,6 @@ def embedding_near_dup_pairs(
     bucketing at ``seed+1``). ``exact=True`` scores all pairs — the O(n²)
     oracle twin, fine at test scale only.
     """
-    dim = df.select(F.size(vec_col)).first()[0]
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
@@ -134,6 +141,15 @@ def embedding_near_dup_pairs(
     if exact:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        # dim lookup is one driver job — only the LSH path needs it, and an
+        # empty frame has no dim (first() is None): no vectors, no pairs
+        row = df.select(F.size(vec_col)).first()
+        if row is None:
+            idt = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"doc_a {idt}, doc_b {idt}, cos_sim double"
+            )
+        dim = row[0]
         keyed = []
         for s in (seed, seed + 1):  # two independent bucketings OR-ed
             planes = _hyperplanes(dim, n_planes, s)
@@ -251,20 +267,13 @@ def lsh_topk_indexed(
     directories."""
     import json
     import os
-    from itertools import combinations
 
     with open(os.path.join(path, "_lsh_meta.json")) as fh:
         meta = json.load(fh)
     planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
     qbits = (planes @ np.asarray(query, dtype=np.float64) >= 0).astype(int)
     qkey = "".join(map(str, qbits))
-    probe = set()
-    for r in range(0, min(multiprobe_hamming, meta["n_planes"]) + 1):
-        for idxs in combinations(range(meta["n_planes"]), r):
-            flipped = list(qkey)
-            for i in idxs:
-                flipped[i] = "1" if qkey[i] == "0" else "0"
-            probe.add("".join(flipped))
+    probe = _hamming_ball(qkey, multiprobe_hamming)
     cands = spark.read.parquet(path).where(
         F.col("bucket").isin(sorted(probe))
     )

@@ -253,6 +253,57 @@ def test_windowed_term_counts_batch_twin(spark, corpus):
     assert got == {t: (cf[t], df[t]) for t in cf}
 
 
+def test_session_fn_all_null_ts_chunk_does_not_freeze_last_ts():
+    """An all-null-ts pandas chunk yields NaT; adopting it used to poison
+    every later `>` comparison so real timestamps in the same call were
+    never recorded."""
+    import pandas as pd
+
+    from searchengine_spark.streaming.stateful import _session_fn
+
+    class StubState:
+        exists = False
+        hasTimedOut = False
+        stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    fn = _session_fn("composable", 1000)
+    st = StubState()
+    real = pd.Timestamp("2026-01-01 01:00:00")
+    chunks = iter(
+        [
+            pd.DataFrame({"text": ["spark error"], "ts": [pd.NaT]}),
+            pd.DataFrame({"text": ["hash join"], "ts": [real]}),
+        ]
+    )
+    list(fn(("c1",), chunks, st))
+    n_turns, _n_tokens, last_ts = st.stored
+    assert n_turns == 2
+    assert last_ts == real
+
+
+def test_windowed_event_counts_without_value_column(spark):
+    from searchengine_spark.streaming import windowed_event_counts
+
+    df = spark.createDataFrame(
+        [("2026-01-01 00:10:00", "click"), ("2026-01-01 00:20:00", "click")],
+        "ts_s string, event_type string",
+    ).selectExpr("cast(ts_s as timestamp) as ts", "event_type")
+    out = windowed_event_counts(df, value_col=None).collect()
+    assert len(out) == 1 and out[0]["n"] == 2
+    assert "sum_value" not in out[0].asDict()
+
+
 def test_stateful_conversation_sessions(spark, corpus, tmp_path):
     """applyInPandasWithState: per-conversation state accumulates across
     micro-batches; summaries carry exact turn/token counts (verified against

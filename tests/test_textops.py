@@ -309,6 +309,16 @@ def test_extract_features_strict_raises_on_unsupported_codecs(spark):
     # n=9 includes the planted unsupported-codec row (i == 8)
     with pytest.raises(Exception, match="NotImplementedError|external libs|ffmpeg"):
         extract_features(sample_media_df(spark, n=9), strict=True).collect()
+    # an UNKNOWN kind must also raise in strict mode (not silently ship the
+    # sha256 fake) — and still get the fake, decoded=false, when lenient
+    unknown = spark.createDataFrame(
+        [("m0", "Text", bytearray(b"abc"))],
+        "media_id string, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="unknown media kind"):
+        extract_features(unknown, strict=True).collect()
+    lenient = extract_features(unknown).collect()
+    assert len(lenient) == 1 and lenient[0]["decoded"] is False
 
 
 @pytest.fixture(scope="module")
