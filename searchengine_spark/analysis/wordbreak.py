@@ -52,16 +52,22 @@ def load_freq_dict(lines) -> dict[str, int]:
 
 
 def wordbreak_tokenize(
-    text: str, freq_dict: dict[str, int], total: int | None = None
+    text: str,
+    freq_dict: dict[str, int],
+    total: int | None = None,
+    max_len: int | None = None,
 ) -> list[str]:
     """EN word break: segment lowercase space-free text; raises ValueError
-    when no segmentation exists; stop words dropped from the result."""
+    when no segmentation exists; stop words dropped from the result.
+    ``max_len`` lets a batch caller hoist the O(|dict|) scan out of the
+    per-document path (make_wordbreak_udf passes it)."""
     s = text.strip().lower()
     if not s:
         return []
     n = len(s)
     total = total or sum(freq_dict.values()) or 1
-    max_len = max(map(len, freq_dict), default=0)
+    if max_len is None:
+        max_len = max(map(len, freq_dict), default=0)
     # Viterbi over log-probabilities (product objective, optimal substructure)
     NEG = float("-inf")
     best = [NEG] * (n + 1)
@@ -91,22 +97,35 @@ def wordbreak_tokenize(
     return [w for w in words if w not in STOP_WORDS]
 
 
-def wordbreak_cjk_tokenize(
-    text: str, freq_dict: dict[str, int], total: int | None = None
-) -> list[str]:
-    """CJK word break (jieba-style): prefix-DAG + max log-prob path; every
-    single character is segmentable (prefix entries at freq 0 take a 1/total
-    floor), so nothing raises; stop words dropped."""
-    s = text.strip()
-    if not s:
-        return []
-    n = len(s)
-    # insert all prefixes at freq 0 (reference :67-71)
+def _cjk_dag_dict(freq_dict: dict[str, int]) -> dict[str, int]:
+    """Every prefix of every word at freq 0, words at their freq (reference
+    WordBreakCJKTokenizer.java:67-71) — O(total dict chars) to build, so
+    batch callers build it ONCE, not per document."""
     dag_dict: dict[str, int] = {}
     for w, f in freq_dict.items():
         for p in range(1, len(w)):
             dag_dict.setdefault(w[:p], 0)
         dag_dict[w] = f
+    return dag_dict
+
+
+def wordbreak_cjk_tokenize(
+    text: str,
+    freq_dict: dict[str, int],
+    total: int | None = None,
+    dag_dict: dict[str, int] | None = None,
+) -> list[str]:
+    """CJK word break (jieba-style): prefix-DAG + max log-prob path; every
+    single character is segmentable (prefix entries at freq 0 take a 1/total
+    floor), so nothing raises; stop words dropped. Pass a precomputed
+    ``dag_dict`` (``_cjk_dag_dict``) to hoist the prefix expansion out of
+    the per-document path (make_wordbreak_udf does)."""
+    s = text.strip()
+    if not s:
+        return []
+    n = len(s)
+    if dag_dict is None:
+        dag_dict = _cjk_dag_dict(freq_dict)
     total = total or sum(freq_dict.values()) or 1
     floor = math.log(1.0 / total)
     max_len = max(map(len, dag_dict), default=1)
@@ -148,16 +167,35 @@ def make_wordbreak_udf(freq_dict: dict[str, int], cjk: bool = False):
     a closure constant (serialized once per executor with the UDF), matching
     SURVEY.md A7's 'module-level, not broadcast-joined' disposition."""
     total = sum(freq_dict.values()) or 1
-    fn = wordbreak_cjk_tokenize if cjk else wordbreak_tokenize
+    # per-executor lazy cache: the CJK prefix DAG is built once per process
+    # (building it per document dwarfed the DP itself), and it would bloat
+    # the serialized closure if expanded driver-side
+    prep: dict = {}
 
     def _batch(texts: pd.Series) -> pd.Series:
+        if cjk:
+            if "dag" not in prep:
+                prep["dag"] = _cjk_dag_dict(freq_dict)
+            dag = prep["dag"]
+
+            def fn(t):
+                return wordbreak_cjk_tokenize(t, freq_dict, total, dag_dict=dag)
+
+        else:
+            if "max_len" not in prep:
+                prep["max_len"] = max(map(len, freq_dict), default=0)
+            max_len = prep["max_len"]
+
+            def fn(t):
+                return wordbreak_tokenize(t, freq_dict, total, max_len=max_len)
+
         out = []
         for t in texts:
             if t is None:
                 out.append([])
                 continue
             try:
-                out.append(fn(t, freq_dict, total))
+                out.append(fn(t))
             except ValueError:
                 out.append(None)  # unbreakable -> null row (SQL-friendly)
         return pd.Series(out)

@@ -58,12 +58,18 @@ def compute_pagerank(
     (fixed-iteration mode, e.g. the driver's 40-iteration oracle twins) the
     diff can never fire, so the join+aggregate+collect is skipped entirely
     — only the localCheckpoint (the load-bearing lineage truncation) runs."""
+    edge_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     if nodes is None:
-        nodes = (
-            edges.select(F.col("src").alias("node"))
-            .unionByName(edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
+        nodes = edge_nodes
+    else:
+        # the caller's frame AUGMENTS the edge-derived universe (isolated
+        # vertices); replacing it would silently drop every connected
+        # node's inflow
+        nodes = nodes.select("node").unionByName(edge_nodes).distinct()
     nodes = nodes.select("node").persist()
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")

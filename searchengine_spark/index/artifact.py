@@ -304,9 +304,17 @@ def _build_segment_impl(
     blocks_dir = os.path.join(path, "blocks", f"seg={seg}")
     # bucket=<term-hash> directory partitions: query-term lookups prune whole
     # directories (PartitionFilters), which at 10^12-turn scale is the
-    # difference between listing thousands vs millions of files
-    blocks = blocks.withColumn("bucket", term_bucket_expr(F.col("term"), n_buckets))
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_dir)
+    # difference between listing thousands vs millions of files.
+    # n_buckets=0 = unbucketed (term_bucket_expr would be `% 0`, a
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode) — same guard as the
+    # sub/compact write paths
+    if n_buckets:
+        blocks = blocks.withColumn(
+            "bucket", term_bucket_expr(F.col("term"), n_buckets)
+        )
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_dir)
+    else:
+        blocks.write.mode("overwrite").parquet(blocks_dir)
     p.unpersist()
 
     # per-segment term stats (df, cf) — two-phase hash agg, skew-safe
@@ -834,13 +842,20 @@ def subcompact(
     # enforces no cross-segment uniqueness), and a doc_id equi-join would
     # match each such posting against both new ordinals, duplicating
     # postings and inflating df/cf. Ordinals are unique by construction.
-    merged_docs = src.filter_deleted_ords(
-        src.docs_tbl.where(F.col("seg").isin(segs))
-        .select("doc_id", "dl", "doc_ord")
-    ).withColumnRenamed("doc_ord", "old_ord")
+    merged_docs = (
+        src.filter_deleted_ords(
+            src.docs_tbl.where(F.col("seg").isin(segs))
+            .select("doc_id", "dl", "doc_ord")
+        )
+        .withColumnRenamed("doc_ord", "old_ord")
+        # assign_doc_ordinals range-partitions its input, which executes
+        # the child twice (boundary sampling) — persist the scan+anti-join
+        .persist()
+    )
     ords = assign_doc_ordinals(merged_docs, base=segment_base(new_seg))
     docs_dir = os.path.join(path, "docs", f"seg={new_seg}")
     ords.drop("old_ord").write.mode("overwrite").parquet(docs_dir)
+    merged_docs.unpersist()
 
     cols = ["term", "doc_ord", "tf", "dl"] + (
         ["positions"] if cfg["positional"] else []
@@ -1042,12 +1057,19 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
     # at merge, InvertedIndex.java:640-697) — surviving docs only
     # ordinal-keyed mapping for the same reason as subcompact: duplicate
     # doc_ids across source segments must each keep exactly one new ordinal
-    corpus_like = src.filter_deleted_ords(
-        src.docs_tbl.select("doc_id", "dl", "doc_ord")
-    ).withColumnRenamed("doc_ord", "old_ord")
+    corpus_like = (
+        src.filter_deleted_ords(
+            src.docs_tbl.select("doc_id", "dl", "doc_ord")
+        )
+        .withColumnRenamed("doc_ord", "old_ord")
+        # persist: assign_doc_ordinals' range partitioner samples (executes)
+        # its child once for boundaries and again for the real pass
+        .persist()
+    )
     ords = assign_doc_ordinals(corpus_like, base=0)
     docs_dir = os.path.join(out_path, "docs", "seg=0")
     ords.drop("old_ord").write.mode("overwrite").parquet(docs_dir)
+    corpus_like.unpersist()
     cols = ["term", "doc_ord", "tf", "dl"] + (
         ["positions"] if cfg["positional"] else []
     )

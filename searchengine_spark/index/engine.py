@@ -388,10 +388,15 @@ class Index:
 
     def hydrate(self, results: DataFrame) -> DataFrame:
         """Join matched doc_ids back to the corpus (reference readDocuments,
-        InvertedIndex.java:1367-1389) with stable doc_id ordering."""
+        InvertedIndex.java:1367-1389) with stable doc_id ordering. Result
+        frames always expose the id as ``doc_id`` regardless of the
+        corpus's ``doc_id_col``, so align the corpus side to it."""
         if self.corpus is None:
             raise ValueError("index built without corpus reference")
-        return results.join(self.corpus, on=self.doc_id_col, how="inner")
+        corpus = self.corpus
+        if self.doc_id_col != "doc_id":
+            corpus = corpus.withColumnRenamed(self.doc_id_col, "doc_id")
+        return results.join(corpus, on="doc_id", how="inner")
 
 
 def make_term_counts_udf(analyzer: str = "composable"):

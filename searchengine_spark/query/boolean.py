@@ -28,13 +28,16 @@ def search_and(index, keywords) -> DataFrame:
     if not terms:
         return _empty_ids(index)
     n = len(terms)
-    matched = index.postings_for_terms(terms)
+    # boolean ops never read positions (the artifact skips the pos bytes)
+    matched = index.postings_for_terms(terms, positional=False)
     if n == 1:
         return matched.select("doc_id").distinct()
-    # postings have one row per (doc, term), so count(*) == countDistinct(term)
+    # count DISTINCT terms, not rows: the same doc_id may legally exist in
+    # two segments (append_segment enforces no cross-segment uniqueness),
+    # and row-counting its duplicate postings would fake an AND match
     return (
         matched.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .agg(F.count_distinct("term").alias("n_terms"))
         .where(F.col("n_terms") == n)
         .select("doc_id")
     )
@@ -44,4 +47,8 @@ def search_or(index, keywords) -> DataFrame:
     terms = sorted(set(index.analyze_query(keywords)))
     if not terms:
         return _empty_ids(index)
-    return index.postings_for_terms(terms).select("doc_id").distinct()
+    return (
+        index.postings_for_terms(terms, positional=False)
+        .select("doc_id")
+        .distinct()
+    )

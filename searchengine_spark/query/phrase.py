@@ -48,20 +48,26 @@ def search_phrase(index, phrase) -> DataFrame:
         nopos = index.postings_for_terms(uniq, positional=False)
         cand_docs = (
             nopos.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("nt"))
+            .agg(F.count_distinct("term").alias("nt"))
             .where(F.col("nt") == len(uniq))
             .select("doc_id")
         )
         post = post.join(cand_docs, "doc_id", "left_semi")
+    # array_distinct: a doc_id duplicated across segments (legal transient
+    # state) contributes identical (term, positions) twins that would
+    # otherwise hit Spark 4's DUPLICATE_MAP_KEY; after dedupe the entry
+    # count equals the distinct-term count for exact duplicates (instances
+    # with *different* positions for a term fail the size filter — the
+    # ambiguous-data case is excluded deterministically, not crashed on)
     per_doc = (
         post.groupBy("doc_id")
         .agg(
-            F.map_from_entries(
+            F.array_distinct(
                 F.collect_list(F.struct("term", "positions"))
-            ).alias("posmap"),
-            F.count(F.lit(1)).alias("n_terms"),
+            ).alias("entries")
         )
-        .where(F.col("n_terms") == len(uniq))
+        .where(F.size("entries") == len(uniq))
+        .select("doc_id", F.map_from_entries("entries").alias("posmap"))
     )
     if len(terms) == 1:
         return per_doc.select("doc_id")

@@ -82,15 +82,17 @@ def search_bm25(index, query, k: int | None = None) -> DataFrame:
     # Deterministic per-doc summation: fold partials in sorted-term order so
     # scores are bit-identical across partitionings and to the oracle
     # (float addition is order-sensitive; SURVEY.md §7.3). Query terms are
-    # few, so collect_list here is O(|q|) per doc.
+    # few, so collect_list here is O(|q|) per doc. array_distinct drops the
+    # identical twin partials a doc_id duplicated across segments would
+    # contribute (identity for normal corpora — no bit-identity impact).
     scored = (
-        index.postings_for_terms([t for t, _, _ in weights])
+        index.postings_for_terms([t for t, _, _ in weights], positional=False)
         .join(F.broadcast(qdf), "term")
         .select("doc_id", F.struct("term", partial.alias("partial")).alias("p"))
         .groupBy("doc_id")
         .agg(
             F.aggregate(
-                F.array_sort(F.collect_list("p")),
+                F.array_sort(F.array_distinct(F.collect_list("p"))),
                 F.lit(0.0),
                 lambda acc, x: acc + x["partial"],
             ).alias("score")
@@ -183,7 +185,7 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(
             F.aggregate(
-                F.array_sort(F.collect_list("p")),
+                F.array_sort(F.array_distinct(F.collect_list("p"))),
                 F.lit(0.0),
                 lambda acc, x: acc + x["partial"],
             ).alias("score")
@@ -210,7 +212,7 @@ def search_tfidf(index, query, k: int | None = None) -> DataFrame:
     tfidf = F.col("tf").cast("double") * F.col("idf")
     # same deterministic sorted fold as BM25, accumulating (dot, len2)
     scored = (
-        index.postings_for_terms([t for t, _, _ in weights])
+        index.postings_for_terms([t for t, _, _ in weights], positional=False)
         .join(F.broadcast(qdf), "term")
         .select(
             "doc_id",
@@ -223,7 +225,7 @@ def search_tfidf(index, query, k: int | None = None) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.aggregate(
-                F.array_sort(F.collect_list("p")),
+                F.array_sort(F.array_distinct(F.collect_list("p"))),
                 F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("l")),
                 lambda acc, x: F.struct(
                     (acc["d"] + x["dot_p"]).alias("d"),

@@ -155,44 +155,66 @@ def _score_blocks(aidx, blocks: DataFrame, qdf: DataFrame) -> DataFrame:
 def _finalize_topk(aidx, scored: DataFrame, k: int) -> DataFrame:
     """(doc_ord, score) -> exact top-k (doc_id, score) under the
     (score desc, doc_id asc) contract, touching the doc table only for the
-    boundary set (all docs with score >= k-th score, typically ~k rows)."""
+    boundary set (all docs with score >= k-th score, typically ~k rows).
+
+    A doc_id duplicated across segments (legal transient state) owns one
+    ordinal per instance; results are per doc_id, keeping the max instance
+    score (instances of a true duplicate score identically). Because the
+    per-ordinal k-th score can then over-cut, the fetch escalates until the
+    deduped boundary holds >= k distinct doc_ids — one pass when there are
+    no duplicates, which is the steady state."""
     spark = aidx.spark
     scored = scored.persist()
     try:
-        top = scored.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k).collect()
-        if not top:
-            return _empty(aidx)
-        if len(top) < k:
-            boundary = top  # corpus has fewer than k scored docs
-        else:
-            theta_k = top[-1]["score"]
-            # every potential member of the final top-k under ANY tie-break
-            cand = scored.where(F.col("score") >= theta_k)
-            boundary = cand.limit(_MAX_TIE_COLLECT + 1).collect()
-            if len(boundary) > _MAX_TIE_COLLECT:
-                # pathological tie plateau: cut distributedly (doc-table join
-                # before the limit — slow but exact)
-                out = (
-                    scored.join(
-                        aidx.docs_tbl.select("doc_ord", "doc_id"), "doc_ord"
+        fetch_k = k
+        while True:
+            top = (
+                scored.orderBy(F.desc("score"), F.asc("doc_ord"))
+                .limit(fetch_k)
+                .collect()
+            )
+            if not top:
+                return _empty(aidx)
+            exhausted = len(top) < fetch_k  # every scored ordinal fetched
+            if exhausted:
+                boundary = top
+            else:
+                theta_k = top[-1]["score"]
+                # every potential member of the final top-k under ANY
+                # tie-break
+                cand = scored.where(F.col("score") >= theta_k)
+                boundary = cand.limit(_MAX_TIE_COLLECT + 1).collect()
+                if len(boundary) > _MAX_TIE_COLLECT:
+                    # pathological tie plateau: cut distributedly (doc-table
+                    # join before the limit — slow but exact)
+                    return (
+                        scored.join(
+                            aidx.docs_tbl.select("doc_ord", "doc_id"),
+                            "doc_ord",
+                        )
+                        .groupBy("doc_id")
+                        .agg(F.max("score").alias("score"))
+                        .orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(k)
+                        .localCheckpoint(eager=True)
                     )
-                    .select("doc_id", "score")
-                    .orderBy(F.desc("score"), F.asc("doc_id"))
-                    .limit(k)
-                    .localCheckpoint(eager=True)
+            id_by_ord = {
+                r["doc_ord"]: r["doc_id"]
+                for r in aidx.docs_for_ordinals(
+                    [r["doc_ord"] for r in boundary]
+                ).collect()
+            }
+            best: dict = {}
+            for r in boundary:
+                did, s = id_by_ord[r["doc_ord"]], r["score"]
+                if did not in best or s > best[did]:
+                    best[did] = s
+            if exhausted or len(best) >= k:
+                rows = sorted(best.items(), key=lambda x: (-x[1], x[0]))[:k]
+                return spark.createDataFrame(
+                    rows, "doc_id string, score double"
                 )
-                return out
-        id_by_ord = {
-            r["doc_ord"]: r["doc_id"]
-            for r in aidx.docs_for_ordinals(
-                [r["doc_ord"] for r in boundary]
-            ).collect()
-        }
-        rows = sorted(
-            ((id_by_ord[r["doc_ord"]], r["score"]) for r in boundary),
-            key=lambda x: (-x[1], x[0]),
-        )[:k]
-        return spark.createDataFrame(rows, "doc_id string, score double")
+            fetch_k *= 4  # duplicates over-filled the per-ordinal cut
     finally:
         scored.unpersist()
 
@@ -517,10 +539,18 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
         aidx.blocks_for_terms(terms)
         .join(F.broadcast(qdf), "term")
         .withColumn("ub", ub)
-        # deterministic per-block key for the aligned-prune joins (seg and
-        # block_seq are numeric, so a '#'-joined key is unambiguous no
-        # matter what characters the term contains)
-        .withColumn("bid", F.concat_ws("#", "seg", "block_seq", "term"))
+        # deterministic per-block key for the aligned-prune joins (numeric
+        # parts + '#' make the key unambiguous no matter what characters
+        # the term contains). first_ord is required for uniqueness:
+        # block_seq restarts at 0 in every pack partition, so a hot term
+        # split across range partitions repeats (seg, block_seq, term) —
+        # first_ord is strictly increasing across a term's blocks within a
+        # segment and disambiguates the twins (a duplicate bid let a kept
+        # block resurrect its pruned twin and inflated the aligned bound's
+        # per-bid bucket sets on exactly the hot terms it exists to prune)
+        .withColumn(
+            "bid", F.concat_ws("#", "seg", "block_seq", "first_ord", "term")
+        )
         .persist()
     )
 
