@@ -1099,6 +1099,168 @@ ORDER BY n_sessions DESC, user_id LIMIT 25
 """
 
 
+def events_asof(spark, sf_dir):
+    """As-of join (timeseries.asof_join): for each error event, the latest
+    click by the same user at or before the error. Oracled against DuckDB's
+    NATIVE ``ASOF LEFT JOIN`` — an independent implementation of the same
+    semantics (the events tables have no duplicate (user_id, ts), so the
+    match is unique and the comparison deterministic). Lag is compared in
+    exact integer microseconds (unix_micros vs epoch_us), not floats."""
+    from searchengine_spark.timeseries import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = asof_join(errors, clicks, on=["user_id"], right_cols=["value"])
+    return j.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).alias("lag_us"),
+        F.round("value_r", 4).alias("click_value_r"),
+    ).orderBy("error_id")
+
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id AS error_id, e.user_id,
+       epoch_us(e.ts) - epoch_us(c.ts) AS lag_us,
+       round(c.value, 4) AS click_value_r
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY error_id
+"""
+
+
+def events_range_join(spark, sf_dir):
+    """Interval (range) join (timeseries.interval_join): the 20 busiest
+    10-minute error windows, widened to unaligned [start-2min, start+12min)
+    intervals, range-joined against ALL events via aligned-bucket expansion
+    + equi-join (never a Catalyst BroadcastNestedLoop). Oracled against
+    DuckDB's native inequality range join (IEJoin) — an independent
+    evaluation of the same predicate."""
+    from searchengine_spark.timeseries import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bursts = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .orderBy(F.desc("nb"), F.asc("w.start"))
+        .limit(20)
+    )
+    iv = bursts.select(
+        (F.col("w.start") - F.expr("INTERVAL 2 MINUTES")).alias("lo"),
+        (F.col("w.start") + F.expr("INTERVAL 12 MINUTES")).alias("hi"),
+    )
+    joined = interval_join(ev, iv, "ts", "lo", "hi", bucket_s=600)
+    return (
+        joined.groupBy("lo", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value_r"),
+        )
+        .select(F.col("lo").alias("w_lo"), "event_type", "n", "sum_value_r")
+        .orderBy("w_lo", "event_type")
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH bursts AS (
+  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS b, count(*)::BIGINT AS nb
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 ORDER BY nb DESC, b ASC LIMIT 20
+),
+iv AS (
+  SELECT b - INTERVAL 2 MINUTE AS lo, b + INTERVAL 12 MINUTE AS hi FROM bursts
+)
+SELECT iv.lo AS w_lo, e.event_type, count(*)::BIGINT AS n,
+       round(sum(e.value), 4) AS sum_value_r
+FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.hi
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def repetition_signals_q(spark, sf_dir):
+    """Gopher-style repetition quality signals (quality.repetition_signals)
+    over the analyzer token stream."""
+    return q.repetition_signals(_docs_tokens(spark, sf_dir)).orderBy("doc_id")
+
+
+REPETITION_SQL = f"""
+WITH {TOK_CTES},
+g2 AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, term || ' ' || lead(term) OVER w AS g
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE g IS NOT NULL
+),
+g3 AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term) OVER w || ' ' || lead(term, 2) OVER w AS g
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE g IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, 2 AS w, g FROM g2
+  UNION ALL
+  SELECT doc_id, 3 AS w, g FROM g3
+),
+counts AS (
+  SELECT doc_id, w, g, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT doc_id, w, max(c) AS top, sum(c) AS tot,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM counts GROUP BY 1, 2
+),
+fracs AS (
+  SELECT doc_id,
+         max(CASE WHEN w = 2 THEN top / tot END) AS top_s,
+         max(CASE WHEN w = 3 THEN dup / tot END) AS dup_l
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+       round(coalesce(f.top_s, 0.0), 6) AS top2_frac_r,
+       round(coalesce(f.dup_l, 0.0), 6) AS dup3_frac_r
+FROM documents d LEFT JOIN fracs f ON d.doc_id = f.doc_id
+ORDER BY d.doc_id
+"""
+
+_CONTAM_MOD, _CONTAM_RES = 101, 7  # eval slice: doc_id % 101 == 7
+
+
+def contamination_overlap_q(spark, sf_dir):
+    """Benchmark-decontamination scan (dedup.contamination_overlap): shingle
+    overlap of every training doc against the deterministic eval slice
+    (doc_id % _CONTAM_MOD == _CONTAM_RES); broadcast eval shingle set, one
+    train-side aggregate."""
+    docs = _docs_tokens(spark, sf_dir)
+    is_eval = (F.col("doc_id") % _CONTAM_MOD) == _CONTAM_RES
+    res = dd.contamination_overlap(docs.filter(~is_eval), docs.filter(is_eval))
+    return res.orderBy("doc_id")
+
+
+CONTAMINATION_SQL = f"""
+WITH {TOK_CTES}, {SHING_CTE},
+ev AS (
+  SELECT DISTINCT sh FROM shing WHERE doc_id % {_CONTAM_MOD} = {_CONTAM_RES}
+),
+tr AS (
+  SELECT doc_id, sh FROM shing WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_RES}
+)
+SELECT tr.doc_id, count(*)::BIGINT AS n_shingles,
+       count(ev.sh)::BIGINT AS n_hit,
+       round(count(ev.sh) * 1.0 / count(*), 6) AS overlap_r
+FROM tr LEFT JOIN ev ON tr.sh = ev.sh
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (not SQL-expressible: stateful/UDF/stemmed/ANN-approx)
 # ---------------------------------------------------------------------------
@@ -1717,6 +1879,10 @@ QUERIES = {
     "rel_rollup": rel_rollup,
     "events_windowed": events_windowed,
     "events_sessionize": events_sessionize,
+    "events_asof": events_asof,
+    "events_range_join": events_range_join,
+    "repetition_signals": repetition_signals_q,
+    "contamination_overlap": contamination_overlap_q,
     "simhash_pairs": simhash_pairs_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
     # each entry's docstring for the independence argument):
@@ -1772,6 +1938,12 @@ ORACLES = {
     "rel_rollup": REL_ROLLUP_SQL,
     "events_windowed": EVENTS_WINDOWED_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    # events_asof / events_range_join are graded against DuckDB's NATIVE
+    # ASOF JOIN / IEJoin range join — independent algorithms, same predicate
+    "events_asof": EVENTS_ASOF_SQL,
+    "events_range_join": EVENTS_RANGE_JOIN_SQL,
+    "repetition_signals": REPETITION_SQL,
+    "contamination_overlap": CONTAMINATION_SQL,
     "simhash_pairs": _simhash_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true
     # top-10 at the graded scales, so the exact brute-force SQL is the

@@ -45,6 +45,41 @@ def word_shingles(tokens_col, n: int = SHINGLE_N):
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination scan: per training doc, the fraction of its
+    distinct word n-gram shingles that appear anywhere in the eval corpus.
+
+    Returns ``(id_col, n_shingles, n_hit, overlap_r)`` for every train doc
+    with at least one shingle. The eval shingle set is distinct'd and
+    broadcast (an eval suite is tiny next to a training corpus); the train
+    side is ONE shingle explode + ONE partially-aggregated groupBy — no
+    all-pairs, no doc-id join, linear in corpus size at any scale.
+    """
+    tr = shingle_df(train, tokens_col, id_col)
+    ev = F.broadcast(
+        shingle_df(eval_df, tokens_col, id_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        tr.join(ev, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("__hit").cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "overlap_r", F.round(F.col("n_hit") / F.col("n_shingles"), 6)
+        )
+    )
+
+
 def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level exact-duplicate accounting: one hash aggregate."""
     groups = df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(

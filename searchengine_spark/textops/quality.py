@@ -117,6 +117,74 @@ def quality_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+def _word_ngrams(tokens_col, n: int):
+    """Word n-gram *instances* (duplicates kept — unlike dedup.word_shingles)
+    from an array<string> column; empty array when len(tokens) < n."""
+    joined = F.transform(
+        tokens_col,
+        lambda x, i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
+    )
+    return F.slice(
+        joined, 1, F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    short_n: int = 2,
+    long_n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top2_frac_r``: fraction of ``short_n``-gram instances taken by the
+      single most frequent ``short_n``-gram (Rae et al. 2021 "fraction of
+      characters in most common n-gram", re-based on gram instances),
+    - ``dup3_frac_r``: fraction of ``long_n``-gram instances whose gram
+      occurs more than once ("fraction of characters in duplicate n-grams").
+
+    High values flag boilerplate / degenerate repetition for corpus
+    filtering. All JVM expressions: one tagged explode carrying both gram
+    widths, a two-level aggregate, and a join back to the id frame so every
+    input doc gets a row (0.0 when it has fewer than ``n`` tokens). Scale:
+    the explode is linear in token count and the aggregates partial-combine
+    map-side; nothing is quadratic and no UDF runs.
+    """
+    tagged = F.concat(
+        F.transform(
+            _word_ngrams(F.col(tokens_col), short_n),
+            lambda g: F.struct(F.lit(short_n).alias("w"), g.alias("g")),
+        ),
+        F.transform(
+            _word_ngrams(F.col(tokens_col), long_n),
+            lambda g: F.struct(F.lit(long_n).alias("w"), g.alias("g")),
+        ),
+    )
+    grams = df.select(F.col(id_col), F.explode(tagged).alias("e")).select(
+        id_col, F.col("e.w").alias("w"), F.col("e.g").alias("g")
+    )
+    counts = grams.groupBy(id_col, "w", "g").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy(id_col, "w").agg(
+        F.max("c").alias("top"),
+        F.sum("c").alias("tot"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+    fracs = per.groupBy(id_col).agg(
+        F.max(F.when(F.col("w") == short_n, F.col("top") / F.col("tot"))).alias(
+            "_top_s"
+        ),
+        F.max(F.when(F.col("w") == long_n, F.col("dup") / F.col("tot"))).alias(
+            "_dup_l"
+        ),
+    )
+    return df.select(id_col).join(fracs, id_col, "left").select(
+        id_col,
+        F.round(F.coalesce(F.col("_top_s"), F.lit(0.0)), 6).alias("top2_frac_r"),
+        F.round(F.coalesce(F.col("_dup_l"), F.lit(0.0)), 6).alias("dup3_frac_r"),
+    )
+
+
 # --- SimHash (64-bit) ---------------------------------------------------
 
 

@@ -1,0 +1,160 @@
+"""Semantics tests for timeseries.asof_join / interval_join and the new
+textops (repetition_signals, contamination_overlap) beyond what the
+DuckDB-oracle contract checks: tie inclusivity, tolerance nulling,
+half-open interval bounds, degenerate docs, and plan shape (no
+BroadcastNestedLoop / cartesian in the interval join)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.timeseries import asof_join, interval_join
+from searchengine_spark.textops.dedup import contamination_overlap
+from searchengine_spark.textops.quality import repetition_signals
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(10), 1.0),
+            ("A", _ts(20), 2.0),
+            ("A", _ts(30), 3.0),
+            ("B", _ts(25), 9.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts(5), 100),   # before any quote -> null
+            ("A", _ts(20), 101),  # equal ts -> inclusive match (2.0)
+            ("A", _ts(29), 102),  # latest prior is 20 (2.0)
+            ("A", _ts(55), 103),  # latest is 30 (3.0)
+            ("B", _ts(24), 104),  # before B's only quote -> null
+            ("B", _ts(26), 105),  # matches 25 (9.0)
+            ("C", _ts(50), 106),  # key with no right rows -> null
+        ],
+        "sym string, ts timestamp, qty int",
+    )
+    return trades, quotes
+
+
+def test_asof_join_backward_inclusive(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["sym"], right_cols=["px"])
+    got = {r["qty"]: (r["ts_r"], r["px_r"]) for r in out.collect()}
+    assert got[100] == (None, None)
+    assert got[101] == (_ts(20), 2.0)
+    assert got[102] == (_ts(20), 2.0)
+    assert got[103] == (_ts(30), 3.0)
+    assert got[104] == (None, None)
+    assert got[105] == (_ts(25), 9.0)
+    assert got[106] == (None, None)
+    # all left rows and columns survive
+    assert out.count() == trades.count()
+    assert out.columns == ["sym", "ts", "qty", "ts_r", "px_r"]
+
+
+def test_asof_join_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], right_cols=["px"], tolerance_s=10
+    )
+    got = {r["qty"]: r["px_r"] for r in out.collect()}
+    # qty=103 matched ts=30 at lag 25s -> nulled by tolerance; 102 lag 9s kept
+    assert got[103] is None
+    assert got[102] == 2.0
+    assert got[101] == 2.0
+
+
+def test_asof_join_plan_has_no_join_node(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["sym"], right_cols=["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("NestedLoop", "CartesianProduct", "SortMergeJoin",
+                "BroadcastHashJoin"):
+        assert bad not in plan, plan
+
+
+def test_interval_join_matches_naive_filter(spark):
+    events = spark.createDataFrame(
+        [(i, _ts(i % 60)) for i in range(200)], "eid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, _ts(5), _ts(15)),    # [5, 15)
+            (2, _ts(10), _ts(40)),   # overlaps interval 1
+            (3, _ts(58), _ts(59)),
+        ],
+        "iv_id long, lo timestamp, hi timestamp",
+    )
+    got = interval_join(events, iv, "ts", "lo", "hi", bucket_s=7)
+    naive = events.crossJoin(iv).where(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+    )
+    key = lambda df: sorted((r["eid"], r["iv_id"]) for r in df.collect())
+    assert key(got) == key(naive)
+    # hi is exclusive: ts==15 joins only interval 2
+    in1 = [r for r in got.collect() if r["iv_id"] == 1]
+    assert all(r["ts"] < _ts(15) for r in in1)
+
+
+def test_interval_join_plan_is_hash_join(spark):
+    events = spark.createDataFrame([(1, _ts(6))], "eid long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(1, _ts(5), _ts(15))], "iv_id long, lo timestamp, hi timestamp"
+    )
+    plan = (
+        interval_join(events, iv, "ts", "lo", "hi")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def _tok(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+
+
+def test_repetition_signals_handcrafted(spark):
+    docs = _tok(
+        spark,
+        [
+            (0, "a a a a"),          # top2=3/3, dup3=2/2
+            (1, "a b c d e"),        # all grams unique -> 0 dup, top2=1/4
+            (2, "x"),                # too short for any gram -> 0, 0
+            (3, "a b a b a b"),      # 2grams: ab x3, ba x2 -> top 3/5
+        ],
+    )
+    got = {r["doc_id"]: (r["top2_frac_r"], r["dup3_frac_r"])
+           for r in repetition_signals(docs).collect()}
+    assert got[0] == (1.0, 1.0)
+    assert got[1] == (0.25, 0.0)
+    assert got[2] == (0.0, 0.0)  # row present even with zero grams
+    assert got[3] == (0.6, 1.0)  # 3grams: aba x2, bab x2 -> dup 4/4
+    assert len(got) == 4
+
+
+def test_contamination_overlap_handcrafted(spark):
+    # shingle width is 3 (dedup.SHINGLE_N)
+    train = _tok(
+        spark,
+        [
+            (0, "q w e r t"),        # shares "q w e"+"w e r" with eval -> 2/3
+            (1, "z z z z"),          # one distinct shingle, no overlap
+        ],
+    )
+    ev = _tok(spark, [(100, "q w e r x")])
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hit"], r["overlap_r"])
+           for r in contamination_overlap(train, ev).collect()}
+    assert got[0] == (3, 2, round(2 / 3, 6))
+    assert got[1] == (1, 0, 0.0)
