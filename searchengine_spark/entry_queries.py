@@ -807,6 +807,92 @@ def emb_near_dup_lsh(spark, sf_dir):
     )
 
 
+_SEMDEDUP_K = 8
+_SEMDEDUP_ITERS = 2
+
+
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup): deterministic 2-iteration
+    Lloyd k-means over the embeddings (init = k smallest vec_ids, centroid
+    means rounded to 6dp each round — bit-reproducible), then within-cell
+    cosine >= threshold marks larger-id docs as semantic duplicates. The
+    oracle unrolls both Lloyd iterations as materialized CTEs with the
+    identical init, rounding, and (dist, cell) argmin tiebreak."""
+    res = sim.semantic_dedup(
+        _emb(spark, sf_dir),
+        k=_SEMDEDUP_K,
+        n_iter=_SEMDEDUP_ITERS,
+        threshold=_NEARDUP_THRESHOLD,
+    )
+    return res.orderBy("vec_id")
+
+
+def _semantic_dedup_sql() -> str:
+    k, tau = _SEMDEDUP_K, _NEARDUP_THRESHOLD
+    dist = (
+        "list_sum(list_transform(list_zip(e.embedding, c.c), "
+        "x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)))"
+    )
+
+    def assign(csrc: str, name: str) -> str:
+        return f"""
+{name} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cell) AS rn
+    FROM embeddings e CROSS JOIN {csrc} c
+  ) WHERE rn = 1
+)"""
+
+    def update(asrc: str, prev: str, name: str) -> str:
+        # mean per (cell, dim index), rounded to 6dp exactly like kmeans_fit;
+        # cells with no members fall back to their previous centroid
+        return f"""
+{name}_upd AS MATERIALIZED (
+  SELECT p.cell, list(p.val ORDER BY p.idx) AS c
+  FROM (
+    SELECT a.cell, eu.u['i'] AS idx, round(avg(eu.u['v']::DOUBLE), 6) AS val
+    FROM (
+      SELECT vec_id,
+             unnest(list_transform(embedding, (x, i) -> {{'v': x, 'i': i}})) AS u
+      FROM embeddings
+    ) eu JOIN {asrc} a USING (vec_id)
+    GROUP BY 1, 2
+  ) p GROUP BY p.cell
+),
+{name} AS MATERIALIZED (
+  SELECT {prev}.cell,
+         coalesce(u.c, list_transform({prev}.c, x -> x::DOUBLE)) AS c
+  FROM {prev} LEFT JOIN {name}_upd u USING (cell)
+)"""
+
+    cos = (
+        "list_sum(list_transform(list_zip(x.embedding, y.embedding), "
+        "p -> p[1]::DOUBLE * p[2]::DOUBLE)) / "
+        "(sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE))))"
+    )
+    return f"""
+WITH c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+),{assign("c0", "a0")},{update("a0", "c0", "c1")},{assign("c1", "a1")},
+{update("a1", "c1", "c2")},{assign("c2", "a2")},
+removed AS (
+  SELECT DISTINCT ay.vec_id
+  FROM a2 ax JOIN a2 ay ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+  JOIN embeddings x ON x.vec_id = ax.vec_id
+  JOIN embeddings y ON y.vec_id = ay.vec_id
+  WHERE {cos} >= {tau}
+)
+SELECT a2.vec_id, a2.cell::INTEGER AS cell,
+       (r.vec_id IS NULL) AS keep
+FROM a2 LEFT JOIN removed r USING (vec_id)
+ORDER BY a2.vec_id
+"""
+
+
 _EMB_DIM = 64  # all driver testdata embeddings tables are dim-64
 
 
@@ -1883,6 +1969,7 @@ QUERIES = {
     "events_range_join": events_range_join,
     "repetition_signals": repetition_signals_q,
     "contamination_overlap": contamination_overlap_q,
+    "semantic_dedup": semantic_dedup_q,
     "simhash_pairs": simhash_pairs_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
     # each entry's docstring for the independence argument):
@@ -1944,6 +2031,7 @@ ORACLES = {
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "repetition_signals": REPETITION_SQL,
     "contamination_overlap": CONTAMINATION_SQL,
+    "semantic_dedup": _semantic_dedup_sql(),
     "simhash_pairs": _simhash_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true
     # top-10 at the graded scales, so the exact brute-force SQL is the

@@ -7,6 +7,9 @@
   you persist the bucketed table partitioned by bucket key and prune scans.
 - ivf_topk: IVF-style coarse quantization using deterministic seed
   centroids (k-means is a build-time job; here centroids are sampled rows).
+- kmeans_fit / semantic_dedup: deterministic Lloyd k-means and the
+  SemDeDup recipe built on it (cells as blocking, within-cell cosine,
+  smaller-id representative kept).
 """
 
 from __future__ import annotations
@@ -185,6 +188,27 @@ def embedding_near_dup_pairs(
     )
 
 
+def nearest_cell_expr(vec_col, centroids: np.ndarray):
+    """0-based index of the nearest centroid by squared L2 — a pure JVM
+    expression over literal centroids (k is small: broadcast-by-construction).
+    Ties resolve to the lowest cell index (array_position finds the FIRST
+    minimum), which the SQL oracles replicate with an (dist, cell) sort."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.lit([float(x) for x in c]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    arr = F.array(*dists)
+    return F.array_position(arr, F.array_min(arr)) - 1
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: np.ndarray,
@@ -198,28 +222,95 @@ def ivf_topk(
     scale; persisted partitioned by cell), scan only the n_probe cells
     nearest the query."""
     q = np.asarray(query, dtype=np.float64)
-
-    def _cell_expr(vec):
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.lit([float(x) for x in c]),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
-        arr = F.array(*dists)
-        return F.array_position(arr, F.array_min(arr)) - 1
-
     qd = ((centroids - q) ** 2).sum(axis=1)
     probe_cells = [int(i) for i in np.argsort(qd)[:n_probe]]
-    assigned = df.withColumn("_cell", _cell_expr(F.col(vec_col)))
+    assigned = df.withColumn("_cell", nearest_cell_expr(F.col(vec_col), centroids))
     cands = assigned.where(F.col("_cell").isin(probe_cells))
     return brute_force_topk(cands, query, k, id_col, vec_col)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means over an embedding column (the build-time
+    job behind IVF cells and semantic dedup).
+
+    Init = the vectors of the k smallest ids (deterministic; swap in
+    k-means|| sampling at scale — the loop body is unchanged). Each
+    iteration is (a) a JVM argmin-assign over literal centroids — no
+    shuffle — and (b) ONE partially-aggregated groupBy(cell, pos) mean,
+    collecting k x dim values to the driver (tiny, independent of corpus
+    size). Updated centroids are rounded to 6 decimals so the fit is
+    bit-reproducible across partitionings (and replayable in SQL oracles);
+    cells that lose all members keep their previous centroid.
+    """
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = np.array([r[0] for r in init], dtype=np.float64)
+    for _ in range(n_iter):
+        assigned = df.withColumn(
+            "_cell", nearest_cell_expr(F.col(vec_col), cents)
+        )
+        upd = (
+            assigned.select("_cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("_cell", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in upd:
+            new[r["_cell"], r["pos"]] = r["v"]
+        cents = new
+    return cents
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells as the blocking key,
+    exact cosine only WITHIN a cell, and any doc with a smaller-id cell-mate
+    at cosine >= threshold is marked a semantic duplicate.
+
+    Returns ``(id_col, cell, keep)`` for every input row. Pair scoring is
+    candidate-then-verify with cluster cells as candidates — O(sum of
+    squared cell sizes), never corpus-quadratic; at scale you raise k so
+    cells stay bounded (SemDeDup's own recipe) and persist the assignment
+    partitioned by cell."""
+    cents = kmeans_fit(df, k, n_iter, id_col, vec_col)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        nearest_cell_expr(F.col(vec_col), cents).cast("int").alias("cell"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("cell"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("cell"), F.col(vec_col).alias("vb")
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    removed = (
+        a.join(b, ["cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        assigned.join(removed, id_col, "left")
+        .select(
+            id_col, "cell", F.col("__dup").isNull().alias("keep")
+        )
+    )
 
 
 # --- persisted ANN index (the 100 TB form) --------------------------------

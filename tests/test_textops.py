@@ -460,3 +460,49 @@ def test_simhash_candidate_growth_near_linear(spark):
     )
     n_cand = q.simhash_candidates(sims, max_hamming=6).count()
     assert n_cand < 10 * n, f"{n_cand} candidates at n={n}: blocking is quadratic"
+
+
+def test_kmeans_fit_recovers_separated_clusters(spark):
+    """Two well-separated 2-D blobs: regardless of the (deterministic)
+    first-k init, after 2 Lloyd rounds the centroids must sit on the blob
+    means and every point must be assigned with its blob-mates."""
+    from searchengine_spark.textops import similarity as sim
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    pts = [(i, [10.0 + 0.1 * i, 10.0]) for i in range(4)]
+    pts += [(10 + i, [-10.0 - 0.1 * i, -10.0]) for i in range(4)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    cents = sim.kmeans_fit(df, k=2, n_iter=2)
+    got = {tuple(np.round(c, 3)) for c in cents}
+    assert got == {(10.15, 10.0), (-10.15, -10.0)}
+    cells = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id",
+            sim.nearest_cell_expr(F.col("embedding"), cents).alias("c"),
+        ).collect()
+    }
+    assert len({cells[i] for i in range(4)}) == 1
+    assert len({cells[10 + i] for i in range(4)}) == 1
+    assert cells[0] != cells[10]
+
+
+def test_semantic_dedup_keeps_min_id_per_near_group(spark):
+    """Three near-identical vectors + one orthogonal: only the smallest id
+    of the near-group survives; the orthogonal vector always survives, even
+    when it shares a cell."""
+    from searchengine_spark.textops import similarity as sim
+
+    rows = [
+        (5, [1.0, 0.0, 0.0, 0.0]),
+        (7, [0.999, 0.001, 0.0, 0.0]),
+        (9, [0.998, 0.002, 0.0, 0.0]),
+        (11, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in sim.semantic_dedup(df, k=2, n_iter=2, threshold=0.95).collect()
+    }
+    assert got == {5: True, 7: False, 9: False, 11: True}
