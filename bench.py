@@ -137,6 +137,20 @@ def main() -> None:
     extras_times["quality_filter"], _ = timed(
         lambda: tq.quality_filter(docs).count()
     )
+    # round-3 operators (as-of / range join, repetition, decontamination,
+    # SemDeDup) — timed through the same registry callables the driver runs
+    from searchengine_spark import entry_queries as eq
+
+    for name in (
+        "events_asof",
+        "events_range_join",
+        "repetition_signals",
+        "contamination_overlap",
+        "semantic_dedup",
+    ):
+        extras_times[name], _ = timed(
+            lambda n=name: eq.QUERIES[n](spark, sf_dir).count()
+        )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     q["ann_cosine_top10"], _ = timed(
