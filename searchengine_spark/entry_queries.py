@@ -807,6 +807,53 @@ def emb_near_dup_lsh(spark, sf_dir):
     )
 
 
+def lang_id_q(spark, sf_dir):
+    """Stop-word-profile language ID (quality.lang_id): per-language
+    function-word density, argmax label with an 'und' floor."""
+    return q.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _lang_id_sql() -> str:
+    """Twin of quality.lang_id: one density per language over the RAW
+    (stop-words kept) token stream, argmax via max() on (score, lang)
+    structs — DuckDB compares structs field-lexicographically exactly like
+    Spark's array_max, so ties resolve identically. Word lists are
+    generated from the same LANG_STOPWORDS the operator uses."""
+    selects = []
+    for lang in sorted(q.LANG_STOPWORDS):
+        words = ", ".join("'" + w + "'" for w in sorted(q.LANG_STOPWORDS[lang]))
+        selects.append(f"""
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> x IN ({words}))) * 1.0 / len(toks)
+                ELSE 0.0 END AS s,
+           '{lang}' AS l
+    FROM raw""")
+    union = "\n    UNION ALL".join(selects)
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                              '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> ''
+         ) AS toks
+  FROM documents
+),
+scores AS ({union}
+),
+best AS (
+  SELECT doc_id, max(struct_pack(score := s, lang := l)) AS b
+  FROM scores GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN b['score'] >= {q._LANG_MIN_SCORE} THEN b['lang']
+            ELSE 'und' END AS lang,
+       round(b['score'], 6) AS score_r
+FROM best ORDER BY doc_id
+"""
+
+
 _SEMDEDUP_K = 8
 _SEMDEDUP_ITERS = 2
 
@@ -1970,6 +2017,7 @@ QUERIES = {
     "repetition_signals": repetition_signals_q,
     "contamination_overlap": contamination_overlap_q,
     "semantic_dedup": semantic_dedup_q,
+    "lang_id": lang_id_q,
     "simhash_pairs": simhash_pairs_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
     # each entry's docstring for the independence argument):
@@ -2032,6 +2080,7 @@ ORACLES = {
     "repetition_signals": REPETITION_SQL,
     "contamination_overlap": CONTAMINATION_SQL,
     "semantic_dedup": _semantic_dedup_sql(),
+    "lang_id": _lang_id_sql(),
     "simhash_pairs": _simhash_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true
     # top-10 at the graded scales, so the exact brute-force SQL is the

@@ -79,13 +79,77 @@ def token_count_bpe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 
 def lang_guess(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Cheap script-based language bucket (CJK vs latin); the n-gram
-    stop-word scorer below refines latin languages."""
+    """Cheap script-based language bucket (CJK vs latin); the stop-word
+    scorer ``lang_id`` below refines latin languages."""
     return df.select(
         F.col(id_col),
         F.when(F.col(text_col).rlike(CJK_RANGE_RE), F.lit("cjk"))
         .otherwise(F.lit("latin"))
         .alias("script_guess"),
+    )
+
+
+# Distinctive function words per language — the classic cheap language-ID
+# heuristic (stop-word profile density). Deliberately small lists: function
+# words are closed-class and high-frequency, so ~20 per language separate
+# well; shared Romance words (de/la/les) are fine because ARGMAX over
+# per-language densities decides, not membership alone.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for",
+           "was", "with", "as", "his", "they", "at", "be", "this", "have",
+           "from", "a", "on", "are", "not"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "sie", "du",
+           "wir", "ein", "eine", "mit", "von", "zu", "den", "im", "auf",
+           "für", "dem", "auch", "sich", "aber", "werden"],
+    "fr": ["le", "la", "les", "des", "et", "est", "un", "une", "je", "tu",
+           "il", "nous", "vous", "dans", "pour", "que", "qui", "sur",
+           "avec", "pas", "ce", "se", "au", "plus"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "yo", "él", "en",
+           "para", "por", "con", "su", "no", "lo", "como", "más", "pero",
+           "sus", "le", "ya", "este", "sí"],
+}
+
+
+# below this best-language density the label is 'und' (shared with the
+# SQL oracle so the threshold can't drift)
+_LANG_MIN_SCORE = 0.02
+
+
+def lang_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_score: float = _LANG_MIN_SCORE,
+) -> DataFrame:
+    """Stop-word-profile language ID (the scorer ``lang_guess`` refers to):
+    per language, the fraction of raw tokens that are that language's
+    function words; the doc is labeled with the ARGMAX language, or 'und'
+    when even the best density is under ``min_score`` (e.g. code, CJK —
+    route those through ``lang_guess``'s script bucket first).
+
+    Pure JVM expressions — one array-filter per language over the token
+    array, no explode, no UDF, no shuffle at all: a projection the optimizer
+    can pipeline into any downstream filter. Ties resolve to the
+    lexicographically LAST language code (array_max on (score, lang)
+    structs), which the SQL oracle replicates.
+    """
+    raw = _raw_tokens(F.col(text_col))
+    n = F.size(raw)
+    cands = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = F.lit(sorted(LANG_STOPWORDS[lang]))
+        dens = F.when(
+            n > 0,
+            F.size(F.filter(raw, lambda x: F.array_contains(words, x))) / n,
+        ).otherwise(F.lit(0.0))
+        cands.append(F.struct(dens.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*cands))
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] >= min_score, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("lang"),
+        F.round(best["score"], 6).alias("score_r"),
     )
 
 

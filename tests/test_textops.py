@@ -506,3 +506,19 @@ def test_semantic_dedup_keeps_min_id_per_near_group(spark):
         for r in sim.semantic_dedup(df, k=2, n_iter=2, threshold=0.95).collect()
     }
     assert got == {5: True, 7: False, 9: False, 11: True}
+
+
+def test_lang_id_multilingual_handcrafted(spark):
+    """Real sentences in each supported language get the right label; empty
+    and function-word-free strings fall to 'und'."""
+    rows = [
+        (0, "the cat sat on the mat and it was happy with that"),
+        (1, "der Hund ist nicht mit der Katze und sie sind im Haus"),
+        (2, "le chat est dans la maison avec les enfants qui sont pour toi"),
+        (3, "el perro es un animal y las casas son para la gente, pero no"),
+        (4, "zxqj wvvk pltm grrn"),   # no function words at all
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"] for r in q.lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und", 5: "und"}
