@@ -1430,6 +1430,61 @@ def tr_phrase_planted(spark, sf_dir):
     return idx.search_phrase(_TR_PHRASE)
 
 
+_PACK_BUDGET = 40  # whitespace tokens per packed training example
+
+
+def tr_conversation_pack(spark, sf_dir):
+    """Transcript-to-training-example assembly (transcripts.
+    pack_conversations) over the fixed tiny corpus (ignores sf_dir like the
+    other tr_* entries). The oracle inlines the corpus turns as VALUES and
+    replays token counting, prefix-sum chunking, and ordered line assembly
+    in SQL (string_agg ORDER BY turn_idx)."""
+    from .fixtures import transcripts_df
+    from .transcripts import pack_conversations
+
+    tr = transcripts_df(spark, "tiny")
+    return pack_conversations(tr, _PACK_BUDGET).orderBy("conv_id", "chunk_id")
+
+
+def _tr_pack_sql() -> str:
+    from .fixtures import SIZES, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', {}, '{}', '{}', '{}')".format(
+            cid, int(ti), role, tool, txt.replace("'", "''")
+        )
+        for cid, ti, role, tool, txt in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["tool"],
+            pdf["text"],
+        )
+    )
+    return f"""
+WITH trturns AS (
+  SELECT * FROM (VALUES {rows}) AS v(conv_id, turn_idx, role, tool, text)
+),
+tn AS (
+  SELECT *,
+         len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                         x -> x <> ''))::BIGINT AS ntok
+  FROM trturns
+),
+ch AS (
+  SELECT *,
+         floor((sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                ROWS UNBOUNDED PRECEDING) - ntok)
+               / {_PACK_BUDGET})::BIGINT AS chunk_id
+  FROM tn
+)
+SELECT conv_id, chunk_id, count(*)::BIGINT AS n_turns,
+       sum(ntok)::BIGINT AS n_tokens,
+       bool_or(tool <> '') AS has_tool,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS example
+FROM ch GROUP BY conv_id, chunk_id
+ORDER BY conv_id, chunk_id
+"""
+
+
 def _tr_corpus_ctes() -> str:
     """Shared CTEs for the transcripts-engine oracles: the deterministic
     tiny corpus (fixtures.transcripts_pandas — byte-identical to the Spark
@@ -2038,6 +2093,7 @@ QUERIES = {
     # literals (_tr_corpus_ctes); stems themselves are golden-tested
     "tr_bm25_top10": tr_bm25_top10,
     "tr_phrase_planted": tr_phrase_planted,
+    "tr_conversation_pack": tr_conversation_pack,
     # media plumbing: oracled via a construction-derived VALUES table
     # (expected sha/bytes/decoded computed driver-side without Spark);
     # float feature vectors are pytest-value-tested instead
@@ -2095,5 +2151,6 @@ ORACLES = {
     "combined_rank_top20": _combined_rank_sql(),
     "tr_bm25_top10": _tr_bm25_sql(_TR_BM25_QUERY, 10),
     "tr_phrase_planted": _tr_phrase_sql(_TR_PHRASE),
+    "tr_conversation_pack": _tr_pack_sql(),
     "media_features": _media_features_sql(),
 }

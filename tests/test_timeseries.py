@@ -158,3 +158,43 @@ def test_contamination_overlap_handcrafted(spark):
            for r in contamination_overlap(train, ev).collect()}
     assert got[0] == (3, 2, round(2 / 3, 6))
     assert got[1] == (1, 0, 0.0)
+
+
+def test_pack_conversations_reconstructs_and_bounds(spark):
+    """Packing properties: (a) re-joining a conversation's chunks in
+    chunk order reproduces the full turn-ordered rendering, (b) a chunk
+    never starts mid-budget (its first turn's running prefix lies in
+    [chunk*budget, (chunk+1)*budget)), (c) tool flags aggregate per chunk."""
+    from searchengine_spark.transcripts import pack_conversations
+
+    rows = []
+    for c in range(3):
+        for t in range(7):
+            n_words = 3 + (t * 2 + c) % 5
+            rows.append(
+                (f"c{c}", t, "user" if t % 2 == 0 else "assistant",
+                 " ".join(f"w{t}_{i}" for i in range(n_words)),
+                 "search" if (c == 1 and t == 4) else "")
+            )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = pack_conversations(df, budget=10).collect()
+
+    by_conv = {}
+    for r in sorted(out, key=lambda r: (r["conv_id"], r["chunk_id"])):
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for c in range(3):
+        chunks = by_conv[f"c{c}"]
+        joined = "\n".join(r["example"] for r in chunks)
+        expect = "\n".join(
+            f"{role}: {text}" for (_, _, role, text, _) in
+            sorted((x for x in rows if x[0] == f"c{c}"), key=lambda x: x[1])
+        )
+        assert joined == expect
+        prefix = 0
+        for r in chunks:
+            assert r["chunk_id"] * 10 <= prefix < (r["chunk_id"] + 1) * 10
+            prefix += r["n_tokens"]
+    assert any(r["has_tool"] for r in by_conv["c1"])
+    assert not any(r["has_tool"] for r in by_conv["c0"])
