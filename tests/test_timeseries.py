@@ -198,3 +198,45 @@ def test_pack_conversations_reconstructs_and_bounds(spark):
             prefix += r["n_tokens"]
     assert any(r["has_tool"] for r in by_conv["c1"])
     assert not any(r["has_tool"] for r in by_conv["c0"])
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """Randomized differential vs pandas.merge_asof (an independent
+    implementation of backward-inclusive as-of semantics): 600 left rows,
+    400 right rows, 12 keys, unique right timestamps per key so the match
+    is well-defined."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    keys = [f"k{i}" for i in range(12)]
+    base = dt.datetime(2024, 1, 1)
+
+    def frame(n, with_px):
+        ks = rng.choice(keys, size=n)
+        secs = rng.choice(np.arange(0, 50_000), size=n, replace=False)
+        df = pd.DataFrame({
+            "sym": ks,
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in secs],
+        })
+        if with_px:
+            df["px"] = np.round(rng.standard_normal(n), 6)
+        else:
+            df["qty"] = np.arange(n)
+        return df
+
+    lpd, rpd = frame(600, False), frame(400, True)
+    got = asof_join(
+        spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+        on=["sym"], right_cols=["px"],
+    ).toPandas()
+    exp = pd.merge_asof(
+        lpd.sort_values("ts"), rpd.sort_values("ts"),
+        on="ts", by="sym", direction="backward",
+    )
+    g = got.sort_values("qty").reset_index(drop=True)
+    e = exp.sort_values("qty").reset_index(drop=True)
+    assert list(g["qty"]) == list(e["qty"])
+    pd.testing.assert_series_equal(
+        g["px_r"], e["px"], check_names=False, check_dtype=False
+    )
