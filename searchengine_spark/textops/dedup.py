@@ -33,16 +33,24 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
-def word_shingles(tokens_col, n: int = SHINGLE_N):
-    """Distinct word n-gram shingles from an array<string> column."""
+def word_ngrams(tokens_col, n: int):
+    """Word n-gram *instances* (duplicates kept) from an array<string>
+    column; empty array when len(tokens) < n. The single definition of the
+    windowing arithmetic — word_shingles and quality.repetition_signals
+    both build on it so a slice-bound fix can never diverge."""
     joined = F.transform(
         tokens_col,
         lambda x, i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
     )
-    # drop the trailing (n-1) short windows, dedupe
-    return F.array_distinct(
-        F.slice(joined, 1, F.greatest(F.size(tokens_col) - (n - 1), F.lit(0)))
+    # drop the trailing (n-1) short windows
+    return F.slice(
+        joined, 1, F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))
     )
+
+
+def word_shingles(tokens_col, n: int = SHINGLE_N):
+    """Distinct word n-gram shingles from an array<string> column."""
+    return F.array_distinct(word_ngrams(tokens_col, n))
 
 
 def contamination_overlap(
@@ -60,7 +68,10 @@ def contamination_overlap(
     side is ONE shingle explode + ONE partially-aggregated groupBy — no
     all-pairs, no doc-id join, linear in corpus size at any scale.
     """
-    tr = shingle_df(train, tokens_col, id_col)
+    # per-(doc, shingle) distinct ACROSS rows too, so duplicate doc_id rows
+    # (which upstream operators tolerate) can't double-count — keeps the
+    # "distinct shingles" contract and the SELECT DISTINCT oracle exact
+    tr = shingle_df(train, tokens_col, id_col).distinct()
     ev = F.broadcast(
         shingle_df(eval_df, tokens_col, id_col)
         .select("shingle")

@@ -133,7 +133,15 @@ def lang_id(
     lexicographically LAST language code (array_max on (score, lang)
     structs), which the SQL oracle replicates.
     """
-    raw = _raw_tokens(F.col(text_col))
+    # tokenize ONCE behind a projection boundary: the higher-order filters
+    # are CodegenFallback, and `best` is referenced by two output columns —
+    # inlining `raw` would re-run the regexp+split ~10x per row.
+    # CollapseProject keeps the boundary because the reference is multi-use
+    # and non-cheap.
+    toked = df.select(
+        F.col(id_col), _raw_tokens(F.col(text_col)).alias("__raw")
+    )
+    raw = F.col("__raw")
     n = F.size(raw)
     cands = []
     for lang in sorted(LANG_STOPWORDS):
@@ -143,8 +151,11 @@ def lang_id(
             F.size(F.filter(raw, lambda x: F.array_contains(words, x))) / n,
         ).otherwise(F.lit(0.0))
         cands.append(F.struct(dens.alias("score"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*cands))
-    return df.select(
+    scored = toked.select(
+        F.col(id_col), F.array_max(F.array(*cands)).alias("__best")
+    )
+    best = F.col("__best")
+    return scored.select(
         F.col(id_col),
         F.when(best["score"] >= min_score, best["lang"])
         .otherwise(F.lit("und"))
@@ -182,15 +193,11 @@ def quality_filter(
 
 
 def _word_ngrams(tokens_col, n: int):
-    """Word n-gram *instances* (duplicates kept — unlike dedup.word_shingles)
-    from an array<string> column; empty array when len(tokens) < n."""
-    joined = F.transform(
-        tokens_col,
-        lambda x, i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
-    )
-    return F.slice(
-        joined, 1, F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))
-    )
+    """Word n-gram instances — shared definition with the dedup shingles
+    (dedup.word_ngrams) so the windowing arithmetic exists exactly once."""
+    from .dedup import word_ngrams
+
+    return word_ngrams(tokens_col, n)
 
 
 def repetition_signals(

@@ -285,11 +285,15 @@ def semantic_dedup(
     cells stay bounded (SemDeDup's own recipe) and persist the assignment
     partitioned by cell."""
     cents = kmeans_fit(df, k, n_iter, id_col, vec_col)
+    # persist: the frame feeds BOTH self-join sides plus the final left
+    # join, and each branch would otherwise re-run the source scan and the
+    # k x dim distance fold (no ReusedExchange applies — the projections
+    # differ). Left persisted; Spark evicts LRU.
     assigned = df.select(
         F.col(id_col),
         F.col(vec_col),
         nearest_cell_expr(F.col(vec_col), cents).cast("int").alias("cell"),
-    )
+    ).persist()
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("cell"), F.col(vec_col).alias("va")
     )

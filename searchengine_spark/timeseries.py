@@ -56,6 +56,15 @@ def asof_join(
     on = list(on)
     right_cols = [c for c in (right_cols or []) if c != right_ts]
 
+    # SQL-join semantics parity (DuckDB ASOF / pandas merge_asof): right
+    # rows with a NULL timestamp can never be "the latest at-or-before"
+    # match, and NULL keys never satisfy an equality predicate — drop both
+    # from the right side. Left rows keep left-join semantics: null-key /
+    # null-ts left rows survive with a null match.
+    right = right.filter(F.col(right_ts).isNotNull())
+    for key in on:
+        right = right.filter(F.col(key).isNotNull())
+
     pay_t = right.select(
         F.struct(
             F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in right_cols]
@@ -124,6 +133,8 @@ def interval_join(
     Overlapping intervals are allowed: a fact row joins every interval
     containing it. Returns facts' columns + intervals' columns.
     """
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
     # NTZ-safe epoch seconds (TIMESTAMP_NTZ has no direct double cast)
     lo_e = F.col(lo_col).cast("timestamp").cast("double")
     hi_e = F.col(hi_col).cast("timestamp").cast("double")

@@ -46,6 +46,8 @@ def pack_conversations(
     ``(conv_id, chunk_id, n_turns, n_tokens, has_tool, example)`` where
     ``example`` is the newline-joined "role: text" rendering in turn order.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     ntok = F.size(
         F.filter(F.split(F.col(text_col), _WS_RE), lambda x: x != "")
     ).cast("long")

@@ -240,3 +240,36 @@ def test_asof_join_matches_pandas_merge_asof_randomized(spark):
     pd.testing.assert_series_equal(
         g["px_r"], e["px"], check_names=False, check_dtype=False
     )
+
+
+def test_asof_join_null_right_ts_and_null_keys_excluded(spark):
+    """SQL-semantics parity: right rows with NULL ts or NULL key can never
+    match (DuckDB ASOF equality/inequality predicates reject NULLs), while
+    null-key LEFT rows survive unmatched (left-join semantics)."""
+    quotes = spark.createDataFrame(
+        [("A", None, 5.0), (None, _ts(1), 7.0), ("A", _ts(20), 2.0)],
+        "sym string, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts(10), 100), ("A", _ts(25), 101), (None, _ts(30), 102)],
+        "sym string, ts timestamp, qty int",
+    )
+    out = asof_join(trades, quotes, on=["sym"], right_cols=["px"])
+    got = {r["qty"]: (r["ts_r"], r["px_r"]) for r in out.collect()}
+    # trade at t=10 precedes the only real quote: NO phantom match from the
+    # null-ts row's payload
+    assert got[100] == (None, None)
+    assert got[101] == (_ts(20), 2.0)
+    # null-key trade returned, unmatched (the null-key quote is invisible)
+    assert got[102] == (None, None)
+    assert len(got) == 3
+
+
+def test_contamination_overlap_duplicate_doc_rows(spark):
+    """Duplicate doc_id rows (tolerated upstream) must not double-count
+    shingles: per-(doc, shingle) accounting is distinct across rows."""
+    train = _tok(spark, [(0, "q w e r t"), (0, "q w e r t")])
+    ev = _tok(spark, [(100, "q w e r x")])
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hit"], r["overlap_r"])
+           for r in contamination_overlap(train, ev).collect()}
+    assert got[0] == (3, 2, round(2 / 3, 6))
