@@ -28,7 +28,9 @@ from .analysis.stopwords import STOP_WORDS
 from .analysis.tokenizers import punctuation_tokenize
 from .index import build_index
 from .textops import dedup as dd
+from .textops import pii
 from .textops import quality as q
+from .textops import sampling as smp
 from .textops import similarity as sim
 
 # ---------------------------------------------------------------------------
@@ -721,6 +723,97 @@ SELECT doc_id,
        CASE WHEN regexp_matches(text, '[一-鿿぀-ヿᄀ-ᇿ㄰-㆏가-힯]') THEN 'cjk'
             ELSE 'latin' END AS script_guess
 FROM documents
+"""
+
+
+def pii_scrub_q(spark, sf_dir):
+    """PII scrub over documents with deterministic planted PII.
+
+    The synthetic corpus contains no natural PII, so a scrub over it alone
+    would be a vacuous (all-zero-counts) check. Both sides therefore append
+    the same doc_id-derived suffix — an email, an IPv4, and a phone number —
+    before scrubbing, so every row exercises all three patterns and the
+    scrubbed text is hash-compared byte-for-byte (as md5) across engines.
+    """
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-867-5309"),
+        ).alias("text"),
+    )
+    return pii.pii_summary(planted)
+
+
+def _pii_sql() -> str:
+    """DuckDB twin of pii.pii_summary over the same planted text, generated
+    from the SAME pii.PII_PATTERNS tuple the Spark operator scrubs with
+    (patterns stay in the Java-regex ∩ RE2 subset — pii.py docstring)."""
+    steps = [
+        """s0 AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id::VARCHAR || '@example.com from 10.0.'
+              || (doc_id % 256)::VARCHAR || '.7 call 555-867-5309' AS t
+  FROM documents
+)"""
+    ]
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(pii.PII_PATTERNS):
+        prev = carried and (", ".join(carried) + ",") or ""
+        steps.append(
+            f"""s{i + 1} AS (
+  SELECT doc_id, {prev}
+         len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name},
+         regexp_replace(t, '{pat}', '{repl}', 'g') AS t
+  FROM s{i}
+)"""
+        )
+        carried.append(f"n_{name}")
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"\nSELECT doc_id, {', '.join(carried)}, md5(t) AS scrubbed_md5"
+        + f" FROM s{len(pii.PII_PATTERNS)}"
+    )
+
+
+# Per-lang quotas for the graded training_mix entry. Chosen to exercise all
+# the edge cases at sf0.01: quotas below the lang's population (en, de), a
+# quota far above it (zh -> takes every row), an explicit zero (fr -> all
+# dropped), and a lang absent from the map (es -> dropped pre-shuffle).
+_MIX_QUOTAS = {"en": 40, "de": 10, "zh": 100000, "fr": 0}
+
+
+def training_mix_q(spark, sf_dir):
+    return smp.training_mix(_docs(spark, sf_dir), _MIX_QUOTAS, label_col="lang")
+
+
+def _training_mix_sql() -> str:
+    """Single-window DuckDB twin of the salted two-phase stratified sample
+    (exactness of the two-phase form vs this naive form is also pinned by
+    tests/test_textops.py). Quotas are inlined from the same _MIX_QUOTAS the
+    Spark entry uses; the order key md5(doc_id::VARCHAR) is engine-identical.
+    """
+    values = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(_MIX_QUOTAS.items())
+    )
+    return f"""
+WITH quotas(lang, quota) AS (VALUES {values}),
+ranked AS (
+  SELECT d.lang, d.doc_id, md5(d.doc_id::VARCHAR) AS h, q.quota,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY md5(d.doc_id::VARCHAR), d.doc_id
+         ) AS rn
+  FROM documents d JOIN quotas q USING (lang)
+)
+SELECT lang, doc_id, shard,
+       (count(*) OVER (PARTITION BY lang))::BIGINT AS n_label
+FROM (SELECT lang, doc_id, substr(h, 1, 2) AS shard
+      FROM ranked WHERE rn <= quota)
 """
 
 
@@ -2059,6 +2152,8 @@ QUERIES = {
     "quality_filter": quality_filter_q,
     "token_counts": token_counts_q,
     "lang_script": lang_script_q,
+    "pii_scrub": pii_scrub_q,
+    "training_mix": training_mix_q,
     "ann_cosine_top10": ann_cosine_top10,
     "emb_near_dup": emb_near_dup,
     "emb_norm_by_label": emb_norm_by_label,
@@ -2121,6 +2216,8 @@ ORACLES = {
     "quality_filter": QUALITY_FILTER_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "lang_script": LANG_SCRIPT_SQL,
+    "pii_scrub": _pii_sql(),
+    "training_mix": _training_mix_sql(),
     "ann_cosine_top10": ANN_COSINE_SQL,
     "emb_near_dup": EMB_NEAR_DUP_SQL,
     "emb_norm_by_label": EMB_NORM_SQL,

@@ -9,6 +9,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     word_shingles,
 )
+from .pii import pii_scrub, pii_summary
 from .quality import (
     doc_fingerprint,
     lang_guess,
@@ -18,6 +19,7 @@ from .quality import (
     text_quality,
     token_count_bpe,
 )
+from .sampling import stratified_sample, training_mix
 from .similarity import (
     brute_force_topk,
     build_lsh_index,
@@ -50,4 +52,8 @@ __all__ = [
     "build_lsh_index",
     "lsh_topk_indexed",
     "embedding_near_dup_pairs",
+    "pii_scrub",
+    "pii_summary",
+    "stratified_sample",
+    "training_mix",
 ]

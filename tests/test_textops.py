@@ -522,3 +522,109 @@ def test_lang_id_multilingual_handcrafted(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["lang"] for r in q.lang_id(df).collect()}
     assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und", 5: "und"}
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from searchengine_spark.textops.pii import PII_PATTERNS, pii_scrub
+
+    rows = [
+        (1, "mail john.doe+x@Example.co.uk or 10.0.0.1 call 555-867-5309"),
+        (2, "no pii here at all"),
+        (3, "a@b.io b@c.de 192.168.300.12 999 123 4567x"),  # 300: pattern is
+        # syntactic (1-3 digit octets), not range-validated — documented
+        (4, "trailing digits 1.2.3.4.5 and short phone 123-456-789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert out[1].scrubbed == "mail <EMAIL> or <IP> call <PHONE>"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    assert out[2].scrubbed == rows[1][1]
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (2, 1, 0)
+    # property: no pattern matches anything after scrubbing
+    import re
+
+    for r in out.values():
+        for _, pat, _ in PII_PATTERNS:
+            assert not re.search(pat, r.scrubbed), (r.doc_id, pat)
+
+
+def test_pii_scrub_is_zero_shuffle(spark):
+    from searchengine_spark.textops.pii import pii_scrub
+
+    df = spark.createDataFrame([(1, "x@y.io")], "doc_id long, text string")
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling / training mix
+# ---------------------------------------------------------------------------
+
+
+def _mix_corpus(spark):
+    # skewed labels: en dominates, xx tiny — exercises both window phases
+    rows = [(i, ["en", "en", "en", "de", "zh", "fr", "xx"][(i * 7919) % 7])
+            for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_stratified_sample_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.textops.sampling import stratified_sample
+
+    quotas = {"en": 37, "de": 5, "zh": 100000, "fr": 0}
+    df = _mix_corpus(spark)
+    got = {tuple(r) for r in stratified_sample(df, quotas).collect()}
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    qmap = F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv])
+    naive = (
+        df.withColumn("__h", h)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("lang").orderBy("__h", "doc_id")),
+        )
+        .withColumn("q", qmap[F.col("lang")])
+        .where(F.col("q").isNotNull() & (F.col("rn") <= F.col("q")))
+        .select("lang", "doc_id", F.substring("__h", 1, 2).alias("shard"))
+    )
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
+    # quota semantics: capped, exhausted, zeroed, unlisted
+    by_lang = {}
+    for lang, _, _ in got:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert by_lang["en"] == 37 and by_lang["de"] == 5
+    assert by_lang["zh"] == sum(1 for i in range(3000) if (i * 7919) % 7 == 4)
+    assert "fr" not in by_lang and "xx" not in by_lang
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    from searchengine_spark.textops.sampling import stratified_sample
+
+    quotas = {"en": 11, "zh": 3}
+    df = _mix_corpus(spark)
+    a = {tuple(r) for r in stratified_sample(df, quotas).collect()}
+    b = {tuple(r) for r in
+         stratified_sample(df.repartition(13), quotas, salt_buckets=5).collect()}
+    assert a == b
+
+
+def test_training_mix_reports_achieved_counts(spark):
+    from searchengine_spark.textops.sampling import training_mix
+
+    quotas = {"en": 12, "xx": 100000}
+    out = training_mix(_mix_corpus(spark), quotas).collect()
+    n = {}
+    for r in out:
+        n.setdefault(r.lang, set()).add(r.n_label)
+    assert n["en"] == {12}
+    assert n["xx"] == {sum(1 for i in range(3000) if (i * 7919) % 7 == 6)}
