@@ -147,6 +147,9 @@ def main() -> None:
         "repetition_signals",
         "contamination_overlap",
         "semantic_dedup",
+        "pii_scrub",
+        "training_mix",
+        "dedup_incremental",
     ):
         extras_times[name], _ = timed(
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()

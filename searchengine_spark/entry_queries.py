@@ -582,6 +582,71 @@ FROM bands a JOIN bands b
 """
 
 
+_INCR_EST_THRESHOLD = 0.5
+
+
+def dedup_incremental_q(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup: even doc_ids play the already-seen
+    corpus (reduced to a signature_store — sha256 + MinHash sig, no text),
+    odd doc_ids the incoming batch. Every new doc is classified novel /
+    exact_dup / near_dup with its smallest matching partner. The DuckDB twin
+    replays sha256 identity, the deterministic LSH banding, and the
+    16-component signature-estimated Jaccard."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", _tok_col(F.col("text")).alias("tokens")
+    )
+    store = dd.signature_store(docs.where(F.col("doc_id") % 2 == 0))
+    out = dd.incremental_dedup(
+        docs.where(F.col("doc_id") % 2 == 1), store,
+        est_threshold=_INCR_EST_THRESHOLD,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "status",
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    est = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(dd.N_HASHES)
+    )
+    return f"""
+WITH {TOK_CTES}, {SHING_CTE}, {_minhash_band_ctes("shing")},
+shas AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+ex AS (
+  SELECT n.doc_id, min(p.doc_id) AS exact_of
+  FROM shas n JOIN shas p ON p.sha = n.sha
+   AND (p.doc_id % 2 = 0 OR p.doc_id < n.doc_id)
+  WHERE n.doc_id % 2 = 1
+  GROUP BY n.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS partner
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id % 2 = 1 AND (b.doc_id % 2 = 0 OR b.doc_id < a.doc_id)
+),
+near AS (
+  SELECT c.doc_id, min(c.partner) AS near_of
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_id
+  JOIN sig sb ON sb.doc_id = c.partner
+  WHERE ({est}) / {float(dd.N_HASHES)} >= {_INCR_EST_THRESHOLD}
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_of IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS status,
+       coalesce(e.exact_of, nr.near_of) AS dup_of
+FROM documents d
+LEFT JOIN ex e ON e.doc_id = d.doc_id
+LEFT JOIN near nr ON nr.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
 _PIPELINE_THRESHOLD = 0.5
 
 
@@ -2148,6 +2213,7 @@ QUERIES = {
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_pipeline": dedup_pipeline_q,
+    "dedup_incremental": dedup_incremental_q,
     "text_quality": text_quality_q,
     "quality_filter": quality_filter_q,
     "token_counts": token_counts_q,
@@ -2212,6 +2278,7 @@ ORACLES = {
     "dedup_jaccard_pairs": _dedup_jaccard_sql(),
     "dedup_minhash_pairs": _minhash_sql(),
     "dedup_pipeline": _dedup_pipeline_sql(),
+    "dedup_incremental": _dedup_incremental_sql(),
     "text_quality": TEXT_QUALITY_SQL,
     "quality_filter": QUALITY_FILTER_SQL,
     "token_counts": TOKEN_COUNTS_SQL,

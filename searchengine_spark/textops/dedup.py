@@ -438,18 +438,15 @@ def minhash_signatures(df: DataFrame, tokens_col: str = "tokens", id_col: str = 
     )
 
 
-def minhash_candidate_pairs(
-    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
-) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become a candidate pair.
+def band_keys(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bkey) LSH band keys from a (id, sig) signature frame.
 
-    Shuffle pattern at scale: explode to (band, band_key) — a narrow row —
-    then self-join per bucket. Hot buckets (boilerplate text) are the skew
-    risk; cap fan-out upstream by exact-deduping first.
+    A pure projection + explode (no shuffle); shared by the one-shot
+    candidate join and the incremental batch-vs-store path so both sides
+    derive identical keys from identical signatures.
     """
     rows = N_HASHES // N_BANDS
-    sig = minhash_signatures(df, tokens_col, id_col)
-    bands = sig.select(
+    return sig_df.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -471,6 +468,18 @@ def minhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bkey")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair.
+
+    Shuffle pattern at scale: explode to (band, band_key) — a narrow row —
+    then self-join per bucket. Hot buckets (boilerplate text) are the skew
+    risk; cap fan-out upstream by exact-deduping first.
+    """
+    bands = band_keys(minhash_signatures(df, tokens_col, id_col), id_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -482,4 +491,153 @@ def minhash_candidate_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def signature_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, text_sha, sig) — the per-corpus dedup state an incremental
+    pipeline persists between batches.
+
+    ``text_sha`` (sha256 hex) carries exact-dup identity; ``sig`` the
+    MinHash signature (NULL for docs too short to shingle — those can only
+    ever exact-dup). At 100 TB this is the ONLY thing kept per seen doc:
+    ~16·8 B signature + 64 B hash, not tokens or text, so a 10^12-doc
+    store is ~0.2 PB → ~80 TB as parquet — scannable state, and the
+    band-key projection below prunes it to the colliding buckets only.
+    """
+    sigs = minhash_signatures(df, tokens_col, id_col)
+    return df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha")
+    ).join(sigs, id_col, "left")
+
+
+def estimated_jaccard(sig_a, sig_b):
+    """MinHash-estimated Jaccard: fraction of agreeing components.
+
+    The incremental path can't recompute exact Jaccard against seen docs —
+    their tokens are gone by design — so it uses the signature estimator
+    (unbiased, stderr ~1/sqrt(N_HASHES); Broder 1997). O(N_HASHES) per
+    candidate pair, JVM-side.
+    """
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(N_HASHES))
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str = "tokens",
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a new batch against a :func:`signature_store` of everything
+    seen so far (the per-crawl-batch form of the dedup pipeline: each
+    batch pays one pass against state, never a corpus×corpus join).
+
+    Returns one row per new doc: (id, ``status`` in {'exact_dup',
+    'near_dup', 'novel'}, ``dup_of`` = smallest matching partner id, NULL
+    for novel). Batch and store id spaces must be disjoint.
+
+    One-pass drop rule: a new doc is a dup if it matches any SEEN doc or
+    any SMALLER-ID batch doc — even one that is itself a dup. This
+    slightly over-drops transitive chains within a batch (a~b, b~c, a!~c
+    still drops c) but keeps the pass single-shot and deterministic; the
+    full connected-components treatment stays available via
+    :func:`dedup_pipeline` for one-shot corpora.
+
+    To advance state: ``store.unionByName(signature_store(novel_docs))``.
+
+    Scale shape: exact identity via sha equi-joins; near-dup via band-key
+    equi-joins (new bands × store bands — the store side is a projection
+    of the signature parquet, prunable to colliding buckets); the
+    estimator runs only on candidates. No all-pairs anywhere.
+    """
+    ns = signature_store(new_df, id_col, text_col, tokens_col)
+    seen = store.select(
+        F.col(id_col).alias("__pid"),
+        F.col("text_sha").alias("__psha"),
+        F.col("sig").alias("__psig"),
+    )
+
+    # exact partners: any seen doc, or a smaller-id batch doc, same sha
+    ex_seen = ns.join(seen, ns["text_sha"] == seen["__psha"]).select(
+        F.col(id_col), F.col("__pid").alias("__partner")
+    )
+    nsl, nsr = ns.alias("l"), ns.alias("r")
+    ex_batch = nsl.join(
+        nsr,
+        (F.col("l.text_sha") == F.col("r.text_sha"))
+        & (F.col(f"r.{id_col}") < F.col(f"l.{id_col}")),
+    ).select(F.col(f"l.{id_col}").alias(id_col), F.col(f"r.{id_col}").alias("__partner"))
+    exact = (
+        ex_seen.unionByName(ex_batch)
+        .groupBy(id_col)
+        .agg(F.min("__partner").alias("__exact_of"))
+    )
+
+    # near candidates: band-key collisions vs store and vs smaller batch ids
+    new_bands = band_keys(
+        ns.where(F.col("sig").isNotNull()).select(id_col, "sig"), id_col
+    )
+    store_bands = band_keys(
+        seen.where(F.col("__psig").isNotNull()).select(
+            F.col("__pid").alias(id_col), F.col("__psig").alias("sig")
+        ),
+        id_col,
+    ).select(F.col(id_col).alias("__pid"), "band", "bkey")
+    cand_seen = new_bands.join(store_bands, ["band", "bkey"]).select(
+        id_col, F.col("__pid").alias("__partner")
+    )
+    nbl, nbr = new_bands.alias("bl"), new_bands.alias("br")
+    cand_batch = nbl.join(
+        nbr,
+        (F.col("bl.band") == F.col("br.band"))
+        & (F.col("bl.bkey") == F.col("br.bkey"))
+        & (F.col(f"br.{id_col}") < F.col(f"bl.{id_col}")),
+    ).select(F.col(f"bl.{id_col}").alias(id_col), F.col(f"br.{id_col}").alias("__partner"))
+    cand = cand_seen.unionByName(cand_batch).distinct()
+
+    # estimator over candidates only; partner sigs come from store ∪ batch
+    partner_sigs = seen.select(
+        F.col("__pid").alias("__partner"), F.col("__psig").alias("__partner_sig")
+    ).unionByName(
+        ns.select(F.col(id_col).alias("__partner"), F.col("sig").alias("__partner_sig"))
+    )
+    near = (
+        cand.join(ns.select(id_col, "sig"), id_col)
+        .join(partner_sigs, "__partner")
+        .where(
+            estimated_jaccard(F.col("sig"), F.col("__partner_sig"))
+            >= F.lit(est_threshold)
+        )
+        .groupBy(id_col)
+        .agg(F.min("__partner").alias("__near_of"))
+    )
+
+    return (
+        ns.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__exact_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__near_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("__exact_of", "__near_of").alias("dup_of"),
+        )
     )

@@ -628,3 +628,84 @@ def test_training_mix_reports_achieved_counts(spark):
         n.setdefault(r.lang, set()).add(r.n_label)
     assert n["en"] == {12}
     assert n["xx"] == {sum(1 for i in range(3000) if (i * 7919) % 7 == 6)}
+
+
+# ---------------------------------------------------------------------------
+# incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def _tokenized(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        "text",
+        F.filter(
+            F.split(F.lower(F.regexp_replace("text", "[,.;?!]", " ")), r"\s+"),
+            lambda x: x != "",
+        ).alias("tokens"),
+    )
+
+
+def test_incremental_dedup_planted_statuses(spark):
+    from searchengine_spark.textops.dedup import (
+        incremental_dedup,
+        signature_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls on "
+        "the quiet green hill near the old stone bridge by the river bend"
+    )
+    seen_rows = [(0, base), (2, "completely different seen text about spark")]
+    new_rows = [
+        (1, base),                          # exact copy of seen 0
+        (3, base.replace("rain", "snow")),  # near-copy of seen 0
+        (5, "a fully novel document with its own words and nothing shared"),
+        (7, "a fully novel document with its own words and nothing shared"),
+        # ^ exact copy of batch-mate 5
+        (9, "short"),                       # too short to shingle: novel
+    ]
+    store = signature_store(_tokenized(spark, seen_rows))
+    out = {r.doc_id: (r.status, r.dup_of)
+           for r in incremental_dedup(_tokenized(spark, new_rows), store).collect()}
+    assert out[1] == ("exact_dup", 0)
+    assert out[3] == ("near_dup", 0)
+    assert out[5] == ("novel", None)
+    assert out[7] == ("exact_dup", 5)
+    assert out[9] == ("novel", None)
+
+
+def test_incremental_dedup_store_advance_catches_later_batch(spark):
+    """Batch 2 dups of a batch-1 NOVEL doc are caught once the store is
+    advanced with the novel docs' signatures (the documented update rule)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.textops.dedup import (
+        incremental_dedup,
+        signature_store,
+    )
+
+    text = (
+        "one brand new training document full of therefore unique tokens "
+        "that later batches will duplicate almost verbatim for this test"
+    )
+    store = signature_store(
+        _tokenized(spark, [(0, "the only doc seen before any batch at all")])
+    )
+    b1 = _tokenized(spark, [(11, text)])
+    r1 = incremental_dedup(b1, store).collect()
+    assert [(r.status, r.dup_of) for r in r1] == [("novel", None)]
+
+    novel = b1.join(
+        incremental_dedup(b1, store).where(F.col("status") == "novel"),
+        "doc_id",
+        "left_semi",
+    )
+    store2 = store.unionByName(signature_store(novel))
+    b2 = _tokenized(spark, [(21, text), (23, text.replace("unique", "rare"))])
+    out = {r.doc_id: (r.status, r.dup_of)
+           for r in incremental_dedup(b2, store2).collect()}
+    assert out[21] == ("exact_dup", 11)
+    assert out[23] == ("near_dup", 11)
