@@ -425,3 +425,111 @@ def test_empty_bootstrap_then_append(spark, corpus, tmp_path):
     )
     assert aidx.n_docs == corpus.count()
     assert aidx.search_bm25("spark shuffle error", 5).count() == 5
+
+
+def test_streaming_dedup_appends_only_novel(spark, corpus, tmp_path):
+    """dedup_store: duplicates of the seed corpus, of earlier batches, and
+    within a batch are dropped before the append; the final index equals a
+    batch build over just the novel docs."""
+    from searchengine_spark.streaming import init_dedup_store
+
+    path = str(tmp_path / "ddidx")
+    store = str(tmp_path / "ddstore")
+    src_dir = str(tmp_path / "ddincoming")
+    ckpt = str(tmp_path / "ddckpt")
+
+    seed = corpus.where("conv_id < 'conv-00000005'").select("doc_id", "text")
+    build_artifact(spark, seed, path)
+    init_dedup_store(spark, seed, store)
+
+    fresh = corpus.where(
+        "conv_id >= 'conv-00000005' and conv_id < 'conv-00000010'"
+    ).select("doc_id", "text")
+    # duplicates of seed docs under NEW doc_ids (exact text copies)
+    dup_of_seed = seed.limit(4).selectExpr(
+        "concat('dupseed:', doc_id) as doc_id", "text"
+    )
+    batch1 = fresh.unionByName(dup_of_seed)
+    # batch 2: copies of batch-1 fresh docs + a novel doc
+    dup_of_b1 = fresh.limit(3).selectExpr(
+        "concat('zdup1:', doc_id) as doc_id", "text"
+    )
+    novel2 = spark.createDataFrame(
+        [("znovel:1", "a genuinely new sentence about watermelon harvests "
+          "and midnight trains that appears nowhere else at all")],
+        "doc_id string, text string",
+    )
+    batch1.write.mode("append").parquet(src_dir)
+    dup_of_b1.unionByName(novel2).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    query = start_incremental_index(
+        spark, stream, path, ckpt, trigger={"availableNow": True},
+        dedup_store=store,
+    )
+    query.awaitTermination(180)
+
+    aidx = load_artifact(spark, path)
+    expected = seed.unionByName(fresh).unionByName(novel2)
+    assert aidx.n_docs == expected.count()
+    # search parity vs a batch build over the deduped corpus
+    lidx = build_index(spark, expected, cache=False)
+    q = "spark shuffle error"
+    l = [(r["doc_id"], round(r["score"], 10)) for r in lidx.search_bm25(q, 10).collect()]
+    a = [(r["doc_id"], round(r["score"], 10)) for r in aidx.search_bm25(q, 10).collect()]
+    assert l == a
+
+
+def test_streaming_dedup_replay_is_deterministic_noop(spark, corpus, tmp_path):
+    """Crash-replay rule: re-running the same batches through a FRESH
+    checkpoint (ids restart at 0, colliding with existing store
+    partitions) must leave both the index and the store unchanged — the
+    store read excludes the batch's own partition, so the novel set
+    recomputes identically and the partition overwrite is a no-op."""
+    from searchengine_spark.streaming import init_dedup_store
+
+    path = str(tmp_path / "rpidx")
+    store = str(tmp_path / "rpstore")
+    src_dir = str(tmp_path / "rpincoming")
+
+    seed = corpus.where("conv_id < 'conv-00000005'").select("doc_id", "text")
+    build_artifact(spark, seed, path)
+    init_dedup_store(spark, seed, store)
+
+    batch = corpus.where(
+        "conv_id >= 'conv-00000005' and conv_id < 'conv-00000009'"
+    ).select("doc_id", "text").unionByName(
+        seed.limit(2).selectExpr("concat('dup:', doc_id) as doc_id", "text")
+    )
+    batch.write.mode("append").parquet(src_dir)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .parquet(src_dir)
+        )
+        q = start_incremental_index(
+            spark, stream, path, ckpt, trigger={"availableNow": True},
+            dedup_store=store,
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ck1"))
+    n1 = load_artifact(spark, path).n_docs
+    snap1 = latest_snapshot(path)["snapshot_id"]
+    store1 = sorted(
+        tuple(r) for r in spark.read.option("basePath", store).parquet(store)
+        .selectExpr("doc_id", "text_sha", "batch_id").collect()
+    )
+    run(str(tmp_path / "ck2"))  # same batch content, batch_id 0 again
+    assert load_artifact(spark, path).n_docs == n1
+    assert latest_snapshot(path)["snapshot_id"] == snap1
+    store2 = sorted(
+        tuple(r) for r in spark.read.option("basePath", store).parquet(store)
+        .selectExpr("doc_id", "text_sha", "batch_id").collect()
+    )
+    assert store1 == store2
