@@ -150,6 +150,7 @@ def main() -> None:
         "pii_scrub",
         "training_mix",
         "dedup_incremental",
+        "lm_perplexity",
     ):
         extras_times[name], _ = timed(
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()

@@ -28,6 +28,7 @@ from .analysis.stopwords import STOP_WORDS
 from .analysis.tokenizers import punctuation_tokenize
 from .index import build_index
 from .textops import dedup as dd
+from .textops import lm
 from .textops import pii
 from .textops import quality as q
 from .textops import sampling as smp
@@ -879,6 +880,46 @@ SELECT lang, doc_id, shard,
        (count(*) OVER (PARTITION BY lang))::BIGINT AS n_label
 FROM (SELECT lang, doc_id, substr(h, 1, 2) AS shard
       FROM ranked WHERE rn <= quota)
+"""
+
+
+def lm_perplexity_q(spark, sf_dir):
+    """Self-trained bigram LM perplexity over documents (CCNet-style
+    quality signal). The DuckDB twin replays training (pair counts,
+    first-token totals, vocab size) and scoring (add-k smoothing, natural
+    log, per-doc average) from the same TOK_CTES token stream."""
+    return lm.lm_perplexity(_docs_tokens(spark, sf_dir))
+
+
+def _lm_perplexity_sql() -> str:
+    k = lm.LM_K
+    return f"""
+WITH {TOK_CTES},
+bg AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT count(DISTINCT term) AS vocab FROM tok),
+scored AS (
+  SELECT bg.doc_id,
+         ln((c12.c12 + {k}) / (c1.c1 + {k} * v.vocab)) AS logp
+  FROM bg
+  JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+  JOIN c1 ON c1.w1 = bg.w1
+  CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(logp) AS a
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(p.a, 6) AS avg_logp,
+       round(exp(-p.a), 6) AS perplexity
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
 """
 
 
@@ -2220,6 +2261,7 @@ QUERIES = {
     "lang_script": lang_script_q,
     "pii_scrub": pii_scrub_q,
     "training_mix": training_mix_q,
+    "lm_perplexity": lm_perplexity_q,
     "ann_cosine_top10": ann_cosine_top10,
     "emb_near_dup": emb_near_dup,
     "emb_norm_by_label": emb_norm_by_label,
@@ -2285,6 +2327,7 @@ ORACLES = {
     "lang_script": LANG_SCRIPT_SQL,
     "pii_scrub": _pii_sql(),
     "training_mix": _training_mix_sql(),
+    "lm_perplexity": _lm_perplexity_sql(),
     "ann_cosine_top10": ANN_COSINE_SQL,
     "emb_near_dup": EMB_NEAR_DUP_SQL,
     "emb_norm_by_label": EMB_NORM_SQL,

@@ -709,3 +709,73 @@ def test_incremental_dedup_store_advance_catches_later_batch(spark):
            for r in incremental_dedup(b2, store2).collect()}
     assert out[21] == ("exact_dup", 11)
     assert out[23] == ("near_dup", 11)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity
+# ---------------------------------------------------------------------------
+
+
+def test_lm_perplexity_matches_hand_computation(spark):
+    import math
+
+    from searchengine_spark.textops.lm import LM_K, lm_perplexity
+
+    rows = [
+        (1, ["a", "b", "a", "b"]),
+        (2, ["a", "b", "c"]),
+        (3, ["z"]),  # < 2 tokens: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = {r.doc_id: r for r in lm_perplexity(df).collect()}
+
+    # corpus bigram instances: (a,b)x3 (b,a)x1 (b,c)x1 ; c1: a=3, b=2 ; V=4
+    c12 = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    c1 = {"a": 3, "b": 2}
+    V = 4
+
+    def p(w1, w2):
+        return (c12[(w1, w2)] + LM_K) / (c1[w1] + LM_K * V)
+
+    for doc_id, toks in [(1, rows[0][1]), (2, rows[1][1])]:
+        lps = [math.log(p(a, b)) for a, b in zip(toks, toks[1:])]
+        avg = sum(lps) / len(lps)
+        assert out[doc_id].n_bigrams == len(lps)
+        assert out[doc_id].avg_logp == round(avg, 6)
+        assert out[doc_id].perplexity == round(math.exp(-avg), 6)
+    assert out[3].n_bigrams == 0
+    assert out[3].avg_logp is None and out[3].perplexity is None
+
+
+def test_lm_score_cross_corpus_smoothing_floor(spark):
+    import math
+
+    from searchengine_spark.textops.lm import LM_K, bigram_lm, lm_score
+
+    train = spark.createDataFrame(
+        [(1, ["the", "cat", "sat"]), (2, ["the", "cat", "ran"])],
+        "doc_id long, tokens array<string>",
+    )
+    model, vocab = bigram_lm(train)
+    assert vocab == 4
+    target = spark.createDataFrame(
+        [(10, ["weird", "unseen", "words"])], "doc_id long, tokens array<string>"
+    )
+    out = lm_score(target, model, vocab).collect()[0]
+    floor = math.log(LM_K / (LM_K * vocab))  # c12 = c1 = 0 fallback
+    assert out.n_bigrams == 2
+    assert out.avg_logp == round(floor, 6)
+
+
+def test_lm_perplexity_flags_outlier_doc(spark):
+    from searchengine_spark.textops.lm import lm_perplexity
+
+    normal = "the quick brown fox jumps over the lazy dog".split()
+    rows = [(i, normal) for i in range(20)]
+    rows.append((99, ["zq", "xv", "qj", "vk", "jz", "kx", "zzq", "wvx"]))
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = {r.doc_id: r.perplexity for r in lm_perplexity(df).collect()}
+    assert out[99] == max(out.values())
+    # add-k smoothing keeps singleton bigrams from cratering, so the margin
+    # is modest on a 21-doc corpus — the separation grows with corpus size
+    assert out[99] > 1.5 * out[0]
