@@ -151,6 +151,7 @@ def main() -> None:
         "training_mix",
         "dedup_incremental",
         "lm_perplexity",
+        "bpe_merges",
     ):
         extras_times[name], _ = timed(
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()

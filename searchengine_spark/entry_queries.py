@@ -28,6 +28,7 @@ from .analysis.stopwords import STOP_WORDS
 from .analysis.tokenizers import punctuation_tokenize
 from .index import build_index
 from .textops import dedup as dd
+from .textops import bpe
 from .textops import lm
 from .textops import pii
 from .textops import quality as q
@@ -880,6 +881,123 @@ SELECT lang, doc_id, shard,
        (count(*) OVER (PARTITION BY lang))::BIGINT AS n_label
 FROM (SELECT lang, doc_id, substr(h, 1, 2) AS shard
       FROM ranked WHERE rn <= quota)
+"""
+
+
+_BPE_N_MERGES = 10
+
+
+def bpe_merges_q(spark, sf_dir):
+    """Distributed BPE merge learning over the documents vocabulary: the
+    graded artifact is the learned merge table itself (rank, a, b, cnt) —
+    it pins the whole training loop (pair counting, deterministic argmax
+    tiebreak, run-parity self-pair merges). The DuckDB twin unrolls all
+    rounds as materialized CTE chains computing each round's argmax IN SQL
+    (cf. the 40-iteration PageRank twin)."""
+    merges, _ = bpe.bpe_train(_docs_tokens(spark, sf_dir), n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, a string, b string, cnt long",
+    )
+
+
+def bpe_counts_q(spark, sf_dir):
+    """Per-doc subword piece counts under the trained segmentation — pins
+    the broadcast word->pieces encode join on top of training."""
+    docs = _docs_tokens(spark, sf_dir)
+    _, seg = bpe.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return bpe.bpe_token_counts(docs, seg)
+
+
+def _bpe_round_ctes(n: int) -> str:
+    """CTE chain r0..r{n} (+ best0..best{n-1}) replaying n BPE rounds.
+    r0 = space-joined character segmentation of the (word, freq) type
+    table; each round computes pair counts, the (cnt DESC, a, b) argmax,
+    and the run-parity merge — the same window formulation as
+    textops/bpe.py::_merge_round. AS MATERIALIZED throughout (deep chained
+    CTEs explode DuckDB's planner otherwise — CLAUDE.md)."""
+    parts = [
+        f"""wt AS MATERIALIZED (
+  SELECT term AS word, count(*)::BIGINT AS freq FROM tok GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT word, freq,
+         array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, i, 1)), ' ') AS seg
+  FROM wt
+)"""
+    ]
+    for k in range(n):
+        parts.append(
+            f"""sym{k} AS (
+  SELECT word, freq, e['pos'] AS pos, e['sym'] AS sym FROM (
+    SELECT word, freq,
+           unnest(list_transform(string_split(seg, ' '),
+                                 (x, i) -> {{'pos': i, 'sym': x}})) AS e
+    FROM r{k})
+),
+lead{k} AS (
+  SELECT word, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM sym{k}
+),
+pairs{k} AS (
+  SELECT sym AS a, nxt AS b, sum(freq)::BIGINT AS cnt
+  FROM lead{k} WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+best{k} AS MATERIALIZED (
+  SELECT a, b, cnt FROM pairs{k} ORDER BY cnt DESC, a, b LIMIT 1
+),
+offs{k} AS (
+  SELECT l.word, l.freq, l.pos, l.sym, l.nxt, bb.a, bb.b,
+         CASE WHEN l.sym = bb.a
+              THEN l.pos - row_number() OVER (
+                     PARTITION BY l.word, l.sym = bb.a ORDER BY l.pos)
+              END AS grp
+  FROM lead{k} l CROSS JOIN best{k} bb
+),
+mark{k} AS (
+  SELECT word, freq, pos, sym, a, b,
+         CASE WHEN sym = a AND nxt = b AND (a <> b OR
+                (row_number() OVER (PARTITION BY word, grp ORDER BY pos) - 1)
+                  % 2 = 0)
+              THEN 1 ELSE 0 END AS start
+  FROM offs{k}
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         string_agg(CASE WHEN start = 1 THEN a || b ELSE sym END,
+                    ' ' ORDER BY pos) AS seg
+  FROM (SELECT *, lag(start) OVER (PARTITION BY word ORDER BY pos) AS consumed
+        FROM mark{k})
+  WHERE coalesce(consumed, 0) = 0
+  GROUP BY word, freq
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    n = _BPE_N_MERGES
+    finals = "\nUNION ALL ".join(
+        f"SELECT {k + 1} AS rank, a, b, cnt FROM best{k}" for k in range(n)
+    )
+    return f"WITH {TOK_CTES},\n{_bpe_round_ctes(n)}\n{finals}"
+
+
+def _bpe_counts_sql() -> str:
+    n = _BPE_N_MERGES
+    return f"""WITH {TOK_CTES},
+{_bpe_round_ctes(n)},
+pieces AS (
+  SELECT word, len(string_split(seg, ' '))::BIGINT AS n_pieces FROM r{n}
+)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(p.n_pieces)::BIGINT AS n_bpe_pieces
+FROM tok t JOIN pieces p ON p.word = t.term
+GROUP BY t.doc_id
 """
 
 
@@ -2262,6 +2380,8 @@ QUERIES = {
     "pii_scrub": pii_scrub_q,
     "training_mix": training_mix_q,
     "lm_perplexity": lm_perplexity_q,
+    "bpe_merges": bpe_merges_q,
+    "bpe_counts": bpe_counts_q,
     "ann_cosine_top10": ann_cosine_top10,
     "emb_near_dup": emb_near_dup,
     "emb_norm_by_label": emb_norm_by_label,
@@ -2328,6 +2448,8 @@ ORACLES = {
     "pii_scrub": _pii_sql(),
     "training_mix": _training_mix_sql(),
     "lm_perplexity": _lm_perplexity_sql(),
+    "bpe_merges": _bpe_merges_sql(),
+    "bpe_counts": _bpe_counts_sql(),
     "ann_cosine_top10": ANN_COSINE_SQL,
     "emb_near_dup": EMB_NEAR_DUP_SQL,
     "emb_norm_by_label": EMB_NORM_SQL,

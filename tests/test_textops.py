@@ -779,3 +779,89 @@ def test_lm_perplexity_flags_outlier_doc(spark):
     # add-k smoothing keeps singleton bigrams from cratering, so the margin
     # is modest on a 21-doc corpus — the separation grows with corpus size
     assert out[99] > 1.5 * out[0]
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(word_freqs, n):
+    """Pure-python reference trainer (greedy left-to-right merges, argmax
+    tiebreak on (count desc, a, b)) — the semantics bpe.py must match."""
+    from collections import Counter
+
+    segs = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n):
+        cnt = Counter()
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for x, y in zip(s, s[1:]):
+                cnt[(x, y)] += f
+        if not cnt:
+            break
+        (a, b), c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b, c))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+def test_bpe_train_matches_python_reference(spark):
+    import random
+    from collections import Counter
+
+    from searchengine_spark.textops.bpe import bpe_train
+
+    random.seed(7)
+    # small alphabet => frequent self-pairs (aa) exercise run-parity merges
+    docs = [
+        (i, ["".join(random.choice("abcde") for _ in range(random.randint(1, 7)))
+             for _ in range(random.randint(3, 12))])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    wf = Counter(t for _, toks in docs for t in toks)
+    pm, psegs = _py_bpe(dict(wf), 12)
+    sm, sseg = bpe_train(df, n_merges=12)
+    assert sm == pm
+    assert {r.word: list(r.seg) for r in sseg.collect()} == psegs
+
+
+def test_bpe_train_classic_example(spark):
+    """The Sennrich-paper corpus: first merges must be (e,s), (es,t)."""
+    from searchengine_spark.textops.bpe import bpe_train
+
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(i, [w] * f) for i, (w, f) in enumerate(wf.items())]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    merges, seg = bpe_train(df, n_merges=4)
+    assert [(a, b) for a, b, _ in merges[:2]] == [("e", "s"), ("es", "t")]
+    segs = {r.word: list(r.seg) for r in seg.collect()}
+    assert "est" in segs["newest"]
+
+
+def test_bpe_token_counts_unseen_word_fallback(spark):
+    from searchengine_spark.textops.bpe import bpe_token_counts, bpe_train
+
+    train = spark.createDataFrame(
+        [(0, ["aaaa", "aaaa", "aabb"])], "doc_id long, tokens array<string>"
+    )
+    _, seg = bpe_train(train, n_merges=2)
+    target = spark.createDataFrame(
+        [(9, ["aaaa", "zzz"])], "doc_id long, tokens array<string>"
+    )
+    out = bpe_token_counts(target, seg).collect()[0]
+    # aaaa -> pieces under the trained merges; zzz unseen -> char count 3
+    segs = {r.word: len(r.seg) for r in seg.collect()}
+    assert out.n_words == 2
+    assert out.n_bpe_pieces == segs["aaaa"] + 3
