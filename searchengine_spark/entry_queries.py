@@ -27,6 +27,7 @@ from . import BM25_K1, BM25_B
 from .analysis.stopwords import STOP_WORDS
 from .analysis.tokenizers import punctuation_tokenize
 from .index import build_index
+from .query import fuzzy as fz
 from .textops import dedup as dd
 from .textops import bpe
 from .textops import lm
@@ -145,6 +146,27 @@ SELECT term, df, cf FROM stats ORDER BY df DESC, term LIMIT 50
 def ft_keyword(spark, sf_dir):
     idx = _ft_index(spark, sf_dir)
     return _as_long_doc_id(idx.search_keyword(_FT_QUERIES["keyword"]))
+
+
+_FUZZY_QUERY = "sart"  # typo hitting TWO vocab terms: sort, part (lev 1)
+
+
+def ft_fuzzy(spark, sf_dir):
+    """Edit-distance-1 fuzzy search via deletion-variant candidates
+    (query/fuzzy.py). The oracle is the INDEPENDENT brute-force algorithm
+    — levenshtein over every token instance — so the SymSpell-style
+    candidate join is graded against plain edit-distance semantics."""
+    idx = _ft_index(spark, sf_dir)
+    return _as_long_doc_id(fz.search_fuzzy(idx, _FUZZY_QUERY))
+
+
+FT_FUZZY_SQL = f"""
+WITH {TOK_CTES}
+SELECT doc_id, count(DISTINCT term)::BIGINT AS n_fuzzy_terms
+FROM tok
+WHERE levenshtein(term, '{_FUZZY_QUERY}') <= 1
+GROUP BY doc_id
+"""
 
 
 FT_KEYWORD_SQL = f"""
@@ -2358,6 +2380,7 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT 20
 QUERIES = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
+    "ft_fuzzy": ft_fuzzy,
     "ft_and": ft_and,
     "ft_or": ft_or,
     "ft_phrase": ft_phrase,
@@ -2426,6 +2449,7 @@ QUERIES = {
 ORACLES = {
     "ft_term_stats": FT_TERM_STATS_SQL,
     "ft_keyword": FT_KEYWORD_SQL,
+    "ft_fuzzy": FT_FUZZY_SQL,
     "ft_and": _and_sql(_FT_QUERIES["and"]),
     "ft_or": _or_sql(_FT_QUERIES["or"]),
     "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),

@@ -1,0 +1,88 @@
+"""Fuzzy (edit-distance-1) keyword search via deletion-variant candidates.
+
+The reference engine matches terms exactly; real search UIs tolerate a
+typo. The scale-safe construction is SymSpell's: ``lev(a, b) <= 1``
+implies the single-character-deletion neighborhoods of ``a`` and ``b``
+intersect, so candidate vocabulary terms come from an EQUI-JOIN on
+deletion variants — vocabulary-sized explode (|term|+1 variants per
+term), broadcast query side — never a vocabulary scan with a per-term
+edit-distance UDF, and never a cross product. Candidates are then
+verified with the exact JVM ``levenshtein`` (the neighborhood intersection
+over-approximates: e.g. "ab" vs "ba" share variants at distance 2).
+
+The DuckDB oracle is deliberately the INDEPENDENT brute-force algorithm —
+``levenshtein(term, q) <= 1`` over every token instance — so the
+candidate construction is checked against plain edit-distance semantics,
+not replayed.
+
+Scale: matched vocabulary terms are collected driver-side before the
+postings lookup — bounded by the deletion neighborhood of one query term
+(tens of terms), the same bounded-collect rule as the WAND keep-set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants_col(term_col):
+    """array<string>: the term plus every single-character deletion."""
+    t = term_col
+    return F.array_union(
+        F.array(t),
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.concat(
+                t.substr(F.lit(1), i - 1), t.substr(i + 1, F.length(t))
+            ),
+        ),
+    )
+
+
+def _py_deletion_variants(term: str) -> list[str]:
+    return sorted({term} | {term[:i] + term[i + 1 :] for i in range(len(term))})
+
+
+def fuzzy_terms(index, query_term: str, max_dist: int = 1) -> DataFrame:
+    """(term, df, cf) vocabulary terms within ``max_dist`` edits of
+    ``query_term``. Only ``max_dist=1`` is supported — the depth-1
+    deletion neighborhood is only recall-complete there (SymSpell uses
+    depth-k deletions for distance k)."""
+    if max_dist != 1:
+        raise ValueError(
+            "fuzzy_terms supports max_dist=1 (depth-1 deletion variants "
+            "are recall-complete only at edit distance 1)"
+        )
+    spark = index.term_stats.sparkSession
+    qv = F.broadcast(
+        spark.createDataFrame(
+            [(v,) for v in _py_deletion_variants(query_term)], "variant string"
+        )
+    )
+    cand = (
+        index.term_stats.select(
+            "term", "df", "cf",
+            F.explode(deletion_variants_col(F.col("term"))).alias("variant"),
+        )
+        .join(qv, "variant")
+        .select("term", "df", "cf")
+        .distinct()
+    )
+    return cand.where(F.levenshtein(F.col("term"), F.lit(query_term)) <= max_dist)
+
+
+def search_fuzzy(index, query_term: str, max_dist: int = 1) -> DataFrame:
+    """(doc_id, n_fuzzy_terms): documents containing any vocabulary term
+    within ``max_dist`` edits of ``query_term``, with the number of
+    distinct such terms each contains."""
+    matched = [r["term"] for r in fuzzy_terms(index, query_term, max_dist).collect()]
+    if not matched:
+        spark = index.term_stats.sparkSession
+        return spark.createDataFrame([], "doc_id string, n_fuzzy_terms long")
+    post = index.postings_for_terms(matched, positional=False)
+    return index.filter_deleted(
+        post.groupBy("doc_id").agg(
+            F.countDistinct("term").cast("long").alias("n_fuzzy_terms")
+        )
+    )

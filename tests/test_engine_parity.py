@@ -141,3 +141,61 @@ def test_bm25_batch_bit_identical_to_per_query(built):
     assert [r["query_id"] for r in lst] == ["q0"] * 3
     assert index.search_bm25_batch({}, 5).count() == 0
     assert index.search_bm25_batch(queries, 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (edit-distance-1) search
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_terms_verify_rejects_distance_2_candidates(spark):
+    """'ab' and 'ba' share deletion variants but sit at lev distance 2 —
+    the candidate join must surface them and the verify must drop them."""
+    from searchengine_spark.index import build_index
+    from searchengine_spark.query.fuzzy import fuzzy_terms
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab zq"), (2, "ba zq"), (3, "abx zq")],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    got = {r["term"] for r in fuzzy_terms(idx, "ab").collect()}
+    assert got == {"ab", "abx"}  # ba (lev 2) pruned by the verify
+
+
+def test_search_fuzzy_counts_and_no_match(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.index import build_index
+    from searchengine_spark.query.fuzzy import search_fuzzy
+
+    docs = spark.createDataFrame(
+        [(1, "sort the part list"), (2, "sort only"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    out = {r["doc_id"]: r["n_fuzzy_terms"]
+           for r in search_fuzzy(idx, "sart").collect()}
+    assert out == {"1": 2, "2": 1}  # doc 1 has both sort and part
+    assert search_fuzzy(idx, "qqqqq").count() == 0
+    with _pytest.raises(ValueError, match="max_dist=1"):
+        search_fuzzy(idx, "sart", max_dist=2)
+
+
+def test_search_fuzzy_artifact_backend_parity(spark, tmp_path):
+    from searchengine_spark.index import build_index
+    from searchengine_spark.index.artifact import build_artifact
+    from searchengine_spark.query.fuzzy import search_fuzzy
+
+    docs = spark.createDataFrame(
+        [(i, f"sort part w{i} filler") for i in range(30)]
+        + [(99, "unrelated words only")],
+        "doc_id long, text string",
+    ).selectExpr("cast(doc_id as string) doc_id", "text")
+    lidx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    aidx = build_artifact(
+        spark, docs, str(tmp_path / "fz"), analyzer="punctuation"
+    )
+    l = sorted(tuple(r) for r in search_fuzzy(lidx, "sart").collect())
+    a = sorted(tuple(r) for r in search_fuzzy(aidx, "sart").collect())
+    assert l == a and len(l) == 30
