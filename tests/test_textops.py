@@ -865,3 +865,39 @@ def test_bpe_token_counts_unseen_word_fallback(spark):
     segs = {r.word: len(r.seg) for r in seg.collect()}
     assert out.n_words == 2
     assert out.n_bpe_pieces == segs["aaaa"] + 3
+
+
+def test_new_ops_plans_never_nested_loop(spark):
+    """Plan assertion for the session-4 operators: no BroadcastNestedLoop /
+    CartesianProduct anywhere — every join is an equi-join (hash or
+    sort-merge), which is the 100 TB-survivable shape."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.textops.dedup import (
+        incremental_dedup,
+        signature_store,
+    )
+    from searchengine_spark.textops.lm import lm_perplexity
+    from searchengine_spark.textops.sampling import training_mix
+
+    tok = lambda c: F.filter(  # noqa: E731
+        F.split(F.lower(F.regexp_replace(c, "[,.;?!]", " ")), r"\s+"),
+        lambda x: x != "",
+    )
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", ["en", "de"][i % 2]) for i in range(40)],
+        "doc_id long, text string, lang string",
+    ).select("doc_id", "text", "lang", tok(F.col("text")).alias("tokens"))
+
+    store = signature_store(docs.where(F.col("doc_id") % 2 == 0))
+    frames = {
+        "training_mix": training_mix(docs, {"en": 5}),
+        "incremental_dedup": incremental_dedup(
+            docs.where(F.col("doc_id") % 2 == 1), store
+        ),
+        "lm_perplexity": lm_perplexity(docs),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
