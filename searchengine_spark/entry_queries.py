@@ -28,6 +28,7 @@ from .analysis.stopwords import STOP_WORDS
 from .analysis.tokenizers import punctuation_tokenize
 from .index import build_index
 from .query import fuzzy as fz
+from .query import snippets as snip
 from .textops import dedup as dd
 from .textops import bpe
 from .textops import lm
@@ -146,6 +147,67 @@ SELECT term, df, cf FROM stats ORDER BY df DESC, term LIMIT 50
 def ft_keyword(spark, sf_dir):
     idx = _ft_index(spark, sf_dir)
     return _as_long_doc_id(idx.search_keyword(_FT_QUERIES["keyword"]))
+
+
+_SNIPPET_QUERY = "spark join hash"
+_SNIPPET_K = 10
+_SNIPPET_WINDOW = 4
+
+
+def ft_snippets(spark, sf_dir):
+    """BM25 top-k with result snippets: a ±window token context around the
+    first query-term hit in each top doc (query/snippets.py; O(k) work
+    after the top-k cut). Rank boundary cut at rounded score + doc_id
+    tie-break on both sides."""
+    idx = _ft_index(spark, sf_dir)
+    out = snip.search_snippets(
+        idx, _SNIPPET_QUERY, k=_SNIPPET_K, window=_SNIPPET_WINDOW
+    )
+    return _as_long_doc_id(out)
+
+
+def _snippets_sql() -> str:
+    terms = sorted(set(punctuation_tokenize(_SNIPPET_QUERY)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    w, k = _SNIPPET_WINDOW, _SNIPPET_K
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM {_qterms_values_sql(_SNIPPET_QUERY)}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT {k}
+),
+firstpos AS (
+  SELECT t.doc_id, min(t.pos)::INT AS first_pos
+  FROM tok t JOIN topk USING (doc_id)
+  WHERE t.term IN ({in_list})
+  GROUP BY t.doc_id
+)
+SELECT tk.doc_id, tk.score_r, f.first_pos,
+       array_to_string(
+         list_slice(l.toks, greatest(f.first_pos - {w}, 0) + 1,
+                    f.first_pos + {w} + 1), ' ') AS snippet
+FROM topk tk
+JOIN firstpos f USING (doc_id)
+JOIN lists l USING (doc_id)
+"""
 
 
 _FUZZY_QUERY = "sart"  # typo hitting TWO vocab terms: sort, part (lev 1)
@@ -2381,6 +2443,7 @@ QUERIES = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
     "ft_fuzzy": ft_fuzzy,
+    "ft_snippets": ft_snippets,
     "ft_and": ft_and,
     "ft_or": ft_or,
     "ft_phrase": ft_phrase,
@@ -2450,6 +2513,7 @@ ORACLES = {
     "ft_term_stats": FT_TERM_STATS_SQL,
     "ft_keyword": FT_KEYWORD_SQL,
     "ft_fuzzy": FT_FUZZY_SQL,
+    "ft_snippets": _snippets_sql(),
     "ft_and": _and_sql(_FT_QUERIES["and"]),
     "ft_or": _or_sql(_FT_QUERIES["or"]),
     "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),

@@ -1,12 +1,14 @@
 from .boolean import search_and, search_keyword, search_or
 from .fuzzy import fuzzy_terms, search_fuzzy
 from .phrase import search_phrase
+from .snippets import search_snippets
 from .ranked import bm25_idf, search_bm25, search_tfidf, tfidf_idf
 
 __all__ = [
     "search_keyword",
     "fuzzy_terms",
     "search_fuzzy",
+    "search_snippets",
     "search_and",
     "search_or",
     "search_phrase",

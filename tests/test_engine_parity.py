@@ -199,3 +199,27 @@ def test_search_fuzzy_artifact_backend_parity(spark, tmp_path):
     l = sorted(tuple(r) for r in search_fuzzy(lidx, "sart").collect())
     a = sorted(tuple(r) for r in search_fuzzy(aidx, "sart").collect())
     assert l == a and len(l) == 30
+
+
+def test_search_snippets_window_and_clipping(spark):
+    from searchengine_spark.index import build_index
+    from searchengine_spark.query.snippets import search_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle alpha beta gamma delta epsilon zeta"),   # hit at 0
+            (2, "alpha beta gamma needle delta epsilon zeta"),   # hit mid
+            (3, "alpha beta gamma delta epsilon zeta eta"),      # no hit
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    out = {r.doc_id: r for r in search_snippets(idx, "needle", k=5, window=2).collect()}
+    assert set(out) == {"1", "2"}
+    assert out["1"].first_pos == 0
+    assert out["1"].snippet == "needle alpha beta"  # clipped at doc start
+    assert out["2"].first_pos == 3
+    # window=2 around pos 3 -> positions [1, 5]
+    assert out["2"].snippet == "beta gamma needle delta epsilon"
+    assert search_snippets(idx, "zzznope", k=5).count() == 0
+    assert search_snippets(idx, "the of and", k=5).count() == 0  # stop-only
