@@ -149,6 +149,27 @@ def ft_keyword(spark, sf_dir):
     return _as_long_doc_id(idx.search_keyword(_FT_QUERIES["keyword"]))
 
 
+_PREFIX_QUERY = "s"  # expands to 6 vocab terms at the graded scales
+
+
+def ft_prefix(spark, sf_dir):
+    """Prefix (wildcard) search: docs containing any term starting with the
+    prefix, plus how many distinct such terms each contains. The predicate
+    pushes into the term-stats scan; expansion is capped Lucene-style
+    (query/fuzzy.py::prefix_terms)."""
+    idx = _ft_index(spark, sf_dir)
+    return _as_long_doc_id(fz.search_prefix(idx, _PREFIX_QUERY))
+
+
+FT_PREFIX_SQL = f"""
+WITH {TOK_CTES}
+SELECT doc_id, count(DISTINCT term)::BIGINT AS n_prefix_terms
+FROM tok
+WHERE term LIKE '{_PREFIX_QUERY}%'
+GROUP BY doc_id
+"""
+
+
 _SNIPPET_QUERY = "spark join hash"
 _SNIPPET_K = 10
 _SNIPPET_WINDOW = 4
@@ -2443,6 +2464,7 @@ QUERIES = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
     "ft_fuzzy": ft_fuzzy,
+    "ft_prefix": ft_prefix,
     "ft_snippets": ft_snippets,
     "ft_and": ft_and,
     "ft_or": ft_or,
@@ -2513,6 +2535,7 @@ ORACLES = {
     "ft_term_stats": FT_TERM_STATS_SQL,
     "ft_keyword": FT_KEYWORD_SQL,
     "ft_fuzzy": FT_FUZZY_SQL,
+    "ft_prefix": FT_PREFIX_SQL,
     "ft_snippets": _snippets_sql(),
     "ft_and": _and_sql(_FT_QUERIES["and"]),
     "ft_or": _or_sql(_FT_QUERIES["or"]),

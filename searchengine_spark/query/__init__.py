@@ -1,5 +1,5 @@
 from .boolean import search_and, search_keyword, search_or
-from .fuzzy import fuzzy_terms, search_fuzzy
+from .fuzzy import fuzzy_terms, prefix_terms, search_fuzzy, search_prefix
 from .phrase import search_phrase
 from .snippets import search_snippets
 from .ranked import bm25_idf, search_bm25, search_tfidf, tfidf_idf
@@ -9,6 +9,8 @@ __all__ = [
     "fuzzy_terms",
     "search_fuzzy",
     "search_snippets",
+    "prefix_terms",
+    "search_prefix",
     "search_and",
     "search_or",
     "search_phrase",

@@ -86,3 +86,45 @@ def search_fuzzy(index, query_term: str, max_dist: int = 1) -> DataFrame:
             F.countDistinct("term").cast("long").alias("n_fuzzy_terms")
         )
     )
+
+
+MAX_EXPANDED_TERMS = 1024  # Lucene's default maxClauseCount — same role
+
+
+def prefix_terms(index, prefix: str, max_terms: int = MAX_EXPANDED_TERMS) -> DataFrame:
+    """(term, df, cf) vocabulary terms starting with ``prefix``.
+
+    The ``startswith`` predicate pushes into the term-stats scan (parquet
+    StartsWith pushdown; on the artifact the stats table is term-sorted,
+    so row groups outside the prefix range never read). Expansion is
+    capped at ``max_terms`` — Lucene's maxClauseCount guard — because a
+    one-letter prefix on a web-scale vocabulary is a user error, not a
+    query plan.
+    """
+    if not prefix:
+        raise ValueError("empty prefix")
+    out = index.term_stats.where(F.col("term").startswith(prefix))
+    n = out.limit(max_terms + 1).count()
+    if n > max_terms:
+        raise ValueError(
+            f"prefix '{prefix}' expands to >{max_terms} terms "
+            "(maxClauseCount guard) — use a longer prefix"
+        )
+    return out.select("term", "df", "cf")
+
+
+def search_prefix(
+    index, prefix: str, max_terms: int = MAX_EXPANDED_TERMS
+) -> DataFrame:
+    """(doc_id, n_prefix_terms): documents containing any term starting
+    with ``prefix``, with the count of distinct such terms they contain."""
+    matched = [r["term"] for r in prefix_terms(index, prefix, max_terms).collect()]
+    if not matched:
+        spark = index.term_stats.sparkSession
+        return spark.createDataFrame([], "doc_id string, n_prefix_terms long")
+    post = index.postings_for_terms(matched, positional=False)
+    return index.filter_deleted(
+        post.groupBy("doc_id").agg(
+            F.countDistinct("term").cast("long").alias("n_prefix_terms")
+        )
+    )

@@ -223,3 +223,28 @@ def test_search_snippets_window_and_clipping(spark):
     assert out["2"].snippet == "beta gamma needle delta epsilon"
     assert search_snippets(idx, "zzznope", k=5).count() == 0
     assert search_snippets(idx, "the of and", k=5).count() == 0  # stop-only
+
+
+def test_search_prefix_counts_cap_and_artifact_parity(spark, tmp_path):
+    import pytest as _pytest
+
+    from searchengine_spark.index import build_index
+    from searchengine_spark.index.artifact import build_artifact
+    from searchengine_spark.query.fuzzy import search_prefix
+
+    docs = spark.createDataFrame(
+        [(1, "spark sparkle spade zebra"), (2, "spark only"), (3, "zebra")],
+        "doc_id long, text string",
+    ).selectExpr("cast(doc_id as string) doc_id", "text")
+    lidx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    out = {r.doc_id: r.n_prefix_terms for r in search_prefix(lidx, "spa").collect()}
+    assert out == {"1": 3, "2": 1}
+    assert search_prefix(lidx, "qqq").count() == 0
+    with _pytest.raises(ValueError, match="maxClauseCount"):
+        search_prefix(lidx, "s", max_terms=1)
+    with _pytest.raises(ValueError, match="empty"):
+        search_prefix(lidx, "")
+    aidx = build_artifact(spark, docs, str(tmp_path / "pfx"), analyzer="punctuation")
+    a = sorted(tuple(r) for r in search_prefix(aidx, "spa").collect())
+    l = sorted(tuple(r) for r in search_prefix(lidx, "spa").collect())
+    assert a == l
