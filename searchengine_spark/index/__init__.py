@@ -6,7 +6,7 @@ def __getattr__(name):
     # light; artifact pulls in the codec + ordinal machinery)
     if name in {
         "ArtifactIndex", "build_artifact", "load_artifact", "compact",
-        "append_segment", "latest_snapshot", "subcompact", "maybe_merge",
+        "append_segment", "upsert_documents", "latest_snapshot", "subcompact", "maybe_merge",
         "expire_snapshots", "read_snapshot",
     }:
         from . import artifact
@@ -18,6 +18,6 @@ def __getattr__(name):
 __all__ = [
     "Index", "build_index", "build_postings", "make_term_positions_udf",
     "ArtifactIndex", "build_artifact", "load_artifact", "compact",
-    "append_segment", "latest_snapshot", "subcompact", "maybe_merge",
+    "append_segment", "upsert_documents", "latest_snapshot", "subcompact", "maybe_merge",
     "expire_snapshots", "read_snapshot",
 ]

@@ -594,12 +594,16 @@ class ArtifactIndex(Index):
             nopos = blocks.select(
                 "term", "first_ord", "docs", "tfs", "dls"
             ).mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA)
-            return self.filter_deleted(
-                nopos.join(
-                    self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord"
-                ).select("doc_id", "term", "tf", "positions", "dl")
+            # delete filter in ORDINAL space, before doc_ord is dropped:
+            # tombstones are (doc_id, doc_ord) pairs, and upsert replaces a
+            # doc under the SAME doc_id with a new ordinal — a doc_id-level
+            # filter here would kill the live replacement too
+            return (
+                self.filter_deleted_ords(nopos)
+                .join(self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord")
+                .select("doc_id", "term", "tf", "positions", "dl")
             )
-        return self.filter_deleted(self._decode(blocks))
+        return self._decode(blocks)
 
     def docs_for_ordinals(self, ords) -> DataFrame:
         """Point-lookup hydration: ``(doc_ord, doc_id)`` for the given
@@ -649,7 +653,8 @@ class ArtifactIndex(Index):
         decoded = blocks.mapInPandas(
             _make_decoder(self.positional), schema=DECODED_SCHEMA
         )
-        return decoded.join(
+        # ordinal-space delete filter (see postings_for_terms note)
+        return self.filter_deleted_ords(decoded).join(
             self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord"
         ).select("doc_id", "term", "tf", "positions", "dl")
 
@@ -697,12 +702,18 @@ class ArtifactIndex(Index):
         see the deletes; compaction purges them physically. Tombstones carry
         ``doc_ord`` too (one docs-table join at delete time) so the WAND
         path's ordinal-space filter never re-joins the corpus per query."""
-        matched = (
-            self.search_keyword(keyword)
-            .select("doc_id")
-            .join(self.docs_tbl.select("doc_id", "doc_ord"), "doc_id")
-            .persist()
-        )
+        return self._commit_tombstones(self.search_keyword(keyword).select("doc_id"))
+
+    def delete_ids(self, ids_df: DataFrame) -> int:
+        """Tombstone the given doc_ids (frame with a ``doc_id`` column);
+        ids absent from the artifact are ignored (the docs-table join drops
+        them). Same persistence/snapshot semantics as delete_documents."""
+        return self._commit_tombstones(ids_df.select("doc_id").distinct())
+
+    def _commit_tombstones(self, ids_df: DataFrame) -> int:
+        matched = ids_df.join(
+            self.docs_tbl.select("doc_id", "doc_ord"), "doc_id"
+        ).persist()
         n = matched.count()
         snap = dict(self.snapshot)
         snap_id = snap["snapshot_id"] + 1
@@ -740,6 +751,31 @@ class ArtifactIndex(Index):
 
             return search_bm25(self, query, k)
         return search_bm25_blockmax(self, query, k)
+
+
+def upsert_documents(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    source_desc: str = "upsert",
+) -> "ArtifactIndex":
+    """Replace-or-insert documents by doc_id: tombstone any existing
+    versions of the incoming doc_ids (one docs-table join; ids not present
+    are plain inserts), then append the new versions as one segment. Two
+    snapshot commits — readers between them see a consistent delete-then-
+    add sequence, never both versions. Compaction later purges the old
+    postings physically; time travel to the pre-upsert snapshot still
+    reads the old versions (snapshot isolation).
+
+    The reference has no update path (delete + re-add by hand); this is
+    the lifecycle completion over the same tombstone machinery as B9.
+    """
+    aidx = load_artifact(spark, path)
+    cfg = aidx.snapshot["config"]
+    ids = corpus.select(F.col(cfg["doc_id_col"]).alias("doc_id"))
+    aidx.delete_ids(ids)
+    return append_segment(spark, corpus, path, source_desc=source_desc)
 
 
 def load_artifact(

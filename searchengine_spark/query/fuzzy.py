@@ -80,11 +80,12 @@ def search_fuzzy(index, query_term: str, max_dist: int = 1) -> DataFrame:
     if not matched:
         spark = index.term_stats.sparkSession
         return spark.createDataFrame([], "doc_id string, n_fuzzy_terms long")
+    # postings_for_terms already applies the delete filter on both backends
+    # (doc_id-keyed on the logical index, ordinal-keyed on the artifact — a
+    # second doc_id-level filter here would wrongly drop upserted doc_ids)
     post = index.postings_for_terms(matched, positional=False)
-    return index.filter_deleted(
-        post.groupBy("doc_id").agg(
-            F.countDistinct("term").cast("long").alias("n_fuzzy_terms")
-        )
+    return post.groupBy("doc_id").agg(
+        F.countDistinct("term").cast("long").alias("n_fuzzy_terms")
     )
 
 
@@ -123,8 +124,6 @@ def search_prefix(
         spark = index.term_stats.sparkSession
         return spark.createDataFrame([], "doc_id string, n_prefix_terms long")
     post = index.postings_for_terms(matched, positional=False)
-    return index.filter_deleted(
-        post.groupBy("doc_id").agg(
-            F.countDistinct("term").cast("long").alias("n_prefix_terms")
-        )
+    return post.groupBy("doc_id").agg(
+        F.countDistinct("term").cast("long").alias("n_prefix_terms")
     )

@@ -154,3 +154,63 @@ def test_wand_theta_ignores_deleted_high_scorers(spark, corpus, tmp_path):
     ]
     assert top not in [d for d, _ in wand]
     assert wand == exh
+
+
+def test_upsert_replaces_and_inserts(spark, tmp_path):
+    """upsert_documents: existing doc_ids are replaced (old text no longer
+    matches, new text does), new doc_ids are plain inserts; n_docs counts
+    live docs; compaction purges the old versions physically; time travel
+    to the pre-upsert snapshot still reads the old content."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.index.artifact import (
+        build_artifact,
+        compact,
+        load_artifact,
+        read_snapshot,
+        upsert_documents,
+    )
+
+    path = str(tmp_path / "ups")
+    base = spark.createDataFrame(
+        [(str(i), f"original text number{i} oldmarker") for i in range(10)],
+        "doc_id string, text string",
+    )
+    build_artifact(spark, base, path, analyzer="punctuation")
+    pre_snap = load_artifact(spark, path).snapshot["snapshot_id"]
+
+    newer = spark.createDataFrame(
+        [("3", "replaced text newmarker"),
+         ("7", "replaced text newmarker"),
+         ("42", "brandnew doc newmarker")],
+        "doc_id string, text string",
+    )
+    aidx = upsert_documents(spark, newer, path)
+
+    got_new = sorted(r["doc_id"] for r in aidx.search_keyword("newmarker").collect())
+    assert got_new == ["3", "42", "7"]
+    old = sorted(r["doc_id"] for r in aidx.search_keyword("oldmarker").collect())
+    assert old == sorted(str(i) for i in range(10) if i not in (3, 7))
+    # old versions of 3 and 7 are dead: their unique terms match nothing
+    assert aidx.search_keyword("number3").count() == 0
+    assert aidx.search_keyword("number7").count() == 0
+
+    # upserting an upserted doc again replaces the latest version too
+    aidx = upsert_documents(
+        spark,
+        spark.createDataFrame([("3", "third version finalmarker")],
+                              "doc_id string, text string"),
+        path,
+    )
+    assert [r["doc_id"] for r in aidx.search_keyword("finalmarker").collect()] == ["3"]
+    assert aidx.search_keyword("newmarker").where(F.col("doc_id") == "3").count() == 0
+
+    # time travel: the pre-upsert snapshot still shows the original doc 3
+    tt = load_artifact(spark, path, snapshot_id=pre_snap)
+    assert tt.search_keyword("number3").count() == 1
+
+    # compaction purges tombstoned versions physically and keeps results
+    cidx = compact(spark, path, str(tmp_path / "ups_c"))
+    assert [r["doc_id"] for r in cidx.search_keyword("finalmarker").collect()] == ["3"]
+    assert cidx.search_keyword("number3").count() == 0
+    assert cidx.search_keyword("oldmarker").count() == 8
