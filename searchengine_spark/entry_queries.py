@@ -149,6 +149,62 @@ def ft_keyword(spark, sf_dir):
     return _as_long_doc_id(idx.search_keyword(_FT_QUERIES["keyword"]))
 
 
+_DYM_QUERY = "sprk joi hash"  # two typos + one exact term
+_DYM_K = 20
+
+
+def ft_bm25_didyoumean(spark, sf_dir):
+    """Spell-corrected ("did you mean") BM25: unknown query terms are
+    replaced by the closest vocabulary term within edit distance 1
+    (tiebreak df DESC, term ASC), then ranked by the stock BM25 path. The
+    oracle replays the correction with correlated levenshtein subqueries
+    over the stats CTE, then the standard BM25 twin."""
+    idx = _ft_index(spark, sf_dir)
+    res = fz.search_bm25_corrected(idx, _DYM_QUERY, None)
+    return (
+        _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(_DYM_K)
+    )
+
+
+def _dym_sql() -> str:
+    return f"""
+WITH {TOK_CTES},
+corr AS (
+  SELECT q.qtf,
+         coalesce(
+           (SELECT s2.term FROM stats s2 WHERE s2.term = q.term),
+           (SELECT s3.term FROM stats s3
+            WHERE levenshtein(s3.term, q.term) <= 1
+            ORDER BY s3.df DESC, s3.term LIMIT 1),
+           q.term) AS term
+  FROM {_qterms_values_sql(_DYM_QUERY)}
+),
+qterms AS (SELECT term, sum(qtf)::INT AS qtf FROM corr GROUP BY term),
+qw AS (
+  SELECT c.term, c.qtf,
+         ln((co.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM qterms c
+  JOIN stats s ON s.term = c.term
+  CROSS JOIN corpus co
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT {_DYM_K}
+"""
+
+
 _PREFIX_QUERY = "s"  # expands to 6 vocab terms at the graded scales
 
 
@@ -2466,6 +2522,7 @@ QUERIES = {
     "ft_fuzzy": ft_fuzzy,
     "ft_prefix": ft_prefix,
     "ft_snippets": ft_snippets,
+    "ft_bm25_didyoumean": ft_bm25_didyoumean,
     "ft_and": ft_and,
     "ft_or": ft_or,
     "ft_phrase": ft_phrase,
@@ -2537,6 +2594,7 @@ ORACLES = {
     "ft_fuzzy": FT_FUZZY_SQL,
     "ft_prefix": FT_PREFIX_SQL,
     "ft_snippets": _snippets_sql(),
+    "ft_bm25_didyoumean": _dym_sql(),
     "ft_and": _and_sql(_FT_QUERIES["and"]),
     "ft_or": _or_sql(_FT_QUERIES["or"]),
     "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),

@@ -1,5 +1,12 @@
 from .boolean import search_and, search_keyword, search_or
-from .fuzzy import fuzzy_terms, prefix_terms, search_fuzzy, search_prefix
+from .fuzzy import (
+    correct_query_terms,
+    fuzzy_terms,
+    prefix_terms,
+    search_bm25_corrected,
+    search_fuzzy,
+    search_prefix,
+)
 from .phrase import search_phrase
 from .snippets import search_snippets
 from .ranked import bm25_idf, search_bm25, search_tfidf, tfidf_idf
@@ -11,6 +18,8 @@ __all__ = [
     "search_snippets",
     "prefix_terms",
     "search_prefix",
+    "correct_query_terms",
+    "search_bm25_corrected",
     "search_and",
     "search_or",
     "search_phrase",

@@ -127,3 +127,36 @@ def search_prefix(
     return post.groupBy("doc_id").agg(
         F.countDistinct("term").cast("long").alias("n_prefix_terms")
     )
+
+
+def correct_query_terms(index, query: str) -> list[tuple[str, str]]:
+    """[(analyzed term, corrected term)] — "did you mean" per query term.
+
+    Terms present in the vocabulary map to themselves; unknown terms map
+    to the closest vocabulary term within edit distance 1 (tiebreak:
+    highest document frequency, then lexicographic — the common
+    spell-correction heuristic), or stay unchanged if nothing is within
+    distance 1. Driver-side work is O(|query|) fuzzy lookups, each a
+    deletion-variant equi-join (see fuzzy_terms).
+    """
+    out: list[tuple[str, str]] = []
+    for term in index.analyze_query(query):
+        stats = index.query_term_stats([term])
+        if stats.get(term, (0, 0))[0] > 0:
+            out.append((term, term))
+            continue
+        cand = fuzzy_terms(index, term).collect()
+        if not cand:
+            out.append((term, term))
+            continue
+        best = sorted(cand, key=lambda r: (-r["df"], r["term"]))[0]["term"]
+        out.append((term, best))
+    return out
+
+
+def search_bm25_corrected(index, query: str, k: int | None = None) -> DataFrame:
+    """BM25 over the spell-corrected query (correct_query_terms), the
+    composed "did you mean" retrieval path. Ranking itself is the stock
+    BM25 plan; correction adds only driver-side vocabulary lookups."""
+    corrected = [c for _, c in correct_query_terms(index, query)]
+    return index.search_bm25(corrected, k)

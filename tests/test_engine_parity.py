@@ -248,3 +248,31 @@ def test_search_prefix_counts_cap_and_artifact_parity(spark, tmp_path):
     a = sorted(tuple(r) for r in search_prefix(aidx, "spa").collect())
     l = sorted(tuple(r) for r in search_prefix(lidx, "spa").collect())
     assert a == l
+
+
+def test_bm25_corrected_matches_hand_corrected_query(spark):
+    from searchengine_spark.index import build_index
+    from searchengine_spark.query.fuzzy import (
+        correct_query_terms,
+        search_bm25_corrected,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join hash filler{i} extra words here") for i in range(20)]
+        + [(99, "join hash only")],
+        "doc_id long, text string",
+    )
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    assert correct_query_terms(idx, "sprk joi hash zzzz") == [
+        ("sprk", "spark"), ("joi", "join"), ("hash", "hash"), ("zzzz", "zzzz"),
+    ]
+    got = [tuple(r) for r in search_bm25_corrected(idx, "sprk joi hash", 5).collect()]
+    want = [tuple(r) for r in idx.search_bm25("spark join hash", 5).collect()]
+    assert got == want  # bit-identical: same terms after correction
+    # df-desc tiebreak: 'hask' is lev-1 from both 'hash' (df 21) and 'task'
+    docs2 = spark.createDataFrame(
+        [(1, "hash hash task"), (2, "hash task"), (3, "hash")],
+        "doc_id long, text string",
+    )
+    idx2 = build_index(spark, docs2, analyzer="punctuation", cache=False)
+    assert correct_query_terms(idx2, "hask") == [("hask", "hash")]
