@@ -28,6 +28,7 @@ from .analysis.stopwords import STOP_WORDS
 from .analysis.tokenizers import punctuation_tokenize
 from .index import build_index
 from .query import fuzzy as fz
+from .query import morelike as mlt
 from .query import snippets as snip
 from .textops import dedup as dd
 from .textops import bpe
@@ -147,6 +148,77 @@ SELECT term, df, cf FROM stats ORDER BY df DESC, term LIMIT 50
 def ft_keyword(spark, sf_dir):
     idx = _ft_index(spark, sf_dir)
     return _as_long_doc_id(idx.search_keyword(_FT_QUERIES["keyword"]))
+
+
+_MLT_DOC = 0
+_MLT_N_TERMS = 5
+_MLT_K = 15
+
+
+def ft_more_like_this(spark, sf_dir):
+    """More-like-this: BM25 over the source doc's top tf×idf terms
+    (query/morelike.py), source excluded, rounded-score rank cut."""
+    idx = _ft_index(spark, sf_dir)
+    res = mlt.more_like_this(idx, str(_MLT_DOC), n_terms=_MLT_N_TERMS, k=None)
+    return (
+        _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(_MLT_K)
+    )
+
+
+def _mlt_sql() -> str:
+    return f"""
+WITH {TOK_CTES},
+srctf AS (
+  SELECT term, count(*)::BIGINT AS tf FROM tok
+  WHERE doc_id = {_MLT_DOC} GROUP BY term
+),
+sel AS (
+  SELECT t.term
+  FROM srctf t JOIN stats s ON s.term = t.term CROSS JOIN corpus c
+  ORDER BY round(t.tf * log10(c.n_docs::DOUBLE / s.df + 1.0), 6) DESC, t.term
+  LIMIT {_MLT_N_TERMS}
+),
+qw AS (
+  SELECT sel.term, 1 AS qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM sel JOIN stats s ON s.term = sel.term CROSS JOIN corpus c
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  WHERE p.doc_id <> {_MLT_DOC}
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT {_MLT_K}
+"""
+
+
+_FACET_QUERY = "spark"
+
+
+def ft_facets(spark, sf_dir):
+    """Faceted result counts: documents matching the query bucketed by
+    their lang metadata (query/morelike.py::facet_counts)."""
+    idx = _ft_index(spark, sf_dir)
+    return mlt.facet_counts(idx, _FACET_QUERY, "lang")
+
+
+FT_FACETS_SQL = f"""
+WITH {TOK_CTES}
+SELECT d.lang, count(*)::BIGINT AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{_FACET_QUERY}')
+GROUP BY d.lang
+"""
 
 
 _DYM_QUERY = "sprk joi hash"  # two typos + one exact term
@@ -2523,6 +2595,8 @@ QUERIES = {
     "ft_prefix": ft_prefix,
     "ft_snippets": ft_snippets,
     "ft_bm25_didyoumean": ft_bm25_didyoumean,
+    "ft_more_like_this": ft_more_like_this,
+    "ft_facets": ft_facets,
     "ft_and": ft_and,
     "ft_or": ft_or,
     "ft_phrase": ft_phrase,
@@ -2595,6 +2669,8 @@ ORACLES = {
     "ft_prefix": FT_PREFIX_SQL,
     "ft_snippets": _snippets_sql(),
     "ft_bm25_didyoumean": _dym_sql(),
+    "ft_more_like_this": _mlt_sql(),
+    "ft_facets": FT_FACETS_SQL,
     "ft_and": _and_sql(_FT_QUERIES["and"]),
     "ft_or": _or_sql(_FT_QUERIES["or"]),
     "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),

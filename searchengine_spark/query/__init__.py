@@ -7,6 +7,7 @@ from .fuzzy import (
     search_fuzzy,
     search_prefix,
 )
+from .morelike import facet_counts, mlt_terms, more_like_this
 from .phrase import search_phrase
 from .snippets import search_snippets
 from .ranked import bm25_idf, search_bm25, search_tfidf, tfidf_idf
@@ -20,6 +21,9 @@ __all__ = [
     "search_prefix",
     "correct_query_terms",
     "search_bm25_corrected",
+    "more_like_this",
+    "mlt_terms",
+    "facet_counts",
     "search_and",
     "search_or",
     "search_phrase",

@@ -1,0 +1,94 @@
+"""More-like-this retrieval and faceted result counts — the two
+results-page companions to ranked search (Lucene's MoreLikeThis and
+facet counting, re-expressed over this engine's primitives).
+
+``more_like_this``: select the source document's most distinctive terms
+(tf × tfidf idf, the engine's Q5/Q6 log10 quirk formula) and run them as
+a BM25 query, excluding the source doc. Term selection is driver-side
+O(|doc|): one corpus point-read for the text, the same analyzer chain as
+the build, and a bounded ``query_term_stats`` lookup — no corpus scan to
+recover a doc's term vector. Ranking is the stock BM25 plan.
+
+``facet_counts``: bucket the documents matching a query by a metadata
+column — one semi-join from the match set to the corpus and one count
+aggregate, the hydrate-join pattern at aggregate grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ranked import tfidf_idf
+
+
+def mlt_terms(index, doc_id: str, n_terms: int = 10) -> list[str]:
+    """The source doc's top ``n_terms`` by tf × tfidf-idf (selection score
+    rounded to 6dp; tiebreak term ASC — deterministic and replayable in
+    SQL). Raises if the doc_id is unknown."""
+    if index.corpus is None:
+        raise ValueError("index built without corpus reference")
+    corpus = index.corpus
+    if index.doc_id_col != "doc_id":
+        corpus = corpus.withColumnRenamed(index.doc_id_col, "doc_id")
+    rows = (
+        corpus.where(F.col("doc_id") == doc_id)
+        .select(F.col(index.text_col))
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"doc_id {doc_id!r} not in corpus")
+    terms = index.analyze_query(rows[0][0])
+    tf: dict[str, int] = {}
+    for t in terms:
+        tf[t] = tf.get(t, 0) + 1
+    stats = index.query_term_stats(sorted(tf))
+    scored = [
+        (round(c * tfidf_idf(index.n_docs, stats[t][0]), 6), t)
+        for t, c in tf.items()
+        if stats.get(t, (0, 0))[0] > 0
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _, t in scored[:n_terms]]
+
+
+def more_like_this(
+    index, doc_id: str, n_terms: int = 10, k: int | None = 10
+) -> DataFrame:
+    """(doc_id, score) BM25 results for the source doc's top terms, source
+    doc excluded. ``k`` counts the returned neighbours (the exclusion
+    happens before the cut, so asking for k always yields k when enough
+    docs match)."""
+    terms = mlt_terms(index, doc_id, n_terms)
+    if not terms:
+        return index.search_bm25([], k)
+    res = index.search_bm25(terms, None).where(F.col("doc_id") != doc_id)
+    if k is None:
+        return res
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def facet_counts(
+    index, query: str, facet_col: str, mode: str = "keyword"
+) -> DataFrame:
+    """(facet value, n_docs) over the documents matching ``query``.
+
+    ``mode``: ``keyword`` (single-term match) or ``or`` (any term). The
+    corpus must be attached (facet metadata lives there); the match set
+    semi-joins the corpus, then one count aggregate per facet value.
+    """
+    if index.corpus is None:
+        raise ValueError("index built without corpus reference")
+    matched = (
+        index.search_keyword(query)
+        if mode == "keyword"
+        else index.search_or(query)
+    )
+    corpus = index.corpus
+    if index.doc_id_col != "doc_id":
+        corpus = corpus.withColumnRenamed(index.doc_id_col, "doc_id")
+    return (
+        corpus.join(matched.select("doc_id"), "doc_id", "left_semi")
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -276,3 +276,36 @@ def test_bm25_corrected_matches_hand_corrected_query(spark):
     )
     idx2 = build_index(spark, docs2, analyzer="punctuation", cache=False)
     assert correct_query_terms(idx2, "hask") == [("hask", "hash")]
+
+
+def test_more_like_this_and_facets(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.index import build_index
+    from searchengine_spark.query.morelike import (
+        facet_counts,
+        mlt_terms,
+        more_like_this,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra spark common common", "en"),
+            (2, "zebra spark words common", "en"),
+            (3, "zebra unrelated common", "de"),
+            (4, "totally different things common", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    # doc 1's most distinctive term is zebra (tf 3, df 3) over spark (df 2):
+    # selection is tf*idf ordered; 'common' (df 4) scores lowest idf
+    sel = mlt_terms(idx, "1", n_terms=2)
+    assert sel[0] == "zebra"
+    res = [r["doc_id"] for r in more_like_this(idx, "1", n_terms=2, k=3).collect()]
+    assert "1" not in res and "2" in res  # source excluded, near doc found
+    with _pytest.raises(ValueError, match="not in corpus"):
+        mlt_terms(idx, "999")
+
+    fc = {r["lang"]: r["n_docs"] for r in facet_counts(idx, "zebra", "lang").collect()}
+    assert fc == {"en": 2, "de": 1}
