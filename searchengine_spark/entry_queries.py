@@ -32,6 +32,7 @@ from .query import morelike as mlt
 from .query import snippets as snip
 from .textops import dedup as dd
 from .textops import bpe
+from .textops import chunking as chk
 from .textops import lm
 from .textops import pii
 from .textops import quality as q
@@ -1231,6 +1232,34 @@ SELECT t.doc_id,
        sum(p.n_pieces)::BIGINT AS n_bpe_pieces
 FROM tok t JOIN pieces p ON p.word = t.term
 GROUP BY t.doc_id
+"""
+
+
+_CHUNK_MAX, _CHUNK_OVERLAP = 12, 4
+
+
+def doc_chunks_q(spark, sf_dir):
+    """Sliding-window chunking over documents (textops/chunking.py): zero
+    shuffle, windows of 12 tokens stepping by 8. The oracle replays the
+    identical start-sequence + slice rule via generate_series."""
+    return chk.chunk_documents(
+        _docs_tokens(spark, sf_dir), _CHUNK_MAX, _CHUNK_OVERLAP
+    )
+
+
+def _doc_chunks_sql() -> str:
+    step = _CHUNK_MAX - _CHUNK_OVERLAP
+    return f"""
+WITH {TOK_CTES},
+starts AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {step})) AS s
+  FROM lists WHERE len(toks) > 0
+)
+SELECT doc_id,
+       (s / {step})::INT AS chunk_idx,
+       len(list_slice(toks, s + 1, s + {_CHUNK_MAX}))::BIGINT AS n_tokens,
+       array_to_string(list_slice(toks, s + 1, s + {_CHUNK_MAX}), ' ') AS chunk
+FROM starts
 """
 
 
@@ -2619,6 +2648,7 @@ QUERIES = {
     "pii_scrub": pii_scrub_q,
     "training_mix": training_mix_q,
     "lm_perplexity": lm_perplexity_q,
+    "doc_chunks": doc_chunks_q,
     "bpe_merges": bpe_merges_q,
     "bpe_counts": bpe_counts_q,
     "ann_cosine_top10": ann_cosine_top10,
@@ -2693,6 +2723,7 @@ ORACLES = {
     "pii_scrub": _pii_sql(),
     "training_mix": _training_mix_sql(),
     "lm_perplexity": _lm_perplexity_sql(),
+    "doc_chunks": _doc_chunks_sql(),
     "bpe_merges": _bpe_merges_sql(),
     "bpe_counts": _bpe_counts_sql(),
     "ann_cosine_top10": ANN_COSINE_SQL,

@@ -901,3 +901,36 @@ def test_new_ops_plans_never_nested_loop(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.textops.chunking import chunk_documents
+
+    rows = [
+        (1, [f"t{i}" for i in range(10)]),  # 10 tokens, max 8 ov 4 -> starts 0,4,8
+        (2, ["a", "b"]),                    # single short chunk
+        (3, []),                            # no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = {}
+    for r in chunk_documents(df, 8, 4).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens, r.chunk))
+    for v in out.values():
+        v.sort()
+    assert out[1] == [
+        (0, 8, "t0 t1 t2 t3 t4 t5 t6 t7"),
+        (1, 6, "t4 t5 t6 t7 t8 t9"),
+        (2, 2, "t8 t9"),
+    ]
+    assert out[2] == [(0, 2, "a b")]
+    assert 3 not in out
+    # zero overlap tiles exactly
+    tiles = [r.chunk for r in chunk_documents(df.where("doc_id = 1"), 5).collect()]
+    assert sorted(tiles) == ["t0 t1 t2 t3 t4", "t5 t6 t7 t8 t9"]
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, 4, 4)
+    # zero-shuffle plan
+    plan = chunk_documents(df, 8, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
