@@ -309,3 +309,70 @@ def test_more_like_this_and_facets(spark):
 
     fc = {r["lang"]: r["n_docs"] for r in facet_counts(idx, "zebra", "lang").collect()}
     assert fc == {"en": 2, "de": 1}
+
+
+def test_query_surface_randomized_differential(spark):
+    """Randomized corpus: fuzzy, prefix, and more-like-this term selection
+    must match brute-force python ground truth computed from the same
+    analyzed token streams (the search-surface analogue of the WAND
+    randomized differential test)."""
+    import math
+    import random
+
+    from searchengine_spark.index import build_index
+    from searchengine_spark.query.fuzzy import search_fuzzy, search_prefix
+    from searchengine_spark.query.morelike import mlt_terms
+
+    rng = random.Random(20260818)
+    vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(3, 6)))
+             for _ in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(spark, df, analyzer="punctuation", cache=False)
+
+    toks = {str(i): t.split() for i, t in rows}
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[:], i
+            for j, cb in enumerate(b, 1):
+                m[j] = min(prev[j] + 1, m[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return m[-1]
+
+    for probe in ("abc", "fed", "aaaa", vocab[0], vocab[7][:-1]):
+        want = {
+            (d, len({t for t in set(ts) if lev(t, probe) <= 1}))
+            for d, ts in toks.items()
+            if any(lev(t, probe) <= 1 for t in set(ts))
+        }
+        got = {tuple(r) for r in search_fuzzy(idx, probe).collect()}
+        assert got == want, f"fuzzy({probe})"
+
+    for prefix in ("a", "ab", "fe", "zz"):
+        want = {
+            (d, len({t for t in set(ts) if t.startswith(prefix)}))
+            for d, ts in toks.items()
+            if any(t.startswith(prefix) for t in set(ts))
+        }
+        got = {tuple(r) for r in search_prefix(idx, prefix).collect()}
+        assert got == want, f"prefix({prefix})"
+
+    n_docs = len(rows)
+    df_count: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df_count[t] = df_count.get(t, 0) + 1
+    for doc in ("0", "17", "63"):
+        tf: dict[str, int] = {}
+        for t in toks[doc]:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            ((round(c * math.log10(n_docs / df_count[t] + 1.0), 6), t)
+             for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        assert mlt_terms(idx, doc, 5) == [t for _, t in scored[:5]], f"mlt({doc})"
