@@ -113,6 +113,7 @@ def bpe_train(
     df: DataFrame,
     tokens_col: str = "tokens",
     n_merges: int = DEFAULT_N_MERGES,
+    driver_max_words: int = 200_000,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -120,8 +121,29 @@ def bpe_train(
     [(a, b, count)] in rank order; the frame is (word, freq,
     seg: array<string>) with all merges applied — the word -> pieces map
     :func:`bpe_token_counts` broadcasts. Stops early if pairs run out.
+
+    Adaptive execution (same pattern as connected_components' driver
+    union-find fast path): the corpus-scale work — the word-type
+    aggregate — is always distributed, but when the resulting type table
+    has at most ``driver_max_words`` rows it is collected and the merge
+    loop runs in pure python (identical semantics, pinned by the
+    differential test), avoiding ~6 fixed-overhead Spark jobs per round.
+    Real web vocabularies (10^5-10^6 types) sit near the threshold;
+    ``driver_max_words=0`` forces the distributed loop.
     """
-    seg = _char_seg(word_types(df, tokens_col)).localCheckpoint(eager=True)
+    wt = word_types(df, tokens_col)
+    if driver_max_words > 0:
+        head = wt.limit(driver_max_words + 1).collect()
+        if len(head) <= driver_max_words:
+            merges, segs = _py_bpe_train(
+                {r["word"]: int(r["freq"]) for r in head}, n_merges
+            )
+            seg_df = df.sparkSession.createDataFrame(
+                [(r["word"], int(r["freq"]), segs[r["word"]]) for r in head],
+                "word string, freq long, seg array<string>",
+            )
+            return merges, seg_df
+    seg = _char_seg(wt).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         best = (
@@ -137,6 +159,53 @@ def bpe_train(
         # localCheckpoint per round: iterative-loop lineage rule (CLAUDE.md)
         seg = _merge_round(seg, a, b).localCheckpoint(eager=True)
     return merges, seg
+
+
+def _py_bpe_train(
+    word_freqs: dict[str, int], n_merges: int
+) -> tuple[list[tuple[str, str, int]], dict[str, list[str]]]:
+    """Driver-side merge loop over a collected word-type table — exactly
+    the distributed loop's semantics (greedy left-to-right merges, argmax
+    tiebreak (cnt DESC, a, b); equivalence pinned by
+    tests/test_textops.py::test_bpe_driver_and_distributed_paths_agree).
+    Incremental pair-count maintenance: only words containing the merged
+    pair are re-counted each round."""
+    from collections import Counter
+
+    segs = {w: list(w) for w in word_freqs}
+    counts: Counter = Counter()
+    by_pair: dict[tuple[str, str], set[str]] = {}
+
+    def account(word: str, sign: int) -> None:
+        s, f = segs[word], word_freqs[word]
+        for pair in zip(s, s[1:]):
+            counts[pair] += sign * f
+            if sign > 0:
+                by_pair.setdefault(pair, set()).add(word)
+
+    for w in segs:
+        account(w, +1)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        live = [(c, p) for p, c in counts.items() if c > 0]
+        if not live:
+            break
+        # deterministic argmax: highest count, then smallest (a, b)
+        cnt, (a, b) = min(live, key=lambda x: (-x[0], x[1]))
+        merges.append((a, b, cnt))
+        for w in list(by_pair.get((a, b), ())):
+            account(w, -1)
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+            account(w, +1)
+    return merges, segs
 
 
 def bpe_token_counts(

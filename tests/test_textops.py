@@ -934,3 +934,25 @@ def test_chunk_documents_windows_and_edges(spark):
     # zero-shuffle plan
     plan = chunk_documents(df, 8, 4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bpe_driver_and_distributed_paths_agree(spark):
+    """The driver fast path (collected type table + python loop with
+    incremental pair counts) must produce EXACTLY the distributed loop's
+    merges and final segmentations."""
+    import random
+
+    from searchengine_spark.textops.bpe import bpe_train
+
+    random.seed(11)
+    docs = [
+        (i, ["".join(random.choice("abcd") for _ in range(random.randint(1, 6)))
+             for _ in range(random.randint(3, 10))])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    m_drv, s_drv = bpe_train(df, n_merges=10)                      # fast path
+    m_dist, s_dist = bpe_train(df, n_merges=10, driver_max_words=0)  # forced
+    assert m_drv == m_dist
+    assert ({(r.word, r.freq, tuple(r.seg)) for r in s_drv.collect()}
+            == {(r.word, r.freq, tuple(r.seg)) for r in s_dist.collect()})
