@@ -307,12 +307,22 @@ _SNIPPET_WINDOW = 4
 def ft_snippets(spark, sf_dir):
     """BM25 top-k with result snippets: a ±window token context around the
     first query-term hit in each top doc (query/snippets.py; O(k) work
-    after the top-k cut). Rank boundary cut at rounded score + doc_id
-    tie-break on both sides."""
+    after the top-k cut). The cut happens on the NUMERIC doc_id (the same
+    rounded-score + numeric tie-break as the oracle's BIGINT ordering —
+    search_snippets' internal cut orders doc_id as a string, which would
+    diverge on boundary ties)."""
     idx = _ft_index(spark, sf_dir)
-    out = snip.search_snippets(
-        idx, _SNIPPET_QUERY, k=_SNIPPET_K, window=_SNIPPET_WINDOW
+    top = (
+        _as_long_doc_id(
+            idx.search_bm25(_SNIPPET_QUERY, None).select(
+                "doc_id", F.round("score", 4).alias("score_r")
+            )
+        )
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(_SNIPPET_K)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "score_r")
     )
+    out = snip.snippets_for(idx, top, _SNIPPET_QUERY, window=_SNIPPET_WINDOW)
     return _as_long_doc_id(out)
 
 
@@ -1181,7 +1191,14 @@ pairs{k} AS (
   FROM lead{k} WHERE nxt IS NOT NULL GROUP BY 1, 2
 ),
 best{k} AS MATERIALIZED (
-  SELECT a, b, cnt FROM pairs{k} ORDER BY cnt DESC, a, b LIMIT 1
+  -- the sentinel ('','',0) wins only when pairs{k} is EMPTY (real counts
+  -- are >= 1); it matches no symbol, so an exhausted round is a no-op
+  -- instead of the CROSS JOIN emptying the working table (mirrors the
+  -- Spark loop's early break)
+  SELECT a, b, cnt FROM (
+    SELECT a, b, cnt FROM pairs{k}
+    UNION ALL SELECT '', '', 0::BIGINT
+  ) ORDER BY cnt DESC, a, b LIMIT 1
 ),
 offs{k} AS (
   SELECT l.word, l.freq, l.pos, l.sym, l.nxt, bb.a, bb.b,
@@ -1215,7 +1232,8 @@ r{k + 1} AS MATERIALIZED (
 def _bpe_merges_sql() -> str:
     n = _BPE_N_MERGES
     finals = "\nUNION ALL ".join(
-        f"SELECT {k + 1} AS rank, a, b, cnt FROM best{k}" for k in range(n)
+        f"SELECT {k + 1} AS rank, a, b, cnt FROM best{k} WHERE cnt > 0"
+        for k in range(n)
     )
     return f"WITH {TOK_CTES},\n{_bpe_round_ctes(n)}\n{finals}"
 

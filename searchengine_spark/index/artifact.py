@@ -634,6 +634,32 @@ class ArtifactIndex(Index):
             "doc_ord", "doc_id"
         )
 
+    def filter_deleted(self, df: DataFrame) -> DataFrame:
+        """doc_id-keyed delete filter for CORPUS-side frames
+        (full_scan_search, document_iterator). Unlike the base class's
+        plain anti-join, only FULLY-dead doc_ids are dropped: after
+        ``upsert_documents`` a tombstoned doc_id has a live replacement
+        ordinal, and that version must survive a corpus scan. Cost is
+        bounded by the tombstone set: docs_tbl is semi-join-pruned to the
+        tombstoned ids before the liveness check."""
+        if self.tombstones is None:
+            return df
+        t = self.tombstones
+        if "doc_ord" not in t.columns:
+            t = t.join(self.docs_tbl.select("doc_id", "doc_ord"), "doc_id")
+        cand = self.docs_tbl.join(
+            F.broadcast(t.select("doc_id").distinct()), "doc_id", "left_semi"
+        )
+        live_ids = (
+            cand.join(F.broadcast(t.select("doc_ord")), "doc_ord", "left_anti")
+            .select("doc_id")
+            .distinct()
+        )
+        dead_ids = (
+            t.select("doc_id").distinct().join(live_ids, "doc_id", "left_anti")
+        )
+        return df.join(F.broadcast(dead_ids), on="doc_id", how="left_anti")
+
     def filter_deleted_ords(self, df: DataFrame) -> DataFrame:
         """Ordinal-keyed twin of ``filter_deleted`` for frames that carry
         ``doc_ord`` instead of ``doc_id`` (the WAND scoring path, which
@@ -649,12 +675,15 @@ class ArtifactIndex(Index):
             F.broadcast(t.select("doc_ord")), on="doc_ord", how="left_anti"
         )
 
-    def _decode(self, blocks: DataFrame) -> DataFrame:
+    def _decode(self, blocks: DataFrame, filtered: bool = True) -> DataFrame:
         decoded = blocks.mapInPandas(
             _make_decoder(self.positional), schema=DECODED_SCHEMA
         )
-        # ordinal-space delete filter (see postings_for_terms note)
-        return self.filter_deleted_ords(decoded).join(
+        # ordinal-space delete filter (see postings_for_terms note);
+        # filtered=False gives the RAW decode (get_index_segment's dump)
+        if filtered:
+            decoded = self.filter_deleted_ords(decoded)
+        return decoded.join(
             self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord"
         ).select("doc_id", "term", "tf", "positions", "dl")
 
@@ -671,9 +700,12 @@ class ArtifactIndex(Index):
         ForTest.java:16-63``): materialize one segment as
         ``{"inverted_lists": {term: [doc_id, ...]}, "positions": {(term,
         doc_id): [pos, ...]}, "documents": {doc_id}}``. For small segments /
-        test fixtures only — this collects."""
+        test fixtures only — this collects. A RAW dump of the segment's
+        physical contents: tombstoned docs still appear (the reference's
+        dump reads segment files directly; deletes live in metadata until
+        merge) — consistent with the unfiltered ``documents`` set below."""
         seg_blocks = self.blocks.where(F.col("seg") == segment_id)
-        rows = self._decode(seg_blocks).collect()
+        rows = self._decode(seg_blocks, filtered=False).collect()
         inverted: dict = {}
         positions: dict = {}
         for r in rows:
@@ -760,22 +792,70 @@ def upsert_documents(
     *,
     source_desc: str = "upsert",
 ) -> "ArtifactIndex":
-    """Replace-or-insert documents by doc_id: tombstone any existing
-    versions of the incoming doc_ids (one docs-table join; ids not present
-    are plain inserts), then append the new versions as one segment. Two
-    snapshot commits — readers between them see a consistent delete-then-
-    add sequence, never both versions. Compaction later purges the old
-    postings physically; time travel to the pre-upsert snapshot still
-    reads the old versions (snapshot isolation).
+    """Replace-or-insert documents by doc_id in ONE atomic snapshot commit
+    (Iceberg MERGE semantics): the tombstones for any existing versions of
+    the incoming doc_ids AND the new segment land in the SAME snapshot, so
+    readers see either the old versions or the new ones — never both,
+    never neither. A crash before the commit leaves only orphaned
+    (uncommitted, reader-invisible) files that ``expire_snapshots``
+    removes; time travel to the pre-upsert snapshot still reads the old
+    versions. Compaction later purges the dead postings physically.
 
     The reference has no update path (delete + re-add by hand); this is
     the lifecycle completion over the same tombstone machinery as B9.
     """
     aidx = load_artifact(spark, path)
-    cfg = aidx.snapshot["config"]
-    ids = corpus.select(F.col(cfg["doc_id_col"]).alias("doc_id"))
-    aidx.delete_ids(ids)
-    return append_segment(spark, corpus, path, source_desc=source_desc)
+    prev = aidx.snapshot
+    cfg = dict(prev["config"])
+    ids = corpus.select(F.col(cfg["doc_id_col"]).alias("doc_id")).distinct()
+    matched = ids.join(
+        aidx.docs_tbl.select("doc_id", "doc_ord"), "doc_id"
+    ).persist()
+    n_dead = matched.count()
+    snap_id = prev["snapshot_id"] + 1
+    tombstones = list(prev.get("tombstones", []))
+    if n_dead:
+        rel = f"ts-{snap_id:06d}"
+        matched.write.mode("overwrite").parquet(
+            os.path.join(path, "tombstones", rel)
+        )
+        tombstones.append(rel)
+    seg = max(s["segment_id"] for s in prev["segments"]) + 1
+    t0 = time.time()
+    entry = _build_segment(
+        spark,
+        corpus,
+        path,
+        seg,
+        doc_id_col=cfg["doc_id_col"],
+        text_col=cfg["text_col"],
+        analyzer=cfg["analyzer"],
+        positional=cfg["positional"],
+        block_size=cfg["block_size"],
+        pack_partitions=None,
+        n_buckets=cfg.get("n_buckets", 0),
+    )
+    entry["build_sec"] = round(time.time() - t0, 3)
+    entry["lineage"] = {
+        "source": source_desc,
+        "filter": f"upsert ({n_dead} prior versions tombstoned)",
+    }
+    segments = list(prev["segments"]) + [entry]
+    cfg["n_segments"] = len(segments)
+    snap = dict(prev)
+    snap.update(
+        {
+            "snapshot_id": snap_id,
+            "parent_id": prev["snapshot_id"],
+            "created_unix": time.time(),
+            "config": cfg,
+            "segments": segments,
+            "tombstones": tombstones,
+        }
+    )
+    _commit_snapshot(path, snap)  # the single atomic flip
+    matched.unpersist()
+    return load_artifact(spark, path)
 
 
 def load_artifact(

@@ -129,6 +129,30 @@ def search_prefix(
     )
 
 
+def fuzzy_terms_multi(index, query_terms: list[str]) -> DataFrame:
+    """(qterm, term, df, cf): edit-distance-1 vocabulary matches for MANY
+    probe terms in ONE variant join — the vocabulary explodes once however
+    many terms are probed (a per-term loop would re-explode it per term)."""
+    spark = index.term_stats.sparkSession
+    qv = F.broadcast(
+        spark.createDataFrame(
+            [(t, v) for t in sorted(set(query_terms))
+             for v in _py_deletion_variants(t)],
+            "qterm string, variant string",
+        )
+    )
+    cand = (
+        index.term_stats.select(
+            "term", "df", "cf",
+            F.explode(deletion_variants_col(F.col("term"))).alias("variant"),
+        )
+        .join(qv, "variant")
+        .select("qterm", "term", "df", "cf")
+        .distinct()
+    )
+    return cand.where(F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
+
+
 def correct_query_terms(index, query: str) -> list[tuple[str, str]]:
     """[(analyzed term, corrected term)] — "did you mean" per query term.
 
@@ -136,22 +160,23 @@ def correct_query_terms(index, query: str) -> list[tuple[str, str]]:
     to the closest vocabulary term within edit distance 1 (tiebreak:
     highest document frequency, then lexicographic — the common
     spell-correction heuristic), or stay unchanged if nothing is within
-    distance 1. Driver-side work is O(|query|) fuzzy lookups, each a
-    deletion-variant equi-join (see fuzzy_terms).
+    distance 1. ALL unknown terms share one batched variant join
+    (fuzzy_terms_multi) plus one bounded stats lookup — the interactive
+    path costs two Spark jobs regardless of query length.
     """
-    out: list[tuple[str, str]] = []
-    for term in index.analyze_query(query):
-        stats = index.query_term_stats([term])
-        if stats.get(term, (0, 0))[0] > 0:
-            out.append((term, term))
-            continue
-        cand = fuzzy_terms(index, term).collect()
-        if not cand:
-            out.append((term, term))
-            continue
-        best = sorted(cand, key=lambda r: (-r["df"], r["term"]))[0]["term"]
-        out.append((term, best))
-    return out
+    terms = index.analyze_query(query)
+    if not terms:
+        return []
+    stats = index.query_term_stats(sorted(set(terms)))
+    unknown = sorted({t for t in terms if stats.get(t, (0, 0))[0] == 0})
+    best: dict[str, str] = {}
+    if unknown:
+        by_q: dict[str, list] = {}
+        for r in fuzzy_terms_multi(index, unknown).collect():
+            by_q.setdefault(r["qterm"], []).append(r)
+        for qt, cands in by_q.items():
+            best[qt] = sorted(cands, key=lambda r: (-r["df"], r["term"]))[0]["term"]
+    return [(t, best.get(t, t)) for t in terms]
 
 
 def search_bm25_corrected(index, query: str, k: int | None = None) -> DataFrame:

@@ -59,12 +59,25 @@ def search_snippets(
         .orderBy(F.desc("score_r"), F.asc("doc_id"))
         .limit(k)
     )
+    # NOTE: the boundary tie-break above orders doc_id as a STRING; callers
+    # with numeric ids who need an engine-independent numeric cut (the
+    # ft_snippets driver entry) should cut themselves and call snippets_for
+    return snippets_for(index, top, query, window)
+
+
+def snippets_for(
+    index, top: DataFrame, query: str, window: int = 5
+) -> DataFrame:
+    """Attach first_pos + snippet columns to a precomputed result frame
+    (``doc_id`` plus any carry-through columns). O(|top|) work."""
+    terms = index.analyze_query(query)
     hyd = index.hydrate(top)
     tp = make_term_positions_udf(index.analyzer)
+    carry = [c for c in top.columns if c != "doc_id"]
     # projection boundary: run the analyze UDF ONCE per row; both the
     # stream and first_pos derive from the materialized __tp column
     analyzed = hyd.select(
-        "doc_id", "score_r", tp(F.col(index.text_col)).alias("__tp")
+        "doc_id", *carry, tp(F.col(index.text_col)).alias("__tp")
     )
     term_arr = F.array(*[F.lit(t) for t in terms])
     first_pos = F.array_min(
@@ -79,14 +92,14 @@ def search_snippets(
         )
     )
     with_pos = analyzed.select(
-        "doc_id", "score_r", _stream(F.col("__tp")).alias("__stream"),
+        "doc_id", *carry, _stream(F.col("__tp")).alias("__stream"),
         first_pos.cast("int").alias("first_pos"),
     )
     start = F.greatest(F.col("first_pos") - window, F.lit(0))
     length = F.col("first_pos") + window - start + 1
     return with_pos.select(
         "doc_id",
-        "score_r",
+        *carry,
         "first_pos",
         F.array_join(
             F.transform(

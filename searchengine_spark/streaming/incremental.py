@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.artifact import append_segment, maybe_merge
+from ..index.artifact import append_segment, latest_snapshot, maybe_merge
 from ..textops.dedup import incremental_dedup, signature_store
 
 
@@ -117,22 +117,32 @@ def start_incremental_index(
     signatures. See the module docstring for the replay-determinism rules.
     """
 
+    # the stream must carry the artifact's configured id/text columns —
+    # the dedup path reads their NAMES from the artifact config rather
+    # than assuming doc_id/text (init_dedup_store must be seeded with the
+    # same columns)
+    cfg = (latest_snapshot(path) or {"config": {}})["config"]
+    id_col = cfg.get("doc_id_col", "doc_id")
+    text_col = cfg.get("text_col", "text")
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if dedup_store is not None:
             batch = batch_df.withColumn(
-                "__tokens", _dedup_tokens(F.col("text"))
+                "__tokens", _dedup_tokens(F.col(text_col))
             ).persist()
             statuses = incremental_dedup(
                 batch,
                 _read_store(spark, dedup_store, batch_id),
+                id_col=id_col,
+                text_col=text_col,
                 tokens_col="__tokens",
                 est_threshold=dedup_est_threshold,
             )
             novel = batch.join(
-                statuses.where(F.col("status") == "novel").select("doc_id"),
-                "doc_id",
+                statuses.where(F.col("status") == "novel").select(id_col),
+                id_col,
                 "left_semi",
             ).persist()
             if not novel.isEmpty():
@@ -146,8 +156,8 @@ def start_incremental_index(
             # always materialize the partition (possibly empty) so a
             # replayed batch and later reads see a consistent store
             signature_store(
-                novel, tokens_col="__tokens"
-            ).select("doc_id", "text_sha", "sig").write.mode(
+                novel, id_col=id_col, text_col=text_col, tokens_col="__tokens"
+            ).select(id_col, "text_sha", "sig").write.mode(
                 "overwrite"
             ).parquet(_store_partition(dedup_store, batch_id))
             novel.unpersist()

@@ -566,7 +566,12 @@ def incremental_dedup(
     of the signature parquet, prunable to colliding buckets); the
     estimator runs only on candidates. No all-pairs anywhere.
     """
-    ns = signature_store(new_df, id_col, text_col, tokens_col)
+    # the batch signature frame feeds ~8 subtrees of the result plan (both
+    # exact joins, both band joins, the estimator, the final spine);
+    # persist so the shingle+16-hash minhash aggregation runs once, not
+    # once per subtree (left persisted — the frame is micro-batch-sized
+    # and evicted LRU; callers may unpersist after materializing)
+    ns = signature_store(new_df, id_col, text_col, tokens_col).persist()
     seen = store.select(
         F.col(id_col).alias("__pid"),
         F.col("text_sha").alias("__psha"),
@@ -592,7 +597,7 @@ def incremental_dedup(
     # near candidates: band-key collisions vs store and vs smaller batch ids
     new_bands = band_keys(
         ns.where(F.col("sig").isNotNull()).select(id_col, "sig"), id_col
-    )
+    ).persist()
     store_bands = band_keys(
         seen.where(F.col("__psig").isNotNull()).select(
             F.col("__pid").alias(id_col), F.col("__psig").alias("sig")

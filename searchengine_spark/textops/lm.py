@@ -89,12 +89,22 @@ def lm_score(
     c12 = c1 = 0 — so scoring any corpus against any model is total."""
     bg = _bigram_instances(df, tokens_col, id_col)
     kv = float(k) * float(vocab_size)
-    scored = bg.join(model, ["w1", "w2"], "left").select(
-        F.col(id_col),
-        F.log(
-            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(k)))
-            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(kv))
-        ).alias("logp"),
+    # join the pair count on (w1, w2) and the FIRST-TOKEN total on w1
+    # separately: a bigram with a seen w1 but unseen (w1, w2) must keep
+    # c1(w1) in the denominator — joining the model only on (w1, w2) would
+    # zero BOTH counts and overestimate unseen continuations of frequent
+    # contexts (per-w1 conditionals would no longer sum to 1)
+    c1_tbl = model.select("w1", "c1").distinct()
+    scored = (
+        bg.join(model.select("w1", "w2", "c12"), ["w1", "w2"], "left")
+        .join(c1_tbl, "w1", "left")
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(k)))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(kv))
+            ).alias("logp"),
+        )
     )
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),

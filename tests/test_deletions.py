@@ -214,3 +214,48 @@ def test_upsert_replaces_and_inserts(spark, tmp_path):
     assert [r["doc_id"] for r in cidx.search_keyword("finalmarker").collect()] == ["3"]
     assert cidx.search_keyword("number3").count() == 0
     assert cidx.search_keyword("oldmarker").count() == 8
+
+
+def test_upsert_is_single_snapshot_and_corpus_scans_see_replacements(
+    spark, tmp_path
+):
+    """(a) One upsert = exactly ONE snapshot commit carrying BOTH the
+    tombstones and the new segment (atomic MERGE semantics). (b) The
+    doc_id-level corpus-scan filter (full_scan_search, document_iterator)
+    keeps a replaced doc's LIVE version — only fully-dead doc_ids drop."""
+    from searchengine_spark.index.artifact import (
+        build_artifact,
+        list_snapshots,
+        load_artifact,
+        upsert_documents,
+    )
+
+    path = str(tmp_path / "atomic")
+    base = spark.createDataFrame(
+        [(str(i), f"original number{i} oldmarker") for i in range(6)],
+        "doc_id string, text string",
+    )
+    build_artifact(spark, base, path)
+    n_before = len(list_snapshots(path))
+
+    newer = spark.createDataFrame(
+        [("2", "replacement newmarker text"), ("77", "brandnew newmarker")],
+        "doc_id string, text string",
+    )
+    upsert_documents(spark, newer, path)
+    assert len(list_snapshots(path)) == n_before + 1  # ONE commit
+    snap = load_artifact(spark, path).snapshot
+    assert snap["tombstones"], "tombstones missing from the upsert snapshot"
+    assert any(
+        "upsert" in s["lineage"].get("source", "") for s in snap["segments"]
+    )
+
+    # corpus-side scans: attach the post-upsert corpus; doc 2's live
+    # replacement must appear, a keyword-deleted doc must not
+    updated_corpus = base.where("doc_id <> '2'").unionByName(newer)
+    aidx = load_artifact(spark, path).attach_corpus(updated_corpus)
+    full = {r["doc_id"] for r in aidx.full_scan_search("newmarker").collect()}
+    assert full == {"2", "77"}
+    aidx.delete_documents("number3")
+    it_ids = {d for d, _ in aidx.document_iterator()}
+    assert "2" in it_ids and "77" in it_ids and "3" not in it_ids

@@ -956,3 +956,62 @@ def test_bpe_driver_and_distributed_paths_agree(spark):
     assert m_drv == m_dist
     assert ({(r.word, r.freq, tuple(r.seg)) for r in s_drv.collect()}
             == {(r.word, r.freq, tuple(r.seg)) for r in s_dist.collect()})
+
+
+def test_lm_score_seen_w1_unseen_pair_keeps_c1(spark):
+    """Regression: a bigram with a SEEN first token but unseen pair must be
+    scored with c1(w1) in the denominator — log(k / (c1 + k*V)) — not the
+    fully-unseen floor log(k / (k*V))."""
+    import math
+
+    from searchengine_spark.textops.lm import LM_K, bigram_lm, lm_score
+
+    train = spark.createDataFrame(
+        [(1, ["the", "cat", "sat"]), (2, ["the", "cat", "ran"])],
+        "doc_id long, tokens array<string>",
+    )
+    model, vocab = bigram_lm(train)  # c1("the") = 2, V = 4
+    target = spark.createDataFrame(
+        [(10, ["the", "zebra"])], "doc_id long, tokens array<string>"
+    )
+    out = lm_score(target, model, vocab).collect()[0]
+    want = math.log(LM_K / (2 + LM_K * vocab))
+    assert out.avg_logp == round(want, 6)
+
+
+def test_bpe_exhaustion_spark_matches_oracle_semantics(spark):
+    """Pair-exhausted corpus (merges run out before n_merges): Spark stops
+    early and keeps the last segmentation; the oracle's sentinel rounds are
+    no-ops — both must yield the same merges and counts (the driver-entry
+    edge the CROSS-JOIN-empties-the-table bug used to break)."""
+    import duckdb
+    import pandas as pd
+
+    import searchengine_spark.entry_queries as eq
+    from pyspark.sql import functions as F
+    from searchengine_spark.textops.bpe import bpe_token_counts, bpe_train
+
+    rows = [(1, "ab ab"), (2, "cd")]
+    tok = lambda c: F.filter(  # noqa: E731
+        F.split(F.lower(F.regexp_replace(c, "[,.;?!]", " ")), r"\s+"),
+        lambda x: x != "",
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", tok(F.col("text")).alias("tokens")
+    )
+    for forced in (200_000, 0):  # driver fast path AND distributed loop
+        merges, seg = bpe_train(df, n_merges=10, driver_max_words=forced)
+        assert merges == [("a", "b", 2), ("c", "d", 1)], forced
+        counts = sorted(
+            tuple(r) for r in bpe_token_counts(df, seg).collect()
+        )
+        assert counts == [(1, 2, 2), (2, 1, 1)], forced
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    assert sorted(con.sql(eq.ORACLES["bpe_merges"]).fetchall()) == [
+        (1, "a", "b", 2), (2, "c", "d", 1),
+    ]
+    assert sorted(con.sql(eq.ORACLES["bpe_counts"]).fetchall()) == [
+        (1, 2, 2), (2, 1, 1),
+    ]
