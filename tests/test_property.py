@@ -88,3 +88,58 @@ def test_stemmer_total_and_short_guard(word):
     assert isinstance(out, str)
     if len(word) <= 2:
         assert out == word  # k > k0+1 guard (PorterStemmer.java:429)
+
+
+# ---------------------------------------------------------------------------
+# session-4 operators: pure-python twins of the JVM expressions, so the
+# properties run hypothesis-fast without a SparkSession
+# ---------------------------------------------------------------------------
+
+_PII_RULES = None
+
+
+def _pii_py(text: str) -> str:
+    """Python twin of pii._scrub_steps' sequential replacement."""
+    global _PII_RULES
+    import re
+
+    from searchengine_spark.textops.pii import PII_PATTERNS
+
+    if _PII_RULES is None:
+        _PII_RULES = [(re.compile(p), r) for _, p, r in PII_PATTERNS]
+    for pat, repl in _PII_RULES:
+        text = pat.sub(repl, text)
+    return text
+
+
+@given(st.text(alphabet="abc0123456789.@-+ <EMAIL>", max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_pii_scrub_is_idempotent(text):
+    """Scrubbing twice == scrubbing once: replacement tokens must never
+    create new matches for any pattern."""
+    once = _pii_py(text)
+    assert _pii_py(once) == once
+
+
+@given(
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=3), max_size=30),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=7),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_rule_covers_every_token_exactly(tokens, max_tokens, overlap):
+    """The chunk-start rule (0, step, ... while start < n) covers every
+    token index at least once and chunk_idx enumerates starts densely —
+    the python replay of chunking.chunk_documents' sequence expression."""
+    if overlap >= max_tokens:
+        return
+    step = max_tokens - overlap
+    n = len(tokens)
+    starts = list(range(0, n, step))
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + max_tokens, n)))
+    assert covered == set(range(n))
+    # overlap bound: consecutive chunks share at most `overlap` positions
+    for a, b in zip(starts, starts[1:]):
+        assert b - a == step
