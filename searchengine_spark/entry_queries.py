@@ -2515,6 +2515,64 @@ def _wordbreak_cjk_sql() -> str:
     )
 
 
+_PPR_SEEDS = [0, 7, 42]
+
+
+def ppr_top20_q(spark, sf_dir):
+    """Personalized (seed-teleport) PageRank on the fixture graph, pinned
+    at 40 iterations (tol=0) like the global-PageRank twin; the oracle
+    unrolls the same x <- alpha*W'x + p recurrence with the teleport
+    vector inlined."""
+    from .fixtures import graph_edges_df
+    from .graph import personalized_pagerank
+
+    ranks = personalized_pagerank(
+        graph_edges_df(spark, n_nodes=200), _PPR_SEEDS,
+        num_iterations=40, tol=0.0,
+    )
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank_r"))
+        .orderBy(F.desc("rank_r"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _ppr_sql() -> str:
+    from .fixtures import graph_edges_pandas
+    from .graph.pagerank import ALPHA
+
+    pdf = graph_edges_pandas(n_nodes=200)
+    vals = ", ".join(
+        f"({int(s)},{int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    seeds = ", ".join(str(s) for s in sorted(set(_PPR_SEEDS)))
+    tmass = (1.0 - ALPHA) / len(set(_PPR_SEEDS))
+    tele = f"CASE WHEN node IN ({seeds}) THEN {tmass!r} ELSE 0.0 END"
+    ctes = [
+        f"edges(src, dst) AS MATERIALIZED (VALUES {vals})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "outdeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS od "
+        "FROM edges GROUP BY src)",
+        "w AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / o.od AS wt "
+        "FROM edges e JOIN outdeg o USING (src))",
+        f"pp0 AS MATERIALIZED (SELECT node, ({tele})::DOUBLE AS rank FROM nodes)",
+    ]
+    for k in range(1, 41):
+        ctes.append(
+            f"pp{k} AS MATERIALIZED (SELECT n.node, "
+            f"{ALPHA} * coalesce(s.inflow, 0.0) + ({tele.replace('node', 'n.node')}) AS rank "
+            f"FROM nodes n LEFT JOIN (SELECT w.dst AS node, sum(p.rank * w.wt) AS inflow "
+            f"FROM pp{k - 1} p JOIN w ON w.src = p.node GROUP BY w.dst) s "
+            f"ON s.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT node, round(rank, 6) AS rank_r "
+        "FROM pp40 ORDER BY round(rank, 6) DESC, node LIMIT 20"
+    )
+
+
 def pagerank_top20_q(spark, sf_dir):
     """R1/R2: PageRank over the deterministic synthetic link graph, pinned
     at exactly 40 power iterations (tol=0 disables early stop so the DuckDB
@@ -2691,6 +2749,7 @@ QUERIES = {
     "wordbreak_en": wordbreak_en_q,
     "wordbreak_cjk": wordbreak_cjk_q,
     "pagerank_top20": pagerank_top20_q,
+    "ppr_top20": ppr_top20_q,
     "combined_rank_top20": combined_rank_top20,
     # the two LSH variants are approximate-by-design but DETERMINISTIC
     # (seed-fixed hyperplanes), so their oracles replay the bucketing
@@ -2771,6 +2830,7 @@ ORACLES = {
     "wordbreak_en": _wordbreak_en_sql(),
     "wordbreak_cjk": _wordbreak_cjk_sql(),
     "pagerank_top20": _pagerank_sql(),
+    "ppr_top20": _ppr_sql(),
     "combined_rank_top20": _combined_rank_sql(),
     "tr_bm25_top10": _tr_bm25_sql(_TR_BM25_QUERY, 10),
     "tr_phrase_planted": _tr_phrase_sql(_TR_PHRASE),

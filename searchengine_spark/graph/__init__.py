@@ -1,3 +1,13 @@
-from .pagerank import combined_rank, compute_pagerank, read_edge_tsv
+from .pagerank import (
+    combined_rank,
+    compute_pagerank,
+    personalized_pagerank,
+    read_edge_tsv,
+)
 
-__all__ = ["compute_pagerank", "combined_rank", "read_edge_tsv"]
+__all__ = [
+    "compute_pagerank",
+    "personalized_pagerank",
+    "combined_rank",
+    "read_edge_tsv",
+]

@@ -162,3 +162,83 @@ def combined_rank(
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
     return out.limit(top_k) if top_k is not None else out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    num_iterations: int = 40,
+    nodes: DataFrame | None = None,
+    alpha: float = ALPHA,
+    tol: float = TOL,
+) -> DataFrame:
+    """Personalized (seed-teleport) PageRank: x <- alpha*W'x + p with the
+    teleport vector p uniform over ``seeds`` and zero elsewhere, x0 = p.
+    Ranks measure proximity to the seed set — the graph-curation variant
+    (seed-quality propagation a la Common Crawl / harmonic centrality
+    filtering) of the reference's global PageRank (R1), sharing its edge
+    weighting, per-iteration localCheckpoint, and early-stop semantics.
+
+    ``seeds`` is a small driver-side list (the personalization set);
+    deterministic for a fixed graph + seed set, replayed exactly by the
+    DuckDB oracle's unrolled iteration CTEs.
+    """
+    seed_set = sorted(set(seeds))
+    if not seed_set:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    tele_mass = (1.0 - alpha) / len(seed_set)
+    tele = F.when(F.col("node").isin(seed_set), F.lit(tele_mass)).otherwise(
+        F.lit(0.0)
+    )
+    edge_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if nodes is None:
+        nodes = edge_nodes
+    else:
+        nodes = nodes.select("node").unionByName(edge_nodes).distinct()
+    nodes = nodes.select("node").persist()
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    weighted = (
+        edges.join(outdeg, edges["src"] == outdeg["node"])
+        .select("src", "dst", (1.0 / F.col("outdeg")).alias("w"))
+        .persist()
+    )
+    weighted.count()
+
+    ranks = nodes.withColumn("rank", tele)
+    for _ in range(num_iterations):
+        contrib = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (alpha * F.coalesce(F.col("inflow"), F.lit(0.0)) + tele).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol > 0:
+            diff = (
+                new_ranks.withColumnRenamed("rank", "r2")
+                .join(ranks, "node")
+                .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            if diff is not None and diff < tol:
+                ranks = new_ranks
+                break
+        ranks = new_ranks
+    nodes.unpersist()
+    weighted.unpersist()
+    return ranks

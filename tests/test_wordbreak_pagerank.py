@@ -210,3 +210,44 @@ def test_combined_rank_non_identity_doc_node_mapping(spark, tiny_corpus):
     )
     out = combined_rank(idx, ranks, "elizabeth darcy", 5, pagerank_weight=1.0)
     assert out.collect()[0]["doc_id"] == boosted_doc
+
+
+def test_personalized_pagerank_matches_numpy_and_localizes(spark):
+    """PPR vs a dense numpy power iteration of x <- alpha*W'x + p; and the
+    qualitative seed-locality property: mass concentrates near the seeds
+    (seed ranks dominate a uniformly-random non-seed's)."""
+    import numpy as np
+
+    from searchengine_spark.fixtures import graph_edges_pandas
+    from searchengine_spark.graph import personalized_pagerank
+    from searchengine_spark.graph.pagerank import ALPHA
+
+    pdf = graph_edges_pandas(n_nodes=120)
+    edges = spark.createDataFrame(pdf)
+    seeds = [3, 11]
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            edges, seeds, num_iterations=30, tol=0.0
+        ).collect()
+    }
+
+    nodes = sorted(set(pdf["src"]) | set(pdf["dst"]))
+    ix = {n: i for i, n in enumerate(nodes)}
+    W = np.zeros((len(nodes), len(nodes)))
+    outdeg = pdf.groupby("src").size().to_dict()
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        W[ix[d], ix[s]] += 1.0 / outdeg[s]
+    p = np.zeros(len(nodes))
+    for s in seeds:
+        p[ix[s]] = (1.0 - ALPHA) / len(seeds)
+    x = p.copy()
+    for _ in range(30):
+        x = ALPHA * (W @ x) + p
+    for n in nodes:
+        assert got[n] == pytest.approx(x[ix[n]], rel=0, abs=1e-9), n
+    # locality: every seed outranks the median non-seed by a wide margin
+    non_seed = sorted(v for k, v in got.items() if k not in seeds)
+    med = non_seed[len(non_seed) // 2]
+    for s in seeds:
+        assert got[s] > 10 * max(med, 1e-12)
