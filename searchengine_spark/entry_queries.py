@@ -2515,6 +2515,65 @@ def _wordbreak_cjk_sql() -> str:
     )
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_funnel_q(spark, sf_dir):
+    """Ordered funnel over events (timeseries.funnel): ids reaching each
+    step via strictly-increasing timestamps, greedy-earliest frontier."""
+    from .timeseries import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, _FUNNEL_STEPS)
+
+
+def _funnel_sql() -> str:
+    ctes = []
+    for k, step in enumerate(_FUNNEL_STEPS, start=1):
+        if k == 1:
+            ctes.append(
+                f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{step}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{k} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN s{k - 1} p USING (user_id) "
+                f"WHERE e.event_type = '{step}' AND e.ts > p.t "
+                f"GROUP BY e.user_id)"
+            )
+    finals = "\nUNION ALL ".join(
+        f"SELECT {k} AS step, '{step}' AS step_name, count(*)::BIGINT AS n_users FROM s{k}"
+        for k, step in enumerate(_FUNNEL_STEPS, start=1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+def corpus_profile_q(spark, sf_dir):
+    """Per-source data profiling: doc counts, language diversity, length
+    stats — one combinable aggregate (the exact small-scale form; at
+    10^12 rows swap countDistinct for approx_count_distinct/HLL)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars_r"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+CORPUS_PROFILE_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       round(avg(n_chars), 4) AS avg_chars_r,
+       max(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY source
+"""
+
+
 _PPR_SEEDS = [0, 7, 42]
 
 
@@ -2737,6 +2796,8 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_asof": events_asof,
     "events_range_join": events_range_join,
+    "events_funnel": events_funnel_q,
+    "corpus_profile": corpus_profile_q,
     "repetition_signals": repetition_signals_q,
     "contamination_overlap": contamination_overlap_q,
     "semantic_dedup": semantic_dedup_q,
@@ -2815,6 +2876,8 @@ ORACLES = {
     # ASOF JOIN / IEJoin range join — independent algorithms, same predicate
     "events_asof": EVENTS_ASOF_SQL,
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
+    "events_funnel": _funnel_sql(),
+    "corpus_profile": CORPUS_PROFILE_SQL,
     "repetition_signals": REPETITION_SQL,
     "contamination_overlap": CONTAMINATION_SQL,
     "semantic_dedup": _semantic_dedup_sql(),

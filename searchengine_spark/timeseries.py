@@ -161,3 +161,58 @@ def interval_join(
         & (fx[ts_col] < iv[hi_col])
     )
     return fx.join(iv, cond).drop("__bucket")
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many distinct ids performed step 1,
+    then step 2 STRICTLY after it, then step 3 strictly after that, ...
+
+    Returns (step: int 1-based, step_name, n_users). Semantics: an id
+    reaches step k iff there exist events e1..ek with types steps[0..k-1]
+    and strictly increasing timestamps, taking at each stage the EARLIEST
+    qualifying event (greedy-earliest is optimal for this reachability:
+    any valid chain implies the greedy one exists). Same-timestamp events
+    never chain (strict >, engine-independent — no tie-order dependence).
+
+    Scale shape: stage k filters events to that step's type BEFORE its
+    user-keyed equi-join against the stage-(k-1) frontier (a per-id
+    single-row frame), so each stage shuffles only that type's slice;
+    K stages = K filtered shuffles, no windows over whole histories, no
+    per-id event collection.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    counts = []
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(id_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    for k, step in enumerate(steps):
+        if k > 0:
+            nxt = events.where(F.col(type_col) == step).select(
+                F.col(id_col), F.col(ts_col).alias("__ts")
+            )
+            frontier = (
+                nxt.join(frontier, id_col)
+                .where(F.col("__ts") > F.col("__t"))
+                .groupBy(id_col)
+                .agg(F.min("__ts").alias("__t"))
+            )
+        counts.append(
+            frontier.agg(
+                F.lit(k + 1).alias("step"),
+                F.lit(step).alias("step_name"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -273,3 +273,32 @@ def test_contamination_overlap_duplicate_doc_rows(spark):
     got = {r["doc_id"]: (r["n_shingles"], r["n_hit"], r["overlap_r"])
            for r in contamination_overlap(train, ev).collect()}
     assert got[0] == (3, 2, round(2 / 3, 6))
+
+
+def test_funnel_strict_ordering_and_greedy_chain(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from searchengine_spark.timeseries import funnel
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: full ordered chain
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click BEFORE view -> stops at view
+        (2, t(5), "click"), (2, t(6), "view"),
+        # u3: same-timestamp view+click never chains (strict >)
+        (3, t(1), "view"), (3, t(1), "click"),
+        # u4: greedy-earliest still finds the valid chain: the first click
+        # precedes the view, but a later one follows it
+        (4, t(2), "click"), (4, t(3), "view"), (4, t(4), "click"),
+        (4, t(5), "purchase"),
+        # u5: purchase before click -> reaches click only
+        (5, t(1), "view"), (5, t(2), "purchase"), (5, t(3), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step_name: r.n_users for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 5, "click": 3, "purchase": 2}  # u1,u4 full; u5 to click
+    with _pytest.raises(ValueError, match="at least one"):
+        funnel(ev, [])
