@@ -2549,6 +2549,35 @@ def _funnel_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+_RET_PERIOD_DAYS, _RET_MAX = 7, 8
+
+
+def events_retention_q(spark, sf_dir):
+    """Cohort retention over events (timeseries.retention_cohorts):
+    fixed-width epoch periods; the oracle mirrors the truncating
+    second-resolution period arithmetic (floor(epoch)::BIGINT //)."""
+    from .timeseries import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, _RET_PERIOD_DAYS, _RET_MAX)
+
+
+def _retention_sql() -> str:
+    sec = _RET_PERIOD_DAYS * 86400
+    return f"""
+WITH acts AS (
+  SELECT DISTINCT user_id, floor(epoch(ts))::BIGINT // {sec} AS p FROM events
+),
+first AS (SELECT user_id, min(p) AS cohort FROM acts GROUP BY user_id)
+SELECT f.cohort AS cohort_period,
+       (a.p - f.cohort) AS period_offset,
+       count(*)::BIGINT AS n_active
+FROM acts a JOIN first f USING (user_id)
+WHERE a.p - f.cohort <= {_RET_MAX}
+GROUP BY 1, 2
+"""
+
+
 def corpus_profile_q(spark, sf_dir):
     """Per-source data profiling: doc counts, language diversity, length
     stats — one combinable aggregate (the exact small-scale form; at
@@ -2797,6 +2826,7 @@ QUERIES = {
     "events_asof": events_asof,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel_q,
+    "events_retention": events_retention_q,
     "corpus_profile": corpus_profile_q,
     "repetition_signals": repetition_signals_q,
     "contamination_overlap": contamination_overlap_q,
@@ -2877,6 +2907,7 @@ ORACLES = {
     "events_asof": EVENTS_ASOF_SQL,
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "events_funnel": _funnel_sql(),
+    "events_retention": _retention_sql(),
     "corpus_profile": CORPUS_PROFILE_SQL,
     "repetition_signals": REPETITION_SQL,
     "contamination_overlap": CONTAMINATION_SQL,

@@ -216,3 +216,40 @@ def funnel(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_days: int = 7,
+    max_periods: int = 8,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: group ids by the period of their FIRST event,
+    then count how many are active again k periods later.
+
+    Returns (cohort_period: long epoch-period of first activity,
+    period_offset: long 0..max_periods, n_active: long). Two shuffles:
+    one id-keyed aggregate for first-activity, one (cohort, offset)
+    count over the distinct (id, period) activity pairs — both
+    map-side-combinable; the activity frame is distinct'd per (id,
+    period) so heavy users don't inflate counts. Periods are fixed-width
+    windows of ``period_days`` from the unix epoch (deterministic,
+    timezone-free, SQL-replayable — NOT calendar weeks).
+    """
+    sec = period_days * 86400
+    period = (F.unix_timestamp(F.col(ts_col)) / sec).cast("long")
+    acts = events.select(
+        F.col(id_col).alias("__id"), period.alias("__p")
+    ).distinct()
+    first = acts.groupBy("__id").agg(F.min("__p").alias("__cohort"))
+    return (
+        acts.join(first, "__id")
+        .withColumn("__off", F.col("__p") - F.col("__cohort"))
+        .where(F.col("__off") <= max_periods)
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            F.col("__off").alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )

@@ -302,3 +302,35 @@ def test_funnel_strict_ordering_and_greedy_chain(spark):
     assert out == {"view": 5, "click": 3, "purchase": 2}  # u1,u4 full; u5 to click
     with _pytest.raises(ValueError, match="at least one"):
         funnel(ev, [])
+
+
+def test_retention_cohorts_hand_computed(spark):
+    import datetime as dt
+
+    from searchengine_spark.timeseries import retention_cohorts
+
+    day = lambda d: dt.datetime(1970, 1, 1) + dt.timedelta(days=d)  # noqa: E731
+    rows = [
+        # u1: first in period 0, active periods 0,1,3
+        (1, day(2)), (1, day(3)), (1, day(8)), (1, day(22)),
+        # u2: first in period 1, active periods 1,2
+        (2, day(9)), (2, day(15)),
+        # u3: only period 0
+        (3, day(0)),
+        # u4: first period 0, next activity beyond max_periods -> clipped
+        (4, day(1)), (4, day(200)),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, "x") for u, t in rows], "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r.cohort_period, r.period_offset): r.n_active
+        for r in retention_cohorts(ev, period_days=7, max_periods=8).collect()
+    }
+    assert out == {
+        (0, 0): 3,  # u1, u3, u4
+        (0, 1): 1,  # u1
+        (0, 3): 1,  # u1
+        (1, 0): 1,  # u2
+        (1, 1): 1,  # u2
+    }
