@@ -2626,36 +2626,13 @@ def ppr_top20_q(spark, sf_dir):
 
 
 def _ppr_sql() -> str:
-    from .fixtures import graph_edges_pandas
     from .graph.pagerank import ALPHA
 
-    pdf = graph_edges_pandas(n_nodes=200)
-    vals = ", ".join(
-        f"({int(s)},{int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
-    )
     seeds = ", ".join(str(s) for s in sorted(set(_PPR_SEEDS)))
     tmass = (1.0 - ALPHA) / len(set(_PPR_SEEDS))
     tele = f"CASE WHEN node IN ({seeds}) THEN {tmass!r} ELSE 0.0 END"
-    ctes = [
-        f"edges(src, dst) AS MATERIALIZED (VALUES {vals})",
-        "nodes AS MATERIALIZED (SELECT src AS node FROM edges "
-        "UNION SELECT dst FROM edges)",
-        "outdeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS od "
-        "FROM edges GROUP BY src)",
-        "w AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / o.od AS wt "
-        "FROM edges e JOIN outdeg o USING (src))",
-        f"pp0 AS MATERIALIZED (SELECT node, ({tele})::DOUBLE AS rank FROM nodes)",
-    ]
-    for k in range(1, 41):
-        ctes.append(
-            f"pp{k} AS MATERIALIZED (SELECT n.node, "
-            f"{ALPHA} * coalesce(s.inflow, 0.0) + ({tele.replace('node', 'n.node')}) AS rank "
-            f"FROM nodes n LEFT JOIN (SELECT w.dst AS node, sum(p.rank * w.wt) AS inflow "
-            f"FROM pp{k - 1} p JOIN w ON w.src = p.node GROUP BY w.dst) s "
-            f"ON s.node = n.node)"
-        )
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + _power_iteration_ctes("pp", tele, tele, 40)
         + "\nSELECT node, round(rank, 6) AS rank_r "
         "FROM pp40 ORDER BY round(rank, 6) DESC, node LIMIT 20"
     )
@@ -2683,13 +2660,17 @@ def pagerank_top20_q(spark, sf_dir):
 _PAGERANK_ITERS = 40
 
 
-def _pagerank_ctes() -> str:
-    """CTE fragment computing the fixture graph's PageRank into ``pr40``:
-    edge list inlined as VALUES, 40 unrolled iteration CTEs of
-    x <- alpha*A*x + beta (recursive CTEs dedupe rows, so unrolling is the
-    faithful encoding). Shared by the pagerank and combined-rank oracles."""
+def _power_iteration_ctes(
+    prefix: str, init_expr: str, add_expr: str, iters: int
+) -> str:
+    """CTE fragment computing x <- alpha*W'x + add over the fixture graph
+    into ``{prefix}{iters}``: edge list inlined as VALUES, iterations
+    UNROLLED (recursive CTEs dedupe rows, so unrolling is the faithful
+    encoding). ``init_expr``/``add_expr`` are SQL over a ``node`` column —
+    the global-PageRank twin passes (1.0, beta), the personalized twin its
+    teleport CASE. Shared by the pagerank / combined-rank / ppr oracles."""
     from .fixtures import graph_edges_pandas
-    from .graph.pagerank import ALPHA, BETA
+    from .graph.pagerank import ALPHA
 
     pdf = graph_edges_pandas(n_nodes=200)
     vals = ", ".join(
@@ -2706,15 +2687,22 @@ def _pagerank_ctes() -> str:
         "FROM edges GROUP BY src)",
         "w AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / o.od AS wt "
         "FROM edges e JOIN outdeg o USING (src))",
-        "pr0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS rank FROM nodes)",
+        f"{prefix}0 AS MATERIALIZED (SELECT node, ({init_expr})::DOUBLE AS rank FROM nodes)",
     ]
-    for k in range(1, _PAGERANK_ITERS + 1):
+    for k in range(1, iters + 1):
+        add_k = add_expr.replace("node", "n.node")
         ctes.append(
-            f"pr{k} AS MATERIALIZED (SELECT n.node, {ALPHA} * coalesce(s.inflow, 0.0) + {BETA} AS rank "
+            f"{prefix}{k} AS MATERIALIZED (SELECT n.node, {ALPHA} * coalesce(s.inflow, 0.0) + ({add_k}) AS rank "
             f"FROM nodes n LEFT JOIN (SELECT w.dst AS node, sum(p.rank * w.wt) AS inflow "
-            f"FROM pr{k - 1} p JOIN w ON w.src = p.node GROUP BY w.dst) s USING (node))"
+            f"FROM {prefix}{k - 1} p JOIN w ON w.src = p.node GROUP BY w.dst) s ON s.node = n.node)"
         )
     return ",\n".join(ctes)
+
+
+def _pagerank_ctes() -> str:
+    from .graph.pagerank import BETA
+
+    return _power_iteration_ctes("pr", "1.0", str(BETA), _PAGERANK_ITERS)
 
 
 def _pagerank_sql() -> str:

@@ -39,37 +39,24 @@ def read_edge_tsv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def compute_pagerank(
+def _iterate_ranks(
     edges: DataFrame,
-    num_iterations: int = 100,
-    nodes: DataFrame | None = None,
-    alpha: float = ALPHA,
-    beta: float = BETA,
-    tol: float = TOL,
+    nodes: DataFrame,
+    init_col,
+    additive_col,
+    num_iterations: int,
+    alpha: float,
+    tol: float,
 ) -> DataFrame:
-    """Returns (node, rank). Deterministic given the same edges.
+    """Shared power-iteration core: x <- alpha * W'x + additive, x0 = init.
 
-    The L1 convergence test runs EVERY iteration, matching the reference's
-    per-iteration check (``IcsSearchEngine.java:118-134``) — a graph that
-    converges at iteration k stops at exactly k, never overshooting. Each
-    iteration is localCheckpoint'ed (lineage truncation for the iterative
-    plan) and the diff is one small aggregate over the node table — cheap
-    relative to the edge join the iteration already pays. With ``tol <= 0``
-    (fixed-iteration mode, e.g. the driver's 40-iteration oracle twins) the
-    diff can never fire, so the join+aggregate+collect is skipped entirely
-    — only the localCheckpoint (the load-bearing lineage truncation) runs."""
-    edge_nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    if nodes is None:
-        nodes = edge_nodes
-    else:
-        # the caller's frame AUGMENTS the edge-derived universe (isolated
-        # vertices); replacing it would silently drop every connected
-        # node's inflow
-        nodes = nodes.select("node").unionByName(edge_nodes).distinct()
+    ``nodes`` is the FULL node universe (caller-resolved); ``init_col`` /
+    ``additive_col`` are Column expressions over ``node``. Everything
+    load-bearing lives here once: outdeg weighting, per-iteration
+    localCheckpoint (lineage truncation — OOM-critical, CLAUDE.md), the
+    per-iteration L1 early stop (skipped entirely when tol <= 0), and the
+    persist/unpersist lifecycle.
+    """
     nodes = nodes.select("node").persist()
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
@@ -83,8 +70,8 @@ def compute_pagerank(
     )
     weighted.count()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0))  # x0 = 1.0, NOT 1/N (:110)
-    for it in range(num_iterations):
+    ranks = nodes.withColumn("rank", init_col)
+    for _ in range(num_iterations):
         contrib = (
             weighted.join(ranks, weighted["src"] == ranks["node"])
             .select("dst", (F.col("rank") * F.col("w")).alias("c"))
@@ -95,9 +82,10 @@ def compute_pagerank(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
-                (alpha * F.coalesce(F.col("inflow"), F.lit(0.0)) + beta).alias(
-                    "rank"
-                ),
+                (
+                    alpha * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + additive_col
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
@@ -115,6 +103,85 @@ def compute_pagerank(
     nodes.unpersist()
     weighted.unpersist()
     return ranks
+
+
+def _node_universe(edges: DataFrame, nodes: DataFrame | None) -> DataFrame:
+    edge_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if nodes is None:
+        return edge_nodes
+    # the caller's frame AUGMENTS the edge-derived universe (isolated
+    # vertices); replacing it would silently drop every connected node's
+    # inflow
+    return nodes.select("node").unionByName(edge_nodes).distinct()
+
+
+def compute_pagerank(
+    edges: DataFrame,
+    num_iterations: int = 100,
+    nodes: DataFrame | None = None,
+    alpha: float = ALPHA,
+    beta: float = BETA,
+    tol: float = TOL,
+) -> DataFrame:
+    """Returns (node, rank). Deterministic given the same edges.
+
+    The L1 convergence test runs EVERY iteration, matching the reference's
+    per-iteration check (``IcsSearchEngine.java:118-134``) — a graph that
+    converges at iteration k stops at exactly k, never overshooting. With
+    ``tol <= 0`` (fixed-iteration mode, e.g. the driver's 40-iteration
+    oracle twins) the diff check is skipped entirely. Iteration machinery
+    lives in the shared ``_iterate_ranks`` core.
+    """
+    return _iterate_ranks(
+        edges,
+        _node_universe(edges, nodes),
+        F.lit(1.0),  # x0 = 1.0, NOT 1/N (:110)
+        F.lit(beta),
+        num_iterations,
+        alpha,
+        tol,
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    num_iterations: int = 40,
+    nodes: DataFrame | None = None,
+    alpha: float = ALPHA,
+    tol: float = TOL,
+) -> DataFrame:
+    """Personalized (seed-teleport) PageRank: x <- alpha*W'x + p with the
+    teleport vector p uniform over ``seeds`` and zero elsewhere, x0 = p.
+    Ranks measure proximity to the seed set — the graph-curation variant
+    (seed-quality propagation a la Common Crawl / harmonic centrality
+    filtering) of the reference's global PageRank (R1), sharing its
+    iteration core (``_iterate_ranks``).
+
+    ``seeds`` is a small driver-side list (the personalization set); seed
+    ids are UNIONED into the node universe, so a seed absent from the
+    edge list still carries its teleport share (isolated-seed mass is
+    never silently dropped). Deterministic for a fixed graph + seed set,
+    replayed exactly by the DuckDB oracle's unrolled iteration CTEs.
+    """
+    seed_set = sorted(set(seeds))
+    if not seed_set:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    tele_mass = (1.0 - alpha) / len(seed_set)
+    tele = F.when(F.col("node").isin(seed_set), F.lit(tele_mass)).otherwise(
+        F.lit(0.0)
+    )
+    seed_df = edges.sparkSession.createDataFrame(
+        [(s,) for s in seed_set], edges.select(F.col("src").alias("node")).schema
+    )
+    universe = _node_universe(edges, nodes).unionByName(seed_df).distinct()
+    return _iterate_ranks(
+        edges, universe, tele, tele, num_iterations, alpha, tol
+    )
 
 
 def pagerank_scores(ranks: DataFrame) -> DataFrame:
@@ -162,83 +229,3 @@ def combined_rank(
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
     return out.limit(top_k) if top_k is not None else out
-
-
-def personalized_pagerank(
-    edges: DataFrame,
-    seeds: list,
-    num_iterations: int = 40,
-    nodes: DataFrame | None = None,
-    alpha: float = ALPHA,
-    tol: float = TOL,
-) -> DataFrame:
-    """Personalized (seed-teleport) PageRank: x <- alpha*W'x + p with the
-    teleport vector p uniform over ``seeds`` and zero elsewhere, x0 = p.
-    Ranks measure proximity to the seed set — the graph-curation variant
-    (seed-quality propagation a la Common Crawl / harmonic centrality
-    filtering) of the reference's global PageRank (R1), sharing its edge
-    weighting, per-iteration localCheckpoint, and early-stop semantics.
-
-    ``seeds`` is a small driver-side list (the personalization set);
-    deterministic for a fixed graph + seed set, replayed exactly by the
-    DuckDB oracle's unrolled iteration CTEs.
-    """
-    seed_set = sorted(set(seeds))
-    if not seed_set:
-        raise ValueError("personalized_pagerank needs a non-empty seed set")
-    tele_mass = (1.0 - alpha) / len(seed_set)
-    tele = F.when(F.col("node").isin(seed_set), F.lit(tele_mass)).otherwise(
-        F.lit(0.0)
-    )
-    edge_nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    if nodes is None:
-        nodes = edge_nodes
-    else:
-        nodes = nodes.select("node").unionByName(edge_nodes).distinct()
-    nodes = nodes.select("node").persist()
-    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
-    weighted = (
-        edges.join(outdeg, edges["src"] == outdeg["node"])
-        .select("src", "dst", (1.0 / F.col("outdeg")).alias("w"))
-        .persist()
-    )
-    weighted.count()
-
-    ranks = nodes.withColumn("rank", tele)
-    for _ in range(num_iterations):
-        contrib = (
-            weighted.join(ranks, weighted["src"] == ranks["node"])
-            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("inflow"))
-        )
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (alpha * F.coalesce(F.col("inflow"), F.lit(0.0)) + tele).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        if tol > 0:
-            diff = (
-                new_ranks.withColumnRenamed("rank", "r2")
-                .join(ranks, "node")
-                .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))).alias("d"))
-                .collect()[0]["d"]
-            )
-            if diff is not None and diff < tol:
-                ranks = new_ranks
-                break
-        ranks = new_ranks
-    nodes.unpersist()
-    weighted.unpersist()
-    return ranks

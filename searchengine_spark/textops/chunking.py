@@ -22,6 +22,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def chunk_starts(n_tokens: int, max_tokens: int, overlap: int) -> list[int]:
+    """The chunk-start rule as a pure function: 0, step, 2*step, ... for
+    every start < n_tokens (step = max_tokens - overlap). This IS the
+    semantics of chunk_documents' F.sequence(0, size-1, step) expression
+    (Spark's sequence is end-inclusive, so it enumerates exactly the
+    starts < size); the equivalence is pinned by the unit test's exact
+    window outputs and hypothesis properties run against this function."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    return list(range(0, n_tokens, step))
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int,

@@ -122,24 +122,28 @@ def test_pii_scrub_is_idempotent(text):
 
 
 @given(
-    st.lists(st.text(alphabet="ab", min_size=1, max_size=3), max_size=30),
-    st.integers(min_value=1, max_value=8),
-    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=15),
 )
-@settings(max_examples=200, deadline=None)
-def test_chunk_rule_covers_every_token_exactly(tokens, max_tokens, overlap):
-    """The chunk-start rule (0, step, ... while start < n) covers every
-    token index at least once and chunk_idx enumerates starts densely —
-    the python replay of chunking.chunk_documents' sequence expression."""
+@settings(max_examples=300, deadline=None)
+def test_chunk_rule_covers_every_token_exactly(n, max_tokens, overlap):
+    """chunking.chunk_starts (the module's OWN start rule, shared with the
+    Spark expression) covers every token index, steps uniformly, and
+    rejects invalid overlap."""
+    from searchengine_spark.textops.chunking import chunk_starts
+
     if overlap >= max_tokens:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            chunk_starts(n, max_tokens, overlap)
         return
+    starts = chunk_starts(n, max_tokens, overlap)
     step = max_tokens - overlap
-    n = len(tokens)
-    starts = list(range(0, n, step))
     covered = set()
     for s in starts:
         covered.update(range(s, min(s + max_tokens, n)))
     assert covered == set(range(n))
-    # overlap bound: consecutive chunks share at most `overlap` positions
-    for a, b in zip(starts, starts[1:]):
-        assert b - a == step
+    assert all(b - a == step for a, b in zip(starts, starts[1:]))
+    assert (n == 0) == (starts == [])

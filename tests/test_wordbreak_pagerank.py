@@ -251,3 +251,22 @@ def test_personalized_pagerank_matches_numpy_and_localizes(spark):
     med = non_seed[len(non_seed) // 2]
     for s in seeds:
         assert got[s] > 10 * max(med, 1e-12)
+
+
+def test_personalized_pagerank_isolated_seed_keeps_mass(spark):
+    """A seed absent from the edge list still appears in the result with
+    its full teleport share (no silently-vanishing personalization mass),
+    and total teleport injected per iteration is exactly (1 - alpha)."""
+    from searchengine_spark.graph import personalized_pagerank
+    from searchengine_spark.graph.pagerank import ALPHA
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            edges, [1, 999], num_iterations=5, tol=0.0
+        ).collect()
+    }
+    share = (1.0 - ALPHA) / 2
+    assert got[999] == pytest.approx(share)  # isolated: teleport only
+    assert 1 in got and got[1] >= share
