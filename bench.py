@@ -152,6 +152,10 @@ def main() -> None:
         "dedup_incremental",
         "lm_perplexity",
         "bpe_merges",
+        "doc_chunks",
+        "events_funnel",
+        "events_retention",
+        "ppr_top20",
     ):
         extras_times[name], _ = timed(
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()

@@ -39,6 +39,37 @@ def read_edge_tsv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _numpy_iterate(
+    edge_rows, node_ids, init, add, num_iterations, alpha, tol
+):
+    """Driver-side twin of the distributed loop: same recurrence, same
+    per-iteration L1 early-stop cadence, numpy float64 accumulation.
+    Used below the driver_max_nodes/edges thresholds (the adaptive
+    fast-path pattern shared with connected_components and bpe_train)."""
+    import numpy as np
+
+    ix = {n: i for i, n in enumerate(node_ids)}
+    outdeg: dict = {}
+    for s, _ in edge_rows:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    si = np.array([ix[s] for s, _ in edge_rows], dtype=np.int64)
+    di = np.array([ix[d] for _, d in edge_rows], dtype=np.int64)
+    w = np.array([1.0 / outdeg[s] for s, _ in edge_rows])
+    x = init.copy()
+    for _ in range(num_iterations):
+        inflow = np.zeros(len(node_ids))
+        np.add.at(inflow, di, x[si] * w)
+        new = alpha * inflow + add
+        if tol > 0 and np.abs(new - x).sum() < tol:
+            x = new
+            break
+        x = new
+    return x
+
+
+_DRIVER_MAX_GRAPH = 200_000  # nodes+edges bound for the driver fast path
+
+
 def _iterate_ranks(
     edges: DataFrame,
     nodes: DataFrame,
@@ -47,6 +78,8 @@ def _iterate_ranks(
     num_iterations: int,
     alpha: float,
     tol: float,
+    init_add_py=None,
+    driver_max_graph: int = _DRIVER_MAX_GRAPH,
 ) -> DataFrame:
     """Shared power-iteration core: x <- alpha * W'x + additive, x0 = init.
 
@@ -56,7 +89,34 @@ def _iterate_ranks(
     localCheckpoint (lineage truncation — OOM-critical, CLAUDE.md), the
     per-iteration L1 early stop (skipped entirely when tol <= 0), and the
     persist/unpersist lifecycle.
+
+    Adaptive execution: when the caller supplies ``init_add_py`` — a
+    python fn node_id -> (init, additive) mirroring the Columns — and the
+    graph fits under ``driver_max_graph`` nodes+edges, the loop runs
+    driver-side in numpy (40 distributed rounds on a small graph are pure
+    fixed job overhead). ``driver_max_graph=0`` forces the distributed
+    loop; path equivalence is pinned by the numpy-oracle tests.
     """
+    if init_add_py is not None and driver_max_graph > 0:
+        head = nodes.select("node").limit(driver_max_graph + 1).collect()
+        if len(head) <= driver_max_graph:
+            edge_head = edges.select("src", "dst").limit(
+                driver_max_graph + 1
+            ).collect()
+            if len(head) + len(edge_head) <= driver_max_graph:
+                import numpy as np
+
+                node_ids = sorted(r["node"] for r in head)
+                init = np.array([init_add_py(n)[0] for n in node_ids])
+                add = np.array([init_add_py(n)[1] for n in node_ids])
+                x = _numpy_iterate(
+                    [(r["src"], r["dst"]) for r in edge_head],
+                    node_ids, init, add, num_iterations, alpha, tol,
+                )
+                return edges.sparkSession.createDataFrame(
+                    [(n, float(v)) for n, v in zip(node_ids, x)],
+                    nodes.select("node").schema.add("rank", "double"),
+                )
     nodes = nodes.select("node").persist()
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
@@ -126,6 +186,7 @@ def compute_pagerank(
     alpha: float = ALPHA,
     beta: float = BETA,
     tol: float = TOL,
+    driver_max_graph: int = _DRIVER_MAX_GRAPH,
 ) -> DataFrame:
     """Returns (node, rank). Deterministic given the same edges.
 
@@ -144,6 +205,8 @@ def compute_pagerank(
         num_iterations,
         alpha,
         tol,
+        init_add_py=lambda n: (1.0, beta),
+        driver_max_graph=driver_max_graph,
     )
 
 
@@ -154,6 +217,7 @@ def personalized_pagerank(
     nodes: DataFrame | None = None,
     alpha: float = ALPHA,
     tol: float = TOL,
+    driver_max_graph: int = _DRIVER_MAX_GRAPH,
 ) -> DataFrame:
     """Personalized (seed-teleport) PageRank: x <- alpha*W'x + p with the
     teleport vector p uniform over ``seeds`` and zero elsewhere, x0 = p.
@@ -179,8 +243,15 @@ def personalized_pagerank(
         [(s,) for s in seed_set], edges.select(F.col("src").alias("node")).schema
     )
     universe = _node_universe(edges, nodes).unionByName(seed_df).distinct()
+    seed_lookup = set(seed_set)
+
+    def _py(n):
+        m = tele_mass if n in seed_lookup else 0.0
+        return (m, m)
+
     return _iterate_ranks(
-        edges, universe, tele, tele, num_iterations, alpha, tol
+        edges, universe, tele, tele, num_iterations, alpha, tol,
+        init_add_py=_py, driver_max_graph=driver_max_graph,
     )
 
 

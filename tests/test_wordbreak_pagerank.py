@@ -270,3 +270,28 @@ def test_personalized_pagerank_isolated_seed_keeps_mass(spark):
     share = (1.0 - ALPHA) / 2
     assert got[999] == pytest.approx(share)  # isolated: teleport only
     assert 1 in got and got[1] >= share
+
+
+def test_pagerank_driver_and_distributed_paths_agree(spark):
+    """The numpy driver fast path and the distributed loop must agree to
+    float tolerance for BOTH global and personalized PageRank (including
+    early-stop cadence with tol enabled)."""
+    from searchengine_spark.fixtures import graph_edges_df
+    from searchengine_spark.graph import compute_pagerank, personalized_pagerank
+
+    edges = graph_edges_df(spark, n_nodes=80)
+    for tol in (0.0, 1e-5):
+        drv = {r["node"]: r["rank"] for r in
+               compute_pagerank(edges, 25, tol=tol).collect()}
+        dist = {r["node"]: r["rank"] for r in
+                compute_pagerank(edges, 25, tol=tol, driver_max_graph=0).collect()}
+        assert drv.keys() == dist.keys()
+        for n in drv:
+            assert drv[n] == pytest.approx(dist[n], rel=0, abs=1e-9), (tol, n)
+    drv = {r["node"]: r["rank"] for r in
+           personalized_pagerank(edges, [1, 5], 25, tol=0.0).collect()}
+    dist = {r["node"]: r["rank"] for r in
+            personalized_pagerank(edges, [1, 5], 25, tol=0.0,
+                                  driver_max_graph=0).collect()}
+    for n in drv:
+        assert drv[n] == pytest.approx(dist[n], rel=0, abs=1e-9), n
