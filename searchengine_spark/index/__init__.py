@@ -7,7 +7,7 @@ def __getattr__(name):
     if name in {
         "ArtifactIndex", "build_artifact", "load_artifact", "compact",
         "append_segment", "upsert_documents", "latest_snapshot", "subcompact", "maybe_merge",
-        "expire_snapshots", "read_snapshot",
+        "expire_snapshots", "read_snapshot", "describe_artifact",
     }:
         from . import artifact
 
@@ -19,5 +19,5 @@ __all__ = [
     "Index", "build_index", "build_postings", "make_term_positions_udf",
     "ArtifactIndex", "build_artifact", "load_artifact", "compact",
     "append_segment", "upsert_documents", "latest_snapshot", "subcompact", "maybe_merge",
-    "expire_snapshots", "read_snapshot",
+    "expire_snapshots", "read_snapshot", "describe_artifact",
 ]

@@ -1282,3 +1282,46 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
         },
     )
     return load_artifact(spark, out_path)
+
+
+def describe_artifact(path: str) -> dict:
+    """Ops-tooling summary of an artifact from its snapshot METADATA alone
+    — no Spark session, no data scan (the per-segment metrics were
+    recorded at build/append/merge time; the Iceberg-manifest-summary
+    role). Returns totals plus per-segment rows and the snapshot/tombstone
+    lineage a dashboard or capacity planner wants."""
+    snap = latest_snapshot(path)
+    if snap is None:
+        raise FileNotFoundError(f"no artifact at {path}")
+    segs = snap["segments"]
+    seg_rows = [
+        {
+            "segment_id": s["segment_id"],
+            "n_docs": s["n_docs"],
+            "n_terms": s["n_terms"],
+            "n_postings": s["n_postings"],
+            "n_blocks": s["n_blocks"],
+            "bytes": s["bytes"],
+            "n_partitions": len(s.get("partitions", [])),
+            "source": s.get("lineage", {}).get("source", ""),
+            "build_sec": s.get("build_sec"),
+        }
+        for s in segs
+    ]
+    total_postings = sum(s["n_postings"] for s in segs)
+    total_bytes = sum(s["bytes"] for s in segs)
+    return {
+        "path": path,
+        "snapshot_id": snap["snapshot_id"],
+        "n_snapshots": len(list_snapshots(path)),
+        "n_segments": len(segs),
+        "n_docs": sum(s["n_docs"] for s in segs),
+        "n_postings": total_postings,
+        "bytes": total_bytes,
+        "bytes_per_posting": round(total_bytes / total_postings, 3)
+        if total_postings
+        else None,
+        "n_tombstone_files": len(snap.get("tombstones", [])),
+        "config": dict(snap["config"]),
+        "segments": seg_rows,
+    }

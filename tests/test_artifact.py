@@ -984,3 +984,35 @@ def test_segment_by_column(spark, corpus, lidx, tmp_path):
     l = [(r["doc_id"], round(r["score"], 10)) for r in lidx.search_bm25(q, 10).collect()]
     a = [(r["doc_id"], round(r["score"], 10)) for r in aidx.search_bm25(q, 10).collect()]
     assert l == a
+
+
+def test_describe_artifact_metadata_only(spark, corpus, tmp_path):
+    """describe_artifact summarizes from snapshot metadata alone (no Spark
+    arg at all) and tracks appends/deletes."""
+    from searchengine_spark.index.artifact import (
+        append_segment,
+        build_artifact,
+        describe_artifact,
+        load_artifact,
+    )
+
+    path = str(tmp_path / "desc")
+    a = corpus.where("conv_id < 'conv-00000008'").select("doc_id", "text")
+    b = corpus.where("conv_id >= 'conv-00000008'").select("doc_id", "text")
+    build_artifact(spark, a, path)
+    append_segment(spark, b, path, stream_batch_id=1)
+    load_artifact(spark, path).delete_documents("zqmarkeralpha")
+
+    d = describe_artifact(path)
+    assert d["n_segments"] == 2
+    assert d["n_docs"] == corpus.count()
+    assert d["n_postings"] > 0 and d["bytes"] > 0
+    assert 0 < d["bytes_per_posting"] < 100
+    assert d["n_tombstone_files"] == 1
+    assert d["n_snapshots"] == 3  # build, append, delete
+    assert len(d["segments"]) == 2
+    assert all(r["n_partitions"] >= 1 for r in d["segments"])
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        describe_artifact(str(tmp_path / "nope"))
