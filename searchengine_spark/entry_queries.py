@@ -27,9 +27,12 @@ from . import BM25_K1, BM25_B
 from .analysis.stopwords import STOP_WORDS
 from .analysis.tokenizers import punctuation_tokenize
 from .index import build_index
+from .query import boolexpr as bx
 from .query import fuzzy as fz
+from .query import hybrid as hy
 from .query import morelike as mlt
 from .query import snippets as snip
+from .textops import collocations as clc
 from .textops import dedup as dd
 from .textops import bpe
 from .textops import chunking as chk
@@ -602,7 +605,15 @@ WHERE term IN ({tlist})
 """
 
 
-def _bm25_sql(query: str, k: int) -> str:
+def _bm25_sql(query: str, k: int, doc_pred: str | None = None) -> str:
+    """BM25 top-k twin; ``doc_pred`` (a SQL predicate over documents
+    columns) replays the metadata-filtered variant — IDF/avgdl stay
+    corpus-global on both sides."""
+    flt = (
+        f"WHERE p.doc_id IN (SELECT doc_id FROM documents WHERE {doc_pred})"
+        if doc_pred
+        else ""
+    )
     return f"""
 WITH {TOK_CTES},
 qw AS (
@@ -621,6 +632,7 @@ scored AS (
   JOIN qw ON qw.term = p.term
   JOIN doclen d ON d.doc_id = p.doc_id
   CROSS JOIN corpus c
+  {flt}
   GROUP BY p.doc_id
 )
 SELECT doc_id, round(score, 4) AS score_r
@@ -2769,6 +2781,204 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT 20
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# boolean query trees / proximity / filtered BM25 / hybrid RRF / collocations
+# ---------------------------------------------------------------------------
+
+_BOOL_QUERY = "(spark OR vector) AND NOT merge"
+
+
+def ft_boolexpr(spark, sf_dir):
+    """Boolean query tree with nesting and NOT (query/boolexpr.py) — the
+    compositional extension of the reference's flat AND/OR (Q2/Q3). The
+    oracle folds the SAME analyzed AST into EXISTS-subquery SQL evaluated
+    over every document, so grounding (docs with no query term can't
+    match) is checked, not assumed."""
+    idx = _ft_index(spark, sf_dir)
+    return _as_long_doc_id(idx.search_boolean(_BOOL_QUERY))
+
+
+def _boolexpr_sql(query: str) -> str:
+    tree = bx.analyze_tree(bx.parse(query), punctuation_tokenize)
+    cond = bx.fold(
+        tree,
+        lambda t: (
+            "EXISTS (SELECT 1 FROM postings p "
+            f"WHERE p.doc_id = d.doc_id AND p.term = '{t}')"
+        ),
+        lambda ks: "(" + " AND ".join(ks) + ")",
+        lambda ks: "(" + " OR ".join(ks) + ")",
+        lambda k: f"(NOT {k})",
+    )
+    return f"""
+WITH {TOK_CTES}
+SELECT doc_id FROM (SELECT DISTINCT doc_id FROM documents) d
+WHERE {cond}
+"""
+
+
+_NEAR_QUERY = "merge join"
+_NEAR_WINDOW = 2
+
+
+def ft_near(spark, sf_dir):
+    """Unordered proximity (NEAR) search: all query terms within a
+    ``window``-token span (query/proximity.py). Window 2 sits strictly
+    between phrase (adjacent) and AND (anywhere) selectivity."""
+    idx = _ft_index(spark, sf_dir)
+    return _as_long_doc_id(idx.search_near(_NEAR_QUERY, _NEAR_WINDOW))
+
+
+def _near_sql(query: str, window: int) -> str:
+    terms = sorted(set(punctuation_tokenize(query)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    clauses = "\n  AND ".join(
+        f"EXISTS (SELECT 1 FROM tok b{i} WHERE b{i}.doc_id = a.doc_id "
+        f"AND b{i}.term = '{t}' AND b{i}.pos BETWEEN a.pos AND a.pos + {window})"
+        for i, t in enumerate(terms)
+    )
+    # exact by the same argument as the Spark plan: the min position of any
+    # satisfying assignment is itself an occurrence of some query term, so
+    # quantifying window starts over query-term occurrences loses nothing
+    return f"""
+WITH {TOK_CTES}
+SELECT DISTINCT a.doc_id FROM tok a
+WHERE a.term IN ({tlist})
+  AND {clauses}
+"""
+
+
+_BM25F_PRED_SQL = "lang = 'en' AND n_chars >= 200"
+
+
+def ft_bm25_filtered(spark, sf_dir):
+    """Metadata-filtered BM25: the allowed set comes from a documents
+    metadata scan (filter pushes down to the parquet read) and semi-joins
+    the postings BEFORE the scoring shuffle (query/ranked.py); IDF/avgdl
+    stay corpus-global on both sides."""
+    idx = _ft_index(spark, sf_dir)
+    allowed = _docs(spark, sf_dir).where(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    )
+    res = idx.search_bm25_filtered(_FT_QUERIES["bm25"], allowed, None)
+    return (
+        _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_HYBRID_DEPTH = 50
+
+
+def hybrid_rrf_top10(spark, sf_dir):
+    """Hybrid retrieval: RRF fusion of BM25 (text) and brute-force cosine
+    (embedding) rankings (query/hybrid.py). Both depth cuts and both rank
+    assignments use 4dp-rounded scores + doc_id tie-breaks, so the oracle
+    replays the whole fusion exactly; contributions fold in sorted
+    list-name order (2-term IEEE adds are commutative, so SQL's unordered
+    sum is bit-identical)."""
+    idx = _ft_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
+    res = hy.hybrid_search(
+        idx, emb, _FT_QUERIES["bm25"], qv, k=10, depth=_HYBRID_DEPTH
+    )
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("rrf", 8).alias("rrf_r"),
+    )
+
+
+def _hybrid_sql() -> str:
+    c = hy.RRF_C
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM {_qterms_values_sql(_FT_QUERIES["bm25"])}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+bscored AS (
+  SELECT p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+bmcut AS (SELECT doc_id, score FROM bscored
+          ORDER BY round(score, 4) DESC, doc_id LIMIT {_HYBRID_DEPTH}),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rnk
+        FROM bmcut),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
+ascored AS (
+  SELECT e.vec_id AS doc_id,
+         list_sum(list_transform(list_zip(e.embedding, qv.q),
+                                 x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(qv.q, x -> x::DOUBLE * x::DOUBLE))))
+           AS score
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> {_ANN_QUERY_ID}
+),
+anncut AS (SELECT doc_id, score FROM ascored
+           ORDER BY round(score, 4) DESC, doc_id LIMIT {_HYBRID_DEPTH}),
+annr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rnk
+         FROM anncut),
+u AS (
+  SELECT doc_id, 1.0::DOUBLE / ({c} + rnk) AS contrib FROM bmr
+  UNION ALL
+  SELECT doc_id, 1.0::DOUBLE / ({c} + rnk) AS contrib FROM annr
+)
+SELECT doc_id, round(sum(contrib), 8) AS rrf_r
+FROM u GROUP BY doc_id
+ORDER BY sum(contrib) DESC, doc_id LIMIT 10
+"""
+
+
+_COLLOC_MIN_COUNT = 5
+
+
+def colloc_top20(spark, sf_dir):
+    """Top-20 adjacent-bigram collocations by PMI with a min-count floor
+    (textops/collocations.py) — corpus co-occurrence analysis the
+    reference's term-stats surface (Q8) lacks."""
+    return clc.pmi_collocations(
+        _docs_tokens(spark, sf_dir), min_count=_COLLOC_MIN_COUNT, top_n=20
+    )
+
+
+def _colloc_sql() -> str:
+    return f"""
+WITH {TOK_CTES},
+bg AS (
+  SELECT a.term AS w1, b.term AS w2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+uni AS (SELECT term AS w, count(*)::BIGINT AS cw FROM tok GROUP BY 1),
+tot AS (SELECT (SELECT sum(c12) FROM c12)::DOUBLE AS t2,
+               (SELECT sum(cw) FROM uni)::DOUBLE AS t1)
+SELECT c12.w1, c12.w2, c12.c12 AS pair_count,
+       round(ln((c12.c12 / t.t2) / ((u1.cw / t.t1) * (u2.cw / t.t1))), 6)
+         AS pmi_r
+FROM c12
+JOIN uni u1 ON u1.w = c12.w1
+JOIN uni u2 ON u2.w = c12.w2
+CROSS JOIN tot t
+WHERE c12.c12 >= {_COLLOC_MIN_COUNT}
+ORDER BY pmi_r DESC, w1, w2 LIMIT 20
+"""
+
+
 QUERIES = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
@@ -2780,8 +2990,13 @@ QUERIES = {
     "ft_facets": ft_facets,
     "ft_and": ft_and,
     "ft_or": ft_or,
+    "ft_boolexpr": ft_boolexpr,
+    "ft_near": ft_near,
     "ft_phrase": ft_phrase,
     "ft_bm25_top20": ft_bm25_top20,
+    "ft_bm25_filtered": ft_bm25_filtered,
+    "hybrid_rrf_top10": hybrid_rrf_top10,
+    "colloc_top20": colloc_top20,
     "ft_bm25_wand": ft_bm25_wand,
     "ft_bm25_batch": ft_bm25_batch,
     "ft_delete_search": ft_delete_search,
@@ -2859,8 +3074,13 @@ ORACLES = {
     "ft_facets": FT_FACETS_SQL,
     "ft_and": _and_sql(_FT_QUERIES["and"]),
     "ft_or": _or_sql(_FT_QUERIES["or"]),
+    "ft_boolexpr": _boolexpr_sql(_BOOL_QUERY),
+    "ft_near": _near_sql(_NEAR_QUERY, _NEAR_WINDOW),
     "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),
     "ft_bm25_top20": _bm25_sql(_FT_QUERIES["bm25"], 20),
+    "ft_bm25_filtered": _bm25_sql(_FT_QUERIES["bm25"], 20, _BM25F_PRED_SQL),
+    "hybrid_rrf_top10": _hybrid_sql(),
+    "colloc_top20": _colloc_sql(),
     "ft_bm25_wand": _bm25_sql(_FT_QUERIES["bm25"], 20),
     "ft_bm25_batch": _bm25_batch_sql(_FT_BATCH_QUERIES, 20),
     "ft_delete_search": _delete_search_sql(),

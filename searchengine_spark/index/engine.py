@@ -304,6 +304,20 @@ class Index:
 
         return search_or(self, keywords)
 
+    def search_boolean(self, query: str, universe: DataFrame | None = None) -> DataFrame:
+        """Boolean query tree (AND/OR/NOT + parens) — see query/boolexpr.py."""
+        from ..query.boolexpr import search_boolean
+
+        return search_boolean(self, query, universe)
+
+    def search_near(self, query: str, window: int) -> DataFrame:
+        """Unordered proximity search — see query/proximity.py."""
+        if not self.positional:
+            raise ValueError("proximity search requires a positional index")
+        from ..query.proximity import search_near
+
+        return search_near(self, query, window)
+
     def search_phrase(self, phrase: str) -> DataFrame:
         if not self.positional:
             # reference parity: phrase search without positions throws
@@ -317,6 +331,15 @@ class Index:
         from ..query.ranked import search_bm25
 
         return search_bm25(self, query, k)
+
+    def search_bm25_filtered(
+        self, query: str, allowed: DataFrame, k: int | None = None
+    ) -> DataFrame:
+        """BM25 restricted to a doc_id frame (metadata-filtered search);
+        the filter semi-joins postings BEFORE the scoring shuffle."""
+        from ..query.ranked import search_bm25
+
+        return search_bm25(self, query, k, allowed=allowed)
 
     def search_tfidf(self, query: str, k: int | None = None) -> DataFrame:
         from ..query.ranked import search_tfidf

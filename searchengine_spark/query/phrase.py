@@ -31,11 +31,10 @@ from pyspark.sql import functions as F
 _TWO_PHASE_MIN_DF = 65536
 
 
-def search_phrase(index, phrase) -> DataFrame:
-    terms = index.analyze_query(phrase)
-    if not terms:
-        return index.spark.createDataFrame([], "doc_id string")
-    uniq = sorted(set(terms))
+def position_maps(index, uniq: list[str]) -> DataFrame:
+    """(doc_id, posmap: map<term, array<int>>) for docs containing EVERY
+    term in ``uniq`` — the shared phase-1/phase-2 front of the positional
+    operators (phrase, proximity)."""
     post = index.postings_for_terms(uniq)
     # two-phase only when the term postings are big enough that shuffling
     # non-candidate position arrays dominates the second scan (same
@@ -59,7 +58,7 @@ def search_phrase(index, phrase) -> DataFrame:
     # count equals the distinct-term count for exact duplicates (instances
     # with *different* positions for a term fail the size filter — the
     # ambiguous-data case is excluded deterministically, not crashed on)
-    per_doc = (
+    return (
         post.groupBy("doc_id")
         .agg(
             F.array_distinct(
@@ -69,6 +68,14 @@ def search_phrase(index, phrase) -> DataFrame:
         .where(F.size("entries") == len(uniq))
         .select("doc_id", F.map_from_entries("entries").alias("posmap"))
     )
+
+
+def search_phrase(index, phrase) -> DataFrame:
+    terms = index.analyze_query(phrase)
+    if not terms:
+        return index.spark.createDataFrame([], "doc_id string")
+    uniq = sorted(set(terms))
+    per_doc = position_maps(index, uniq)
     if len(terms) == 1:
         return per_doc.select("doc_id")
     # cand = positions p of terms[0] s.t. terms[j] occurs at p+j for all j<=i

@@ -69,7 +69,14 @@ def tfidf_idf(n_docs: int, df: int) -> float:
     return math.log10(n_docs / df + 1.0)
 
 
-def search_bm25(index, query, k: int | None = None) -> DataFrame:
+def search_bm25(
+    index, query, k: int | None = None, allowed: DataFrame | None = None
+) -> DataFrame:
+    """BM25 ranking; ``allowed`` (a doc_id frame, e.g. a filtered corpus
+    metadata scan) restricts scoring to those docs. The semi-join lands on
+    the postings BEFORE the per-doc shuffle, so filtered-out docs' postings
+    never shuffle; IDF / avgdl stay corpus-global (standard filtered-search
+    semantics — the filter narrows candidates, not the collection stats)."""
     weights = _query_weights(index, query, bm25_idf)
     if not weights or k == 0:
         return _empty_scores(index)
@@ -85,9 +92,11 @@ def search_bm25(index, query, k: int | None = None) -> DataFrame:
     # few, so collect_list here is O(|q|) per doc. array_distinct drops the
     # identical twin partials a doc_id duplicated across segments would
     # contribute (identity for normal corpora — no bit-identity impact).
+    post = index.postings_for_terms([t for t, _, _ in weights], positional=False)
+    if allowed is not None:
+        post = post.join(allowed.select("doc_id"), "doc_id", "left_semi")
     scored = (
-        index.postings_for_terms([t for t, _, _ in weights], positional=False)
-        .join(F.broadcast(qdf), "term")
+        post.join(F.broadcast(qdf), "term")
         .select("doc_id", F.struct("term", partial.alias("partial")).alias("p"))
         .groupBy("doc_id")
         .agg(

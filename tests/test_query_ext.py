@@ -1,0 +1,330 @@
+"""Round-3 query-surface extensions: boolean query trees (NOT/parens),
+unordered proximity search, metadata-filtered BM25, hybrid RRF fusion,
+and PMI collocations — hand-computed semantics + backend parity."""
+
+import math
+
+import pytest
+
+from searchengine_spark.index import build_index
+from searchengine_spark.query import boolexpr as bx
+
+
+# ---------------------------------------------------------------------------
+# boolexpr: parser / analysis / grounding (pure driver-side)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_precedence_not_and_or():
+    # NOT binds tighter than AND, AND tighter than OR
+    assert bx.parse("a OR b AND NOT c") == (
+        "or",
+        [("term", "a"), ("and", [("term", "b"), ("not", ("term", "c"))])],
+    )
+    assert bx.parse("(a OR b) AND c") == (
+        "and",
+        [("or", [("term", "a"), ("term", "b")]), ("term", "c")],
+    )
+    assert bx.parse("NOT NOT a") == ("not", ("not", ("term", "a")))
+
+
+def test_parse_implicit_and():
+    assert bx.parse("a b") == bx.parse("a AND b")
+    assert bx.parse("a NOT b") == bx.parse("a AND NOT b")
+    assert bx.parse("a (b OR c)") == bx.parse("a AND (b OR c)")
+
+
+def test_parse_keywords_uppercase_only_and_errors():
+    # Lucene convention: operators are UPPERCASE; lowercase and/or/not are
+    # plain terms (implicit-AND adjacency), so stop-wordy natural queries
+    # like "the of and" parse instead of erroring
+    assert bx.parse("a and b") == (
+        "and",
+        [("term", "a"), ("term", "and"), ("term", "b")],
+    )
+    assert bx.parse("the of and") == (
+        "and",
+        [("term", "the"), ("term", "of"), ("term", "and")],
+    )
+    for bad in ["a AND", "(a OR b", "a )", "AND a", "", "NOT"]:
+        with pytest.raises(bx.BoolQuerySyntaxError):
+            bx.parse(bad)
+
+
+def test_analyze_tree_drop_and_multi_token_semantics():
+    def fake_analyze(tok):
+        # 'the' is a stop word; 'multi-word' analyzes to two tokens
+        return {"the": [], "multiword": ["multi", "word"]}.get(tok, [tok])
+
+    # dropped leaf absorbs in AND and OR
+    assert bx.analyze_tree(bx.parse("a AND the"), fake_analyze) == ("term", "a")
+    assert bx.analyze_tree(bx.parse("a OR the"), fake_analyze) == ("term", "a")
+    # NOT(drop) drops, and its parent absorbs
+    assert bx.analyze_tree(bx.parse("a AND NOT the"), fake_analyze) == ("term", "a")
+    # whole tree dropped
+    assert bx.analyze_tree(bx.parse("the"), fake_analyze) is None
+    # multi-token leaf -> implicit AND of sorted unique tokens
+    assert bx.analyze_tree(bx.parse("multiword"), fake_analyze) == (
+        "and",
+        [("term", "multi"), ("term", "word")],
+    )
+
+
+def test_is_grounded():
+    ident = lambda t: [t]  # noqa: E731
+    for q, grounded in [
+        ("a", True),
+        ("NOT a", False),
+        ("a AND NOT b", True),
+        ("a OR NOT b", False),
+        ("(a OR b) AND NOT (c OR d)", True),
+        ("NOT (a AND b)", False),
+        ("NOT NOT a", True),
+    ]:
+        tree = bx.analyze_tree(bx.parse(q), ident)
+        assert bx.is_grounded(tree) == grounded, q
+
+
+# ---------------------------------------------------------------------------
+# search_boolean / search_near / filtered BM25 over a tiny index
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def qx_index(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha delta"),
+            (3, "beta delta"),
+            (4, "gamma gamma alpha"),
+            (5, "delta epsilon"),
+            (6, "zeta filler words"),
+        ],
+        "doc_id long, text string",
+    ).selectExpr("cast(doc_id as string) doc_id", "text")
+    return build_index(spark, docs, analyzer="punctuation", cache=False)
+
+
+def _ids(df):
+    return sorted(int(r["doc_id"]) for r in df.collect())
+
+
+def test_search_boolean_grounded(qx_index):
+    assert _ids(qx_index.search_boolean("alpha AND beta")) == [1]
+    assert _ids(qx_index.search_boolean("alpha OR beta")) == [1, 2, 3, 4]
+    assert _ids(qx_index.search_boolean("alpha AND NOT beta")) == [2, 4]
+    assert _ids(
+        qx_index.search_boolean("(alpha OR delta) AND NOT (beta OR epsilon)")
+    ) == [2, 4]
+    # analyzed-away clause absorbs: 'the' is a stop word
+    assert _ids(qx_index.search_boolean("alpha AND the")) == [1, 2, 4]
+    # whole query analyzes away -> empty
+    assert qx_index.search_boolean("the a an").count() == 0
+
+
+def test_search_boolean_ungrounded_requires_universe(spark, qx_index):
+    with pytest.raises(ValueError, match="universe"):
+        qx_index.search_boolean("NOT alpha")
+    universe = spark.createDataFrame(
+        [(str(i),) for i in range(1, 7)], "doc_id string"
+    )
+    assert _ids(qx_index.search_boolean("NOT alpha", universe=universe)) == [3, 5, 6]
+    # doc 6 has NO query term at all and still matches an ungrounded OR
+    assert _ids(
+        qx_index.search_boolean("alpha OR NOT beta", universe=universe)
+    ) == [1, 2, 4, 5, 6]
+
+
+def test_search_near_window_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta filler"),          # adjacent, span 1
+            (2, "alpha filler beta"),          # span 2
+            (3, "beta filler filler alpha"),   # reversed, span 3
+            (4, "alpha filler filler filler beta"),  # span 4
+            (5, "alpha only here"),            # missing beta
+        ],
+        "doc_id long, text string",
+    ).selectExpr("cast(doc_id as string) doc_id", "text")
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    assert _ids(idx.search_near("alpha beta", 1)) == [1]
+    assert _ids(idx.search_near("alpha beta", 2)) == [1, 2]
+    assert _ids(idx.search_near("alpha beta", 3)) == [1, 2, 3]  # order-free
+    assert _ids(idx.search_near("alpha beta", 4)) == [1, 2, 3, 4]
+    # single term: window irrelevant, any doc containing it
+    assert _ids(idx.search_near("alpha", 0)) == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="window"):
+        idx.search_near("alpha beta", -1)
+
+
+def test_search_near_artifact_parity(spark, tmp_path):
+    from searchengine_spark.index.artifact import build_artifact
+
+    rows = [
+        (i, f"alpha w{i} beta filler" if i % 3 else f"beta w{i} filler alpha")
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "cast(doc_id as string) doc_id", "text"
+    )
+    lidx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    aidx = build_artifact(spark, docs, str(tmp_path / "nx"), analyzer="punctuation")
+    for w in (1, 2, 3):
+        assert _ids(lidx.search_near("alpha beta", w)) == _ids(
+            aidx.search_near("alpha beta", w)
+        ), f"window {w}"
+    assert _ids(lidx.search_boolean("alpha AND NOT w3")) == _ids(
+        aidx.search_boolean("alpha AND NOT w3")
+    )
+
+
+def test_phrase_subset_of_near(qx_index):
+    ph = _ids(qx_index.search_phrase("alpha beta"))
+    nr = _ids(qx_index.search_near("alpha beta", 1))
+    assert set(ph) <= set(nr)
+
+
+def test_search_bm25_filtered_is_restriction(spark, qx_index):
+    full = {
+        r["doc_id"]: r["score"]
+        for r in qx_index.search_bm25("alpha gamma", None).collect()
+    }
+    allowed = spark.createDataFrame([("1",), ("4",), ("5",)], "doc_id string")
+    filt = {
+        r["doc_id"]: r["score"]
+        for r in qx_index.search_bm25_filtered("alpha gamma", allowed).collect()
+    }
+    # exactly the allowed ∩ matching docs, with UNCHANGED scores (corpus
+    # stats stay global)
+    assert set(filt) == {"1", "4"}
+    for d, s in filt.items():
+        assert s == full[d]
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from searchengine_spark.query.hybrid import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("d1", 9.0), ("d2", 5.0), ("d3", 1.0)], "doc_id string, score double"
+    )
+    b = spark.createDataFrame(
+        [("d2", 0.9), ("d4", 0.8)], "doc_id string, score double"
+    )
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fuse({"a": a, "b": b}, c=60).collect()}
+    want = {
+        "d1": 1 / 61,
+        "d2": 1 / 62 + 1 / 61,
+        "d3": 1 / 63,
+        "d4": 1 / 62,
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert math.isclose(got[d], want[d], rel_tol=0, abs_tol=1e-15), d
+    # d2 (in both lists) outranks everything
+    top = rrf_fuse({"a": a, "b": b}, k=1).collect()[0]
+    assert top["doc_id"] == "d2"
+
+
+def test_rrf_rank_ties_broken_on_id(spark):
+    from searchengine_spark.query.hybrid import rrf_fuse
+
+    # equal rounded scores -> rank by id ascending
+    a = spark.createDataFrame(
+        [("x", 1.0), ("b", 1.0), ("a", 1.0)], "doc_id string, score double"
+    )
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fuse({"l": a}).collect()}
+    assert got["a"] > got["b"] > got["x"]
+
+
+def test_hybrid_search_end_to_end(spark, qx_index):
+    from searchengine_spark.query.hybrid import hybrid_search
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 7)],
+        "vec_id long, embedding array<float>",
+    )
+    res = hybrid_search(
+        qx_index, emb, "alpha beta", [1.0, 0.0], k=3, depth=4
+    ).collect()
+    assert len(res) == 3
+    # ids stay in the index's (string) doc_id space
+    assert all(isinstance(r["doc_id"], str) for r in res)
+    # descending fused score
+    scores = [r["rrf"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_new_query_ops_plans_no_nested_loop(spark, qx_index):
+    """Plan assertion: every join in the new operators is an equi-join
+    (hash/sort-merge) — no BroadcastNestedLoop, no CartesianProduct."""
+    from searchengine_spark.query.hybrid import hybrid_search
+    from searchengine_spark.textops.collocations import pmi_collocations
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 7)],
+        "vec_id long, embedding array<float>",
+    )
+    toks = spark.createDataFrame(
+        [(i, ["alpha", "beta", "gamma"]) for i in range(20)],
+        "doc_id long, tokens array<string>",
+    )
+    allowed = spark.createDataFrame([("1",), ("4",)], "doc_id string")
+    frames = {
+        "boolexpr": qx_index.search_boolean("(alpha OR delta) AND NOT beta"),
+        "near": qx_index.search_near("alpha beta", 2),
+        "bm25_filtered": qx_index.search_bm25_filtered("alpha gamma", allowed),
+        "hybrid": hybrid_search(qx_index, emb, "alpha beta", [1.0, 0.0], k=3),
+        "colloc": pmi_collocations(toks, min_count=2, top_n=5),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from searchengine_spark.textops.collocations import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["new", "york", "filler"]),
+            (2, ["new", "york", "city"]),
+            (3, ["brand", "new", "day"]),
+            (4, ["york", "new", "filler"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    out = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi_r"])
+        for r in pmi_collocations(docs, min_count=2, top_n=None).collect()
+    }
+    # bigram instances: (new,york)x2, (york,filler), (york,city), (brand,new),
+    # (new,day), (york,new), (new,filler) -> T2 = 8; tokens: T1 = 12
+    # unigrams: new=4, york=3
+    assert set(out) == {("new", "york")}
+    cnt, pmi = out[("new", "york")]
+    assert cnt == 2
+    want = math.log((2 / 8) / ((4 / 12) * (3 / 12)))
+    assert pmi == round(want, 6)
+
+
+def test_pmi_min_count_floor(spark):
+    from searchengine_spark.textops.collocations import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b"]), (3, ["c", "d"])],
+        "doc_id long, tokens array<string>",
+    )
+    got = pmi_collocations(docs, min_count=2, top_n=None).collect()
+    assert [(r["w1"], r["w2"]) for r in got] == [("a", "b")]
