@@ -33,6 +33,7 @@ from .query import hybrid as hy
 from .query import morelike as mlt
 from .query import snippets as snip
 from .textops import collocations as clc
+from .textops import spans as spn
 from .textops import dedup as dd
 from .textops import bpe
 from .textops import chunking as chk
@@ -2944,6 +2945,79 @@ ORDER BY sum(contrib) DESC, doc_id LIMIT 10
 """
 
 
+def hits_top20(spark, sf_dir):
+    """HITS hubs & authorities over the deterministic synthetic link graph
+    (graph/hits.py), pinned at exactly HITS_ITERS rounds so the DuckDB
+    twin — per-round raw-sum + L2-normalize CTEs over the same inlined
+    edge list — is iteration-for-iteration identical. Top-20 by rounded
+    authority; hub rides along."""
+    from .fixtures import graph_edges_df
+    from .graph import compute_hits
+
+    res = compute_hits(graph_edges_df(spark, n_nodes=200))
+    return (
+        res.select(
+            "node",
+            F.round("authority", 6).alias("auth_r"),
+            F.round("hub", 6).alias("hub_r"),
+        )
+        .orderBy(F.desc("auth_r"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _hits_sql() -> str:
+    from .fixtures import graph_edges_pandas
+    from .graph.hits import HITS_ITERS
+
+    pdf = graph_edges_pandas(n_nodes=200)
+    vals = ", ".join(
+        f"({int(s)},{int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    # AS MATERIALIZED everywhere for the same reason as the PageRank twin:
+    # DuckDB inlines plain CTEs and a 20-deep alternating chain explodes
+    # the planner exponentially
+    ctes = [
+        f"edges(src, dst) AS MATERIALIZED (VALUES {vals})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS v FROM nodes)",
+    ]
+
+    def norm_cte(name: str, raw: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT sum(v * v) FROM {raw}) > 0 THEN "
+            f"v / sqrt((SELECT sum(v * v) FROM {raw})) ELSE v END AS v "
+            f"FROM {raw})"
+        )
+
+    for k in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT n.node, coalesce(s.v, 0.0) AS v "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS node, sum(h.v) AS v "
+            f"FROM h{k - 1} h JOIN edges e ON e.src = h.node GROUP BY e.dst) s "
+            f"ON s.node = n.node)"
+        )
+        ctes.append(norm_cte(f"a{k}", f"ar{k}"))
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT n.node, coalesce(s.v, 0.0) AS v "
+            f"FROM nodes n LEFT JOIN (SELECT e.src AS node, sum(a.v) AS v "
+            f"FROM a{k} a JOIN edges e ON e.dst = a.node GROUP BY e.src) s "
+            f"ON s.node = n.node)"
+        )
+        ctes.append(norm_cte(f"h{k}", f"hr{k}"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.node, round(a.v, 6) AS auth_r, round(h.v, 6) AS hub_r
+FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (node)
+ORDER BY auth_r DESC, a.node LIMIT 20
+"""
+    )
+
+
 _COLLOC_MIN_COUNT = 5
 
 
@@ -2979,6 +3053,84 @@ ORDER BY pmi_r DESC, w1, w2 LIMIT 20
 """
 
 
+_SPAN_K = 5
+_SPAN_MAX_DF = 20
+_SPAN_MIN_SHARED = 3
+
+
+def _span_shing_cte() -> str:
+    """Shingle CTE twin of spans._shingle_col over the TOK_CTES token
+    stream: K-token space-joined windows, distinct per doc."""
+    k = _SPAN_K
+    return f"""
+shing5 AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - {k} + 1),
+                                 i -> array_to_string(toks[i:i+{k}-1], ' ')))
+             AS sh
+    FROM lists WHERE len(toks) >= {k}
+  )
+)
+"""
+
+
+def span_pairs_q(spark, sf_dir):
+    """Verbatim-span overlap pairs (textops/spans.py): docs sharing >=3
+    distinct 5-token shingles, boilerplate shingles (df > 20) dropped —
+    the distributed stand-in for suffix-array substring dedup."""
+    return spn.shared_span_pairs(
+        _docs_tokens(spark, sf_dir),
+        k=_SPAN_K,
+        max_shingle_df=_SPAN_MAX_DF,
+        min_shared=_SPAN_MIN_SHARED,
+    )
+
+
+def _span_pairs_sql() -> str:
+    return f"""
+WITH {TOK_CTES},
+{_span_shing_cte()},
+elig AS (
+  SELECT sh FROM shing5 GROUP BY sh
+  HAVING count(*) BETWEEN 2 AND {_SPAN_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM shing5 a
+JOIN shing5 b ON b.sh = a.sh AND b.doc_id > a.doc_id
+JOIN elig e ON e.sh = a.sh
+GROUP BY 1, 2 HAVING count(*) >= {_SPAN_MIN_SHARED}
+"""
+
+
+def dup_score_q(spark, sf_dir):
+    """Per-doc verbatim-duplication fraction (textops/spans.py): share of
+    a doc's distinct 5-shingles that occur in at least one other doc."""
+    res = spn.duplication_score(_docs_tokens(spark, sf_dir), k=_SPAN_K)
+    return res.select(
+        "doc_id", "n_shingles", F.round("dup_frac", 6).alias("dup_frac_r")
+    )
+
+
+def _dup_score_sql() -> str:
+    return f"""
+WITH {TOK_CTES},
+{_span_shing_cte()},
+dfc AS (SELECT sh, count(*)::BIGINT AS dfc FROM shing5 GROUP BY sh),
+per_doc AS (
+  SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+         sum((c.dfc >= 2)::BIGINT)::DOUBLE / count(*) AS dup_frac
+  FROM shing5 s JOIN dfc c ON c.sh = s.sh
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+       round(p.dup_frac, 6) AS dup_frac_r
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
@@ -2997,6 +3149,7 @@ QUERIES = {
     "ft_bm25_filtered": ft_bm25_filtered,
     "hybrid_rrf_top10": hybrid_rrf_top10,
     "colloc_top20": colloc_top20,
+    "hits_top20": hits_top20,
     "ft_bm25_wand": ft_bm25_wand,
     "ft_bm25_batch": ft_bm25_batch,
     "ft_delete_search": ft_delete_search,
@@ -3008,6 +3161,8 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_pipeline": dedup_pipeline_q,
     "dedup_incremental": dedup_incremental_q,
+    "span_pairs": span_pairs_q,
+    "dup_score": dup_score_q,
     "text_quality": text_quality_q,
     "quality_filter": quality_filter_q,
     "token_counts": token_counts_q,
@@ -3081,6 +3236,7 @@ ORACLES = {
     "ft_bm25_filtered": _bm25_sql(_FT_QUERIES["bm25"], 20, _BM25F_PRED_SQL),
     "hybrid_rrf_top10": _hybrid_sql(),
     "colloc_top20": _colloc_sql(),
+    "hits_top20": _hits_sql(),
     "ft_bm25_wand": _bm25_sql(_FT_QUERIES["bm25"], 20),
     "ft_bm25_batch": _bm25_batch_sql(_FT_BATCH_QUERIES, 20),
     "ft_delete_search": _delete_search_sql(),
@@ -3092,6 +3248,8 @@ ORACLES = {
     "dedup_minhash_pairs": _minhash_sql(),
     "dedup_pipeline": _dedup_pipeline_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
+    "span_pairs": _span_pairs_sql(),
+    "dup_score": _dup_score_sql(),
     "text_quality": TEXT_QUALITY_SQL,
     "quality_filter": QUALITY_FILTER_SQL,
     "token_counts": TOKEN_COUNTS_SQL,

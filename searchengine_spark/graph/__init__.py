@@ -1,3 +1,4 @@
+from .hits import compute_hits
 from .pagerank import (
     combined_rank,
     compute_pagerank,
@@ -9,5 +10,6 @@ __all__ = [
     "compute_pagerank",
     "personalized_pagerank",
     "combined_rank",
+    "compute_hits",
     "read_edge_tsv",
 ]

@@ -319,6 +319,78 @@ def test_pmi_collocations_hand_computed(spark):
     assert pmi == round(want, 6)
 
 
+# ---------------------------------------------------------------------------
+# verbatim-span overlap
+# ---------------------------------------------------------------------------
+
+
+def test_span_shingles_and_pairs_hand_computed(spark):
+    from searchengine_spark.textops.spans import (
+        shared_span_pairs,
+        span_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d", "e"]),      # shares the abc/bcd spans
+            (2, ["a", "b", "c", "d", "x"]),      # with doc 1
+            (3, ["z", "a", "b", "c", "d"]),      # shifted copy of the span
+            (4, ["q", "r"]),                      # too short for k=3
+            (5, ["m", "n", "o", "p", "q"]),      # no overlap
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    sh = {(r["doc_id"], r["sh"]) for r in span_shingles(docs, k=3).collect()}
+    assert (1, "a b c") in sh and (1, "c d e") in sh
+    assert not any(d == 4 for d, _ in sh)  # < k tokens -> no shingles
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in shared_span_pairs(
+            docs, k=3, max_shingle_df=10, min_shared=2
+        ).collect()
+    }
+    # docs 1/2/3 all share 'a b c' and 'b c d' (2 shingles); 1-2 also do
+    # NOT share more (d e vs d x); 5 shares nothing
+    assert pairs == {(1, 2): 2, (1, 3): 2, (2, 3): 2}
+
+
+def test_span_pairs_frequency_cap_drops_boilerplate(spark):
+    from searchengine_spark.textops.spans import shared_span_pairs
+
+    # the same 3-shingle in every doc: with max_shingle_df below the doc
+    # count it must be dropped, leaving no pairs
+    docs = spark.createDataFrame(
+        [(i, ["x", "y", "z"]) for i in range(10)],
+        "doc_id long, tokens array<string>",
+    )
+    assert (
+        shared_span_pairs(docs, k=3, max_shingle_df=5, min_shared=1).count()
+        == 0
+    )
+    # raising the cap re-admits them
+    assert (
+        shared_span_pairs(docs, k=3, max_shingle_df=10, min_shared=1).count()
+        == 45
+    )
+
+
+def test_duplication_score_hand_computed(spark):
+    from searchengine_spark.textops.spans import duplication_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d"]),  # shingles: abc (shared), bcd
+            (2, ["a", "b", "c"]),       # abc only -> fully duplicated
+            (3, ["p", "q"]),            # too short
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    got = {r["doc_id"]: r for r in duplication_score(docs, k=3).collect()}
+    assert got[1]["n_shingles"] == 2 and got[1]["dup_frac"] == 0.5
+    assert got[2]["n_shingles"] == 1 and got[2]["dup_frac"] == 1.0
+    assert got[3]["n_shingles"] == 0 and got[3]["dup_frac"] is None
+
+
 def test_pmi_min_count_floor(spark):
     from searchengine_spark.textops.collocations import pmi_collocations
 
