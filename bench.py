@@ -156,6 +156,10 @@ def main() -> None:
         "events_funnel",
         "events_retention",
         "ppr_top20",
+        "hits_top20",
+        "span_pairs",
+        "dup_score",
+        "colloc_top20",
     ):
         extras_times[name], _ = timed(
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()
@@ -164,6 +168,28 @@ def main() -> None:
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     q["ann_cosine_top10"], _ = timed(
         lambda: sim.brute_force_topk(emb, qvec, 10).collect()
+    )
+    # round-3 query-surface extensions, timed against the ALREADY-BUILT
+    # index (the registry ft_* callables rebuild one per call)
+    from searchengine_spark.query import hybrid as hyb
+
+    extras_times["ft_boolexpr"], _ = timed(
+        lambda: idx.search_boolean("(spark OR vector) AND NOT merge").count()
+    )
+    extras_times["ft_near"], _ = timed(
+        lambda: idx.search_near("merge join", 2).count()
+    )
+    extras_times["ft_bm25_filtered"], _ = timed(
+        lambda: idx.search_bm25_filtered(
+            "spark join hash",
+            docs.where((F.col("lang") == "en") & (F.col("n_chars") >= 200)),
+            20,
+        ).collect()
+    )
+    extras_times["hybrid_rrf"], _ = timed(
+        lambda: hyb.hybrid_search(
+            idx, emb, "spark join hash", qvec, k=10
+        ).collect()
     )
 
     # --- relational surface ---

@@ -43,17 +43,22 @@ def pmi_collocations(
 ) -> DataFrame:
     """(w1, w2, pair_count, pmi_r) — top-``top_n`` by 6dp-rounded PMI
     (ties broken on (w1, w2) so the cut is engine-independent)."""
+    # both aggregates persisted (vocabulary- / vocab²-bounded, evicted
+    # LRU — the dedup.py convention): the corpus pays exactly TWO
+    # explode+aggregate passes; the scalar totals then come for free off
+    # the persisted frames (t1 = Σ cw, t2 = Σ c12 — the same numbers a
+    # third corpus scan over the token arrays would produce) and the two
+    # PMI joins reuse uni instead of re-running its corpus pass each
     bg = _bigram_instances(df, tokens_col, id_col)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uni = df.select(F.explode(F.col(tokens_col)).alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("cw")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    uni = (
+        df.select(F.explode(F.col(tokens_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .persist()
     )
-    n = F.size(F.col(tokens_col))
-    tot = df.agg(
-        F.sum(n).cast("double").alias("t1"),
-        F.sum(F.greatest(n - 1, F.lit(0))).cast("double").alias("t2"),
-    ).collect()[0]
-    t1, t2 = float(tot["t1"] or 0.0), float(tot["t2"] or 0.0)
+    t2 = float(c12.agg(F.sum("c12")).collect()[0][0] or 0.0)
+    t1 = float(uni.agg(F.sum("cw")).collect()[0][0] or 0.0)
     pmi = F.log(
         (F.col("c12") / F.lit(t2))
         / ((F.col("c1x") / F.lit(t1)) * (F.col("c2x") / F.lit(t1)))
