@@ -165,7 +165,8 @@ def main() -> None:
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()
         )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    qrow = emb.limit(1).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
     q["ann_cosine_top10"], _ = timed(
         lambda: sim.brute_force_topk(emb, qvec, 10).collect()
     )
@@ -186,9 +187,12 @@ def main() -> None:
             20,
         ).collect()
     )
+    # exclude the query's own embedding row so the fused plan matches the
+    # hybrid_rrf_top10 contract entry (no rank-1 self-hit in the ANN list)
+    emb_rest = emb.where(F.col("vec_id") != qrow["vec_id"])
     extras_times["hybrid_rrf"], _ = timed(
         lambda: hyb.hybrid_search(
-            idx, emb, "spark join hash", qvec, k=10
+            idx, emb_rest, "spark join hash", qvec, k=10, id_cast="long"
         ).collect()
     )
 

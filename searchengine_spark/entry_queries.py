@@ -2878,12 +2878,15 @@ def hybrid_rrf_top10(spark, sf_dir):
     assignments use 4dp-rounded scores + doc_id tie-breaks, so the oracle
     replays the whole fusion exactly; contributions fold in sorted
     list-name order (2-term IEEE adds are commutative, so SQL's unordered
-    sum is bit-identical)."""
+    sum is bit-identical). ``id_cast="long"`` makes every tie-break
+    numeric — the index doc_id is a string, and string-ordered rounded
+    ties would diverge from the oracle's BIGINT ordering."""
     idx = _ft_index(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
     emb = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
     res = hy.hybrid_search(
-        idx, emb, _FT_QUERIES["bm25"], qv, k=10, depth=_HYBRID_DEPTH
+        idx, emb, _FT_QUERIES["bm25"], qv, k=10, depth=_HYBRID_DEPTH,
+        id_cast="long",
     )
     return res.select(
         F.col("doc_id").cast("long").alias("doc_id"),

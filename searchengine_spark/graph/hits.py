@@ -33,7 +33,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .pagerank import _DRIVER_MAX_GRAPH, _node_universe
+from .pagerank import _DRIVER_MAX_GRAPH, _collect_small_graph, _node_universe
 
 HITS_ITERS = 20
 
@@ -76,28 +76,16 @@ def compute_hits(
     wanting simple-graph semantics distinct() their edges first.
     """
     universe = _node_universe(edges, nodes)
-    if driver_max_graph > 0:
-        head = universe.select("node").limit(driver_max_graph + 1).collect()
-        if len(head) <= driver_max_graph:
-            edge_head = edges.select("src", "dst").limit(
-                driver_max_graph + 1
-            ).collect()
-            if len(head) + len(edge_head) <= driver_max_graph:
-                node_ids = sorted(r["node"] for r in head)
-                a, h = _numpy_hits(
-                    [(r["src"], r["dst"]) for r in edge_head],
-                    node_ids,
-                    num_iterations,
-                )
-                return edges.sparkSession.createDataFrame(
-                    [
-                        (n, float(av), float(hv))
-                        for n, av, hv in zip(node_ids, a, h)
-                    ],
-                    universe.select("node")
-                    .schema.add("authority", "double")
-                    .add("hub", "double"),
-                )
+    small = _collect_small_graph(edges, universe, driver_max_graph)
+    if small is not None:
+        node_ids, edge_rows = small
+        a, h = _numpy_hits(edge_rows, node_ids, num_iterations)
+        return edges.sparkSession.createDataFrame(
+            [(n, float(av), float(hv)) for n, av, hv in zip(node_ids, a, h)],
+            universe.select("node")
+            .schema.add("authority", "double")
+            .add("hub", "double"),
+        )
 
     nodes_df = universe.select("node").persist()
     edg = edges.select("src", "dst").persist()

@@ -70,6 +70,25 @@ def _numpy_iterate(
 _DRIVER_MAX_GRAPH = 200_000  # nodes+edges bound for the driver fast path
 
 
+def _collect_small_graph(edges: DataFrame, universe: DataFrame, cap: int):
+    """(sorted node_ids, edge_rows) when the graph fits under ``cap``
+    nodes+edges, else None — the shared gate of the adaptive driver fast
+    path (PageRank/PPR here, HITS in hits.py). The limit(cap+1) collects
+    bound driver memory: an over-cap graph ships at most cap+1 rows."""
+    if cap <= 0:
+        return None
+    head = universe.select("node").limit(cap + 1).collect()
+    if len(head) > cap:
+        return None
+    edge_head = edges.select("src", "dst").limit(cap + 1).collect()
+    if len(head) + len(edge_head) > cap:
+        return None
+    return (
+        sorted(r["node"] for r in head),
+        [(r["src"], r["dst"]) for r in edge_head],
+    )
+
+
 def _iterate_ranks(
     edges: DataFrame,
     nodes: DataFrame,
@@ -97,26 +116,21 @@ def _iterate_ranks(
     fixed job overhead). ``driver_max_graph=0`` forces the distributed
     loop; path equivalence is pinned by the numpy-oracle tests.
     """
-    if init_add_py is not None and driver_max_graph > 0:
-        head = nodes.select("node").limit(driver_max_graph + 1).collect()
-        if len(head) <= driver_max_graph:
-            edge_head = edges.select("src", "dst").limit(
-                driver_max_graph + 1
-            ).collect()
-            if len(head) + len(edge_head) <= driver_max_graph:
-                import numpy as np
+    if init_add_py is not None:
+        small = _collect_small_graph(edges, nodes, driver_max_graph)
+        if small is not None:
+            import numpy as np
 
-                node_ids = sorted(r["node"] for r in head)
-                init = np.array([init_add_py(n)[0] for n in node_ids])
-                add = np.array([init_add_py(n)[1] for n in node_ids])
-                x = _numpy_iterate(
-                    [(r["src"], r["dst"]) for r in edge_head],
-                    node_ids, init, add, num_iterations, alpha, tol,
-                )
-                return edges.sparkSession.createDataFrame(
-                    [(n, float(v)) for n, v in zip(node_ids, x)],
-                    nodes.select("node").schema.add("rank", "double"),
-                )
+            node_ids, edge_rows = small
+            init = np.array([init_add_py(n)[0] for n in node_ids])
+            add = np.array([init_add_py(n)[1] for n in node_ids])
+            x = _numpy_iterate(
+                edge_rows, node_ids, init, add, num_iterations, alpha, tol,
+            )
+            return edges.sparkSession.createDataFrame(
+                [(n, float(v)) for n, v in zip(node_ids, x)],
+                nodes.select("node").schema.add("rank", "double"),
+            )
     nodes = nodes.select("node").persist()
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")

@@ -90,6 +90,7 @@ def hybrid_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    id_cast: str | None = None,
 ) -> DataFrame:
     """BM25(text_query) ⊕ cosine(query_vec) under RRF. ``embeddings`` ids
     must live in the index's doc_id space (cast to its doc_id type so the
@@ -100,15 +101,22 @@ def hybrid_search(
     discipline as the rank-k cuts in entry_queries), so the fused result
     is reproducible by any engine that agrees on scores to ``round_to``
     places. Each cut is an orderBy().limit() = distributed TakeOrdered.
+
+    ``id_cast``: type to cast BOTH lists' ids to BEFORE any cut or rank
+    window. The index's doc_id is a string, so rounded-score ties break
+    in STRING order by default ("1511" < "574"); a numeric-id corpus
+    whose oracle/twin orders numerically must pass ``id_cast="long"`` or
+    boundary ties diverge (the hybrid_rrf_top10 driver entry does).
     """
     from ..textops.similarity import cosine_col
 
-    bm = (
-        index.search_bm25(text_query, None)
-        .orderBy(F.desc(F.round("score", round_to)), F.asc("doc_id"))
-        .limit(depth)
-    )
-    doc_id_type = dict(bm.dtypes)["doc_id"]
+    bm = index.search_bm25(text_query, None)
+    if id_cast is not None:
+        bm = bm.select(F.col("doc_id").cast(id_cast).alias("doc_id"), "score")
+    bm = bm.orderBy(
+        F.desc(F.round("score", round_to)), F.asc("doc_id")
+    ).limit(depth)
+    doc_id_type = id_cast or dict(bm.dtypes)["doc_id"]
     ann = (
         embeddings.select(
             F.col(id_col).cast(doc_id_type).alias("doc_id"),

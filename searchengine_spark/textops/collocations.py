@@ -19,11 +19,12 @@ Scale shape: the bigram extraction is a zero-shuffle array projection
 ANSI mode); then ONE (x, y)-keyed count aggregate and ONE token-keyed
 count aggregate, both fully map-side combinable and vocabulary-bounded;
 unigram counts join back onto the bigram table by token key (hash
-equi-joins on vocabulary-sized frames — never a nested-loop). The two
-scalar totals come from one shuffle-free projection+agg over the token
-arrays (T1 = Σ len, T2 = Σ max(len−1, 0)) collected driver-side — the
-same O(1)-collect shape as build_index's avgdl and lm.py's vocab size,
-avoiding the 1-row crossJoin that would plan as BroadcastNestedLoop.
+equi-joins on vocabulary-sized frames — never a nested-loop). Both count
+frames are persisted, so the corpus pays exactly TWO explode+aggregate
+passes; the scalar totals (T1 = Σ unigram counts, T2 = Σ pair counts)
+then come free off the persisted frames via O(1) driver collects — the
+same shape as build_index's avgdl and lm.py's vocab size, avoiding the
+1-row crossJoin that would plan as BroadcastNestedLoop.
 """
 
 from __future__ import annotations

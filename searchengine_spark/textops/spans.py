@@ -22,9 +22,10 @@ oracle replays them verbatim; at 10^12-doc scale swap the key projection
 to ``xxhash64(sh)`` (collision probability ~n²/2^64) to shrink the
 shuffle — a one-line change that alters no plan shape.
 
-All shingle extraction is a zero-shuffle array projection (sequence
-starts + array slices, the chunking.py pattern); the pair join and both
-aggregates are hash equi-joins / map-side-combinable counts.
+All shingle extraction is a zero-shuffle array projection
+(``dedup.word_ngrams`` — the repo's single definition of the windowing
+arithmetic — via ``word_shingles``); the pair join and both aggregates
+are hash equi-joins / map-side-combinable counts.
 """
 
 from __future__ import annotations
@@ -32,26 +33,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _shingle_col(tokens_col: str, k: int):
-    toks = F.col(tokens_col)
-    n = F.size(toks)
-    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard with when()
-    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
+from .dedup import word_shingles
 
 
 def span_shingles(
     df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:
     """(id, sh): each doc's DISTINCT K-token shingles, one row per pair.
-    Docs with fewer than k tokens contribute no rows."""
+    Docs with fewer than k tokens contribute no rows. The windowing
+    arithmetic is dedup.word_ngrams — the module's single definition —
+    via word_shingles, so a slice-bound fix there applies here too."""
     return df.select(
-        F.col(id_col), F.explode(_shingle_col(tokens_col, k)).alias("sh")
+        F.col(id_col), F.explode(word_shingles(F.col(tokens_col), k)).alias("sh")
     )
 
 
