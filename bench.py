@@ -195,6 +195,11 @@ def main() -> None:
             idx, emb_rest, "spark join hash", qvec, k=10, id_cast="long"
         ).collect()
     )
+    extras_times["ft_bm25_prf"], _ = timed(
+        lambda: idx.search_bm25_prf(
+            "spark join hash", 20, id_cast="long"
+        ).collect()
+    )
 
     # --- relational surface ---
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -3021,6 +3021,85 @@ ORDER BY auth_r DESC, a.node LIMIT 20
     )
 
 
+_PRF_FB_DOCS = 5
+_PRF_FB_TERMS = 3
+
+
+def ft_bm25_prf(spark, sf_dir):
+    """BM25 with Rocchio-style pseudo-relevance feedback
+    (query/feedback.py): top-5 blind-feedback docs, top-3 expansion terms
+    by Σtf × tfidf-idf, re-ranked with the expanded weight set. Every cut
+    is rounded-score + numeric-doc_id, so the oracle replays feedback-doc
+    selection, term mining, and the final ranking end-to-end."""
+    idx = _ft_index(spark, sf_dir)
+    res = idx.search_bm25_prf(
+        _FT_QUERIES["bm25"], None, _PRF_FB_DOCS, _PRF_FB_TERMS, id_cast="long"
+    )
+    return (
+        _as_long_doc_id(res.select("doc_id", F.round("score", 4).alias("score_r")))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))  # numeric tie-break
+        .limit(20)
+    )
+
+
+def _bm25_prf_sql() -> str:
+    terms = sorted(set(punctuation_tokenize(_FT_QUERIES["bm25"])))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    part = (
+        f"qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)"
+        f" / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))"
+    )
+    return f"""
+WITH {TOK_CTES},
+qw0 AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM {_qterms_values_sql(_FT_QUERIES["bm25"])}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+scored0 AS (
+  SELECT p.doc_id, sum({part.replace('qw.', 'qw0.')}) AS score
+  FROM postings p
+  JOIN qw0 ON qw0.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+fb AS (SELECT doc_id FROM scored0
+       ORDER BY round(score, 4) DESC, doc_id LIMIT {_PRF_FB_DOCS}),
+expn AS (
+  SELECT term FROM (
+    SELECT p.term,
+           round(sum(p.tf) * log10(c.n_docs::DOUBLE / s.df + 1.0), 6) AS sel
+    FROM postings p
+    JOIN fb ON fb.doc_id = p.doc_id
+    JOIN stats s ON s.term = p.term
+    CROSS JOIN corpus c
+    WHERE p.term NOT IN ({tlist})
+    GROUP BY p.term, s.df, c.n_docs
+  ) ORDER BY sel DESC, term LIMIT {_PRF_FB_TERMS}
+),
+qw AS (
+  SELECT term, qtf, idf FROM qw0
+  UNION ALL
+  SELECT e.term, 1 AS qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM expn e JOIN stats s ON s.term = e.term CROSS JOIN corpus c
+),
+scored AS (
+  SELECT p.doc_id, sum({part}) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+"""
+
+
 _COLLOC_MIN_COUNT = 5
 
 
@@ -3150,6 +3229,7 @@ QUERIES = {
     "ft_phrase": ft_phrase,
     "ft_bm25_top20": ft_bm25_top20,
     "ft_bm25_filtered": ft_bm25_filtered,
+    "ft_bm25_prf": ft_bm25_prf,
     "hybrid_rrf_top10": hybrid_rrf_top10,
     "colloc_top20": colloc_top20,
     "hits_top20": hits_top20,
@@ -3237,6 +3317,7 @@ ORACLES = {
     "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),
     "ft_bm25_top20": _bm25_sql(_FT_QUERIES["bm25"], 20),
     "ft_bm25_filtered": _bm25_sql(_FT_QUERIES["bm25"], 20, _BM25F_PRED_SQL),
+    "ft_bm25_prf": _bm25_prf_sql(),
     "hybrid_rrf_top10": _hybrid_sql(),
     "colloc_top20": _colloc_sql(),
     "hits_top20": _hits_sql(),

@@ -341,6 +341,20 @@ class Index:
 
         return search_bm25(self, query, k, allowed=allowed)
 
+    def search_bm25_prf(
+        self,
+        query: str,
+        k: int | None = 10,
+        fb_docs: int = 5,
+        fb_terms: int = 5,
+        id_cast: str | None = None,
+    ) -> DataFrame:
+        """BM25 with Rocchio-style pseudo-relevance feedback — see
+        query/feedback.py."""
+        from ..query.feedback import search_bm25_prf
+
+        return search_bm25_prf(self, query, k, fb_docs, fb_terms, id_cast)
+
     def search_tfidf(self, query: str, k: int | None = None) -> DataFrame:
         from ..query.ranked import search_tfidf
 

@@ -78,6 +78,19 @@ def search_bm25(
     never shuffle; IDF / avgdl stay corpus-global (standard filtered-search
     semantics — the filter narrows candidates, not the collection stats)."""
     weights = _query_weights(index, query, bm25_idf)
+    return search_bm25_weighted(index, weights, k, allowed)
+
+
+def search_bm25_weighted(
+    index,
+    weights: list,
+    k: int | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 from explicit [(term, qtf, idf)] weights — the shared scoring
+    core of search_bm25 and the query-expansion operators (PRF builds
+    weights for ALREADY-ANALYZED expansion tokens; re-running the analyzer
+    on them would double-stem under Porter)."""
     if not weights or k == 0:
         return _empty_scores(index)
     qdf = index.spark.createDataFrame(weights, "term string, qtf int, idf double")

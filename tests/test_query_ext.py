@@ -320,6 +320,59 @@ def test_pmi_collocations_hand_computed(spark):
 
 
 # ---------------------------------------------------------------------------
+# pseudo-relevance feedback
+# ---------------------------------------------------------------------------
+
+
+def test_prf_expands_vocabulary_mismatch(spark):
+    from searchengine_spark.index import build_index
+
+    # 'automobile' never co-occurs with the query term 'car' in doc 20,
+    # but the feedback docs (1..3) tie them together
+    docs = spark.createDataFrame(
+        [
+            (1, "car automobile engine"),
+            (2, "car automobile wheel"),
+            (3, "car automobile brake"),
+            (20, "automobile polish detail"),   # no 'car' -> invisible to plain BM25
+            (21, "banana bread recipe"),
+        ],
+        "doc_id long, text string",
+    ).selectExpr("cast(doc_id as string) doc_id", "text")
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    plain = {r["doc_id"] for r in idx.search_bm25("car", None).collect()}
+    assert "20" not in plain
+    prf = {r["doc_id"] for r in
+           idx.search_bm25_prf("car", None, fb_docs=3, fb_terms=2).collect()}
+    assert "20" in prf        # recovered via the 'automobile' expansion
+    assert "21" not in prf    # unrelated doc still unreachable
+
+
+def test_prf_expansion_terms_exclude_query_and_rank(spark):
+    from searchengine_spark.index import build_index
+    from searchengine_spark.query.feedback import prf_expansion_terms
+
+    docs = spark.createDataFrame(
+        [(1, "car engine engine wheel"), (2, "car engine brake")],
+        "doc_id long, text string",
+    ).selectExpr("cast(doc_id as string) doc_id", "text")
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    got = prf_expansion_terms(idx, ["1", "2"], {"car"}, 2)
+    # engine: tf 3 everywhere-df idf; brake/wheel: tf 1, rarer idf.
+    # tfidf_idf(2, 2) = log10(2) vs tfidf_idf(2, 1) = log10(3):
+    # engine 3*0.301 = 0.903 > brake/wheel 0.477 -> engine first, then
+    # term-ASC tie between brake and wheel
+    assert got == ["engine", "brake"]
+
+
+def test_prf_degenerate_queries_fall_back(spark, qx_index):
+    # stop-word-only query -> empty, like plain BM25
+    assert qx_index.search_bm25_prf("the of and", 5).count() == 0
+    # unknown term -> empty feedback set -> empty result (plain BM25 twin)
+    assert qx_index.search_bm25_prf("qqqzzz", 5).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # verbatim-span overlap
 # ---------------------------------------------------------------------------
 
