@@ -3021,6 +3021,49 @@ ORDER BY auth_r DESC, a.node LIMIT 20
     )
 
 
+def tr_conv_stats(spark, sf_dir):
+    """Per-conversation profile over the native transcripts table
+    (transcripts.py::conversation_stats): one combinable groupBy —
+    role/tool counts, distinct tools, epoch-second duration, token
+    volume. The oracle inlines the deterministic tiny corpus (conv_id,
+    role, tool, epoch seconds, text) as VALUES and replays every
+    aggregate."""
+    from .fixtures import transcripts_df
+    from .transcripts import conversation_stats
+
+    return conversation_stats(transcripts_df(spark, "tiny"))
+
+
+def _tr_conv_stats_sql() -> str:
+    from .fixtures import SIZES, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', '{}', '{}', {}, '{}')".format(
+            cid, role, tool, int(ts.timestamp()), txt.replace("'", "''")
+        )
+        for cid, role, tool, ts, txt in zip(
+            pdf["conv_id"], pdf["role"], pdf["tool"], pdf["ts"], pdf["text"]
+        )
+    )
+    # duration compares as a DIFFERENCE of epoch seconds on both sides, so
+    # the Spark session-timezone offset in its timestamp->long cast cancels
+    # against the naive-as-UTC epoch below
+    return f"""
+WITH trturns(conv_id, role, tool, es, text) AS (VALUES {rows})
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum((role = 'assistant')::BIGINT)::BIGINT AS n_assistant,
+       sum((tool <> '')::BIGINT)::BIGINT AS n_tool_calls,
+       count(DISTINCT CASE WHEN tool <> '' THEN tool END)::BIGINT
+         AS n_distinct_tools,
+       (max(es) - min(es))::BIGINT AS duration_s,
+       sum(CASE WHEN text <> '' THEN len(string_split(text, ' '))
+                ELSE 0 END)::BIGINT AS n_tokens
+FROM trturns GROUP BY conv_id
+"""
+
+
 _PRF_FB_DOCS = 5
 _PRF_FB_TERMS = 3
 
@@ -3295,6 +3338,7 @@ QUERIES = {
     "tr_bm25_top10": tr_bm25_top10,
     "tr_phrase_planted": tr_phrase_planted,
     "tr_conversation_pack": tr_conversation_pack,
+    "tr_conv_stats": tr_conv_stats,
     # media plumbing: oracled via a construction-derived VALUES table
     # (expected sha/bytes/decoded computed driver-side without Spark);
     # float feature vectors are pytest-value-tested instead
@@ -3379,5 +3423,6 @@ ORACLES = {
     "tr_bm25_top10": _tr_bm25_sql(_TR_BM25_QUERY, 10),
     "tr_phrase_planted": _tr_phrase_sql(_TR_PHRASE),
     "tr_conversation_pack": _tr_pack_sql(),
+    "tr_conv_stats": _tr_conv_stats_sql(),
     "media_features": _media_features_sql(),
 }

@@ -86,3 +86,41 @@ def pack_conversations(
             ).alias("example"),
         )
     )
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation profile over the native transcripts table: turn
+    counts by role, tool-call counts, distinct tools, wall-clock duration
+    and whitespace token volume — the corpus-curation summary a training
+    pipeline slices before sampling (drop single-turn convs, cap tool-call
+    storms, length-balance the mix).
+
+    ONE combinable groupBy(conv_id) aggregate — every term is an
+    associative count/sum/min/max, so map-side partial aggregation does
+    the heavy lifting and the shuffle carries one row per conversation.
+    Duration is max(ts)−min(ts) in epoch seconds (a difference, so the
+    session-timezone offset in the timestamp→long cast cancels).
+    """
+    ntok = F.when(
+        F.col(text_col) != "", F.size(F.split(F.col(text_col), " "))
+    ).otherwise(F.lit(0))
+    return df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col(role_col) == "assistant").cast("long")).alias(
+            "n_assistant"
+        ),
+        F.sum((F.col(tool_col) != "").cast("long")).alias("n_tool_calls"),
+        F.count_distinct(
+            F.when(F.col(tool_col) != "", F.col(tool_col))
+        ).alias("n_distinct_tools"),
+        (F.max(F.col(ts_col)).cast("long") - F.min(F.col(ts_col)).cast("long"))
+        .alias("duration_s"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+    )

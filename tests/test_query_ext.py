@@ -319,6 +319,35 @@ def test_pmi_collocations_hand_computed(spark):
     assert pmi == round(want, 6)
 
 
+def test_conversation_stats_hand_computed(spark):
+    from datetime import datetime
+
+    from searchengine_spark.transcripts import conversation_stats
+
+    rows = [
+        ("c1", 0, "user", "hello there", "", datetime(2026, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", "hi", "", datetime(2026, 1, 1, 0, 0, 30)),
+        ("c1", 2, "tool", "", "grep", datetime(2026, 1, 1, 0, 1, 0)),
+        ("c1", 3, "tool", "out", "grep", datetime(2026, 1, 1, 0, 2, 0)),
+        ("c2", 0, "user", "solo", "", datetime(2026, 1, 2, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r["conv_id"]: r for r in conversation_stats(df).collect()}
+    c1 = got["c1"]
+    assert c1["n_turns"] == 4
+    assert c1["n_assistant"] == 1
+    assert c1["n_tool_calls"] == 2
+    assert c1["n_distinct_tools"] == 1
+    assert c1["duration_s"] == 120
+    assert c1["n_tokens"] == 2 + 1 + 0 + 1  # empty text counts 0
+    c2 = got["c2"]
+    assert (c2["n_turns"], c2["duration_s"], c2["n_tokens"]) == (1, 0, 1)
+
+
 # ---------------------------------------------------------------------------
 # pseudo-relevance feedback
 # ---------------------------------------------------------------------------
