@@ -3064,6 +3064,178 @@ FROM trturns GROUP BY conv_id
 """
 
 
+def _tr_scored_frag(query: str) -> str:
+    """The shared qw/scored BM25 fragment over the transcripts corpus CTEs
+    (same math as _tr_bm25_sql, factored so conversation-level and
+    context-window oracles can reuse it)."""
+    from collections import Counter
+
+    counts = Counter(_tr_analyzed(query))
+    qrows = ", ".join(f"('{t}', {c})" for t, c in sorted(counts.items()))
+    return f"""
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM (VALUES {qrows}) AS q(term, qtf)
+  JOIN trstats s ON s.term = q.term
+  CROSS JOIN trcorpus c
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM trpostings p
+  JOIN qw ON qw.term = p.term
+  JOIN trdoclen d ON d.doc_id = p.doc_id
+  CROSS JOIN trcorpus c
+  GROUP BY p.doc_id
+)"""
+
+
+_TR_CONV_K = 10
+
+
+def tr_conv_search(spark, sf_dir):
+    """Conversation-level retrieval (transcripts.conversation_search):
+    BM25 over turns, MaxP aggregation to conversations, deterministic
+    best-turn/tie handling. The oracle replays the whole chain — analyzed
+    BM25 (corpus + stem map inlined, _tr_corpus_ctes), conv extraction by
+    key split, max/argmax via an explicit ties join, and the
+    integer-scaled exact score sum."""
+    from .fixtures import doc_key_col, transcripts_df
+    from .transcripts import conversation_search
+
+    corpus = transcripts_df(spark, "tiny").withColumn("doc_id", doc_key_col())
+    idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    return conversation_search(idx, _TR_BM25_QUERY, _TR_CONV_K)
+
+
+def _tr_conv_search_sql() -> str:
+    return f"""
+WITH {_tr_corpus_ctes()},
+{_tr_scored_frag(_TR_BM25_QUERY)},
+turns AS (
+  SELECT split_part(doc_id, ':', 1) AS conv_id,
+         split_part(doc_id, ':', 2)::INT AS turn_idx,
+         round(score, 4) AS score_r
+  FROM scored
+),
+convagg AS (
+  SELECT conv_id, max(score_r) AS score_r, count(*)::BIGINT AS n_hit_turns,
+         (sum(CAST(round(score_r * 10000) AS BIGINT)) / 10000.0)
+           AS sum_score_r
+  FROM turns GROUP BY conv_id
+),
+best AS (
+  SELECT t.conv_id, min(t.turn_idx)::INT AS best_turn
+  FROM turns t JOIN convagg m
+    ON m.conv_id = t.conv_id AND t.score_r = m.score_r
+  GROUP BY t.conv_id
+)
+SELECT m.conv_id, m.score_r, b.best_turn, m.n_hit_turns, m.sum_score_r
+FROM convagg m JOIN best b USING (conv_id)
+ORDER BY m.score_r DESC, m.conv_id LIMIT {_TR_CONV_K}
+"""
+
+
+_TR_CTX_K = 5
+_TR_CTX_WINDOW = 2
+
+
+def tr_context(spark, sf_dir):
+    """Context-window retrieval (transcripts.search_with_context): top-5
+    BM25 turn hits, each hydrated with ±2 surrounding turns of its
+    conversation rendered in turn order. The oracle replays the rounded
+    top-k cut, the conv/turn key split, the |Δturn| <= 2 join and the
+    ordered string_agg."""
+    from .fixtures import doc_key_col, transcripts_df
+    from .transcripts import search_with_context
+
+    tr = transcripts_df(spark, "tiny")
+    corpus = tr.withColumn("doc_id", doc_key_col())
+    idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    return search_with_context(
+        idx, tr, _TR_BM25_QUERY, top_k=_TR_CTX_K, window=_TR_CTX_WINDOW
+    )
+
+
+def _tr_context_sql() -> str:
+    from .fixtures import SIZES, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', {}, '{}', '{}')".format(
+            cid, int(ti), role, txt.replace("'", "''")
+        )
+        for cid, ti, role, txt in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
+        )
+    )
+    return f"""
+WITH {_tr_corpus_ctes()},
+{_tr_scored_frag(_TR_BM25_QUERY)},
+trturns(conv_id, turn_idx, role, text) AS (VALUES {rows}),
+hits AS (
+  SELECT doc_id, round(score, 4) AS score_r,
+         split_part(doc_id, ':', 1) AS conv_id,
+         split_part(doc_id, ':', 2)::INT AS hit_turn
+  FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT {_TR_CTX_K}
+),
+ctx AS (
+  SELECT h.doc_id, h.score_r, t.turn_idx,
+         '[' || t.turn_idx::VARCHAR || '] ' || t.role || ': ' || t.text
+           AS line
+  FROM hits h JOIN trturns t
+    ON t.conv_id = h.conv_id
+   AND abs(t.turn_idx - h.hit_turn) <= {_TR_CTX_WINDOW}
+)
+SELECT doc_id, score_r, count(*)::BIGINT AS n_ctx_turns,
+       string_agg(line, chr(10) ORDER BY turn_idx) AS context
+FROM ctx GROUP BY doc_id, score_r
+ORDER BY score_r DESC, doc_id
+"""
+
+
+def tr_tool_paths(spark, sf_dir):
+    """Tool-call transition matrix (transcripts.tool_transitions):
+    consecutive tool invocations per conversation as (src → dst) bigrams
+    with '<start>' entries. The oracle replays the filter, the per-conv
+    lag window, and both counts."""
+    from .fixtures import transcripts_df
+    from .transcripts import tool_transitions
+
+    out = tool_transitions(transcripts_df(spark, "tiny"))
+    return out.orderBy(F.desc("n"), F.asc("src_tool"), F.asc("dst_tool"))
+
+
+def _tr_tool_paths_sql() -> str:
+    from .fixtures import SIZES, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', {}, '{}')".format(cid, int(ti), tool)
+        for cid, ti, tool in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["tool"]
+        )
+    )
+    return f"""
+WITH trturns(conv_id, turn_idx, tool) AS (VALUES {rows}),
+calls AS (SELECT * FROM trturns WHERE tool <> ''),
+pairs AS (
+  SELECT conv_id,
+         coalesce(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '<start>') AS src_tool,
+         tool AS dst_tool
+  FROM calls
+)
+SELECT src_tool, dst_tool, count(*)::BIGINT AS n,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM pairs GROUP BY src_tool, dst_tool
+ORDER BY n DESC, src_tool, dst_tool
+"""
+
+
 _PRF_FB_DOCS = 5
 _PRF_FB_TERMS = 3
 
@@ -3339,6 +3511,9 @@ QUERIES = {
     "tr_phrase_planted": tr_phrase_planted,
     "tr_conversation_pack": tr_conversation_pack,
     "tr_conv_stats": tr_conv_stats,
+    "tr_conv_search": tr_conv_search,
+    "tr_context": tr_context,
+    "tr_tool_paths": tr_tool_paths,
     # media plumbing: oracled via a construction-derived VALUES table
     # (expected sha/bytes/decoded computed driver-side without Spark);
     # float feature vectors are pytest-value-tested instead
@@ -3424,5 +3599,8 @@ ORACLES = {
     "tr_phrase_planted": _tr_phrase_sql(_TR_PHRASE),
     "tr_conversation_pack": _tr_pack_sql(),
     "tr_conv_stats": _tr_conv_stats_sql(),
+    "tr_conv_search": _tr_conv_search_sql(),
+    "tr_context": _tr_context_sql(),
+    "tr_tool_paths": _tr_tool_paths_sql(),
     "media_features": _media_features_sql(),
 }

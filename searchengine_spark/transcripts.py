@@ -88,6 +88,161 @@ def pack_conversations(
     )
 
 
+def conversation_search(
+    index,
+    query: str,
+    top_k: int | None = 10,
+    decimals: int = 4,
+) -> DataFrame:
+    """Conversation-level retrieval: BM25-score every turn, then aggregate
+    turn scores to conversations (MaxP passage aggregation — a
+    conversation ranks by its best turn, the standard passage-to-document
+    scheme). Returns ``(conv_id, score_r, best_turn, n_hit_turns,
+    sum_score_r)`` for the top ``top_k`` conversations.
+
+    docIDs follow the engine's transcript key ``conv_id:turn_idx``
+    (fixtures.doc_key_col; conv_id contains no ':'), so conv extraction is
+    a string split, not a corpus join.
+
+    Engine-independence: turn scores are rounded to ``decimals`` BEFORE
+    aggregation; ``best_turn`` is the lowest turn_idx among max-scoring
+    turns (a single lexicographic struct-max, deterministic under any
+    partitioning); ``sum_score_r`` sums decimal-scaled INTEGER units
+    (integer addition is associative-exact, so the sum is bit-stable
+    regardless of combine order — a float sum would not be).
+
+    Plan: the stock BM25 plan (one doc_id shuffle) + one conv_id
+    groupBy whose every aggregate is combinable, then TakeOrdered.
+    """
+    scale = 10**decimals
+    scored = index.search_bm25(query, None)
+    per_turn = scored.select(
+        F.substring_index("doc_id", ":", 1).alias("conv_id"),
+        F.substring_index("doc_id", ":", -1).cast("int").alias("turn_idx"),
+        F.round("score", decimals).alias("score_r"),
+    )
+    agg = per_turn.groupBy("conv_id").agg(
+        F.max(
+            F.struct(
+                F.col("score_r"), (-F.col("turn_idx")).alias("_negturn")
+            )
+        ).alias("_best"),
+        F.count(F.lit(1)).cast("long").alias("n_hit_turns"),
+        F.sum(F.round(F.col("score_r") * scale).cast("long")).alias("_sumi"),
+    )
+    out = agg.select(
+        "conv_id",
+        F.col("_best.score_r").alias("score_r"),
+        (-F.col("_best._negturn")).cast("int").alias("best_turn"),
+        "n_hit_turns",
+        (F.col("_sumi") / F.lit(float(scale))).alias("sum_score_r"),
+    )
+    if top_k is None:
+        return out
+    return out.orderBy(F.desc("score_r"), F.asc("conv_id")).limit(top_k)
+
+
+def search_with_context(
+    index,
+    transcripts: DataFrame,
+    query: str,
+    top_k: int = 5,
+    window: int = 2,
+    decimals: int = 4,
+) -> DataFrame:
+    """Turn-level BM25 top-k, each hit hydrated with the ±``window``
+    surrounding turns of its conversation — the "show the exchange, not
+    the isolated turn" retrieval a transcript UI or a RAG assembler needs.
+    Returns ``(doc_id, score_r, n_ctx_turns, context)`` where ``context``
+    is the newline-joined ``[turn_idx] role: text`` rendering in turn
+    order (the hit line included).
+
+    The top-k cut is rounded-score + doc_id (engine-independent, the
+    snippets pattern). Context fetch is ONE corpus pass: the k-row hit
+    frame is broadcast, the transcripts scan hash-joins it on conv_id
+    with an |Δturn| <= window residual — no corpus-wide shuffle; only the
+    O(k·(2·window+1)) surviving rows reach the final tiny groupBy. At
+    10^12 turns with a conv_id-sorted/bucketed table the same join prunes
+    to the touched row groups.
+    """
+    hits = (
+        index.search_bm25(query, None)
+        .select("doc_id", F.round("score", decimals).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(top_k)
+        .select(
+            "doc_id",
+            "score_r",
+            F.substring_index("doc_id", ":", 1).alias("conv_id"),
+            F.substring_index("doc_id", ":", -1).cast("int").alias("hit_turn"),
+        )
+    )
+    line = F.concat(
+        F.lit("["),
+        F.col("turn_idx").cast("string"),
+        F.lit("] "),
+        F.col("role"),
+        F.lit(": "),
+        F.col("text"),
+    )
+    turns = transcripts.select(
+        "conv_id", F.col("turn_idx").alias("ctx_turn"), line.alias("_line")
+    )
+    ctx = turns.join(F.broadcast(hits), "conv_id").where(
+        F.abs(F.col("ctx_turn") - F.col("hit_turn")) <= window
+    )
+    return (
+        ctx.groupBy("doc_id", "score_r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ctx_turns"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ctx_turn", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("context"),
+        )
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+    )
+
+
+TOOL_START = "<start>"
+
+
+def tool_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-call transition mining over agent transcripts: for every
+    conversation, the sequence of tool invocations in turn order (non-tool
+    turns skipped) yields (previous tool → tool) bigrams, with
+    ``TOOL_START`` marking each conversation's first call. Returns
+    ``(src_tool, dst_tool, n, n_convs)`` — the corpus-wide transition
+    matrix an agent-behavior analysis starts from (entry-tool mix, loops,
+    dead tools).
+
+    Plan: the ``tool != ''`` filter pushes into the scan; ONE conv_id
+    shuffle drives the lag window; the transition count is a combinable
+    groupBy over at most |tools|²+|tools| keys.
+    """
+    calls = df.where(F.col(tool_col) != "").select(
+        F.col(conv_col).alias("_conv"),
+        F.col(order_col).alias("_ord"),
+        F.col(tool_col).alias("dst_tool"),
+    )
+    w = Window.partitionBy("_conv").orderBy("_ord")
+    pairs = calls.withColumn(
+        "src_tool", F.coalesce(F.lag("dst_tool").over(w), F.lit(TOOL_START))
+    )
+    return pairs.groupBy("src_tool", "dst_tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct(F.col("_conv")).alias("n_convs"),
+    )
+
+
 def conversation_stats(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -482,3 +482,99 @@ def test_pmi_min_count_floor(spark):
     )
     got = pmi_collocations(docs, min_count=2, top_n=None).collect()
     assert [(r["w1"], r["w2"]) for r in got] == [("a", "b")]
+
+
+# --- transcript retrieval operators (transcripts.py) ----------------------
+
+
+def _mini_transcripts(spark):
+    """Three tiny conversations with a controlled vocabulary: 'zebra' is
+    rare (idf-heavy), 'data' is common. Conv c1 has two zebra turns, c2
+    one stronger one, c3 none."""
+    rows = [
+        ("c1", 0, "user", "zebra data", ""),
+        ("c1", 1, "assistant", "data data", ""),
+        ("c1", 2, "tool", "zebra data", "grep"),
+        ("c2", 0, "user", "zebra zebra zebra", ""),
+        ("c2", 1, "assistant", "data", ""),
+        ("c3", 0, "user", "data data data", ""),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+
+
+def _mini_index(spark, tr):
+    from searchengine_spark.fixtures import doc_key_col
+
+    corpus = tr.withColumn("doc_id", doc_key_col())
+    return build_index(spark, corpus.select("doc_id", "text"), cache=False)
+
+
+def test_conversation_search_maxp_hand_checked(spark):
+    from searchengine_spark.transcripts import conversation_search
+
+    tr = _mini_transcripts(spark)
+    idx = _mini_index(spark, tr)
+    got = {r["conv_id"]: r for r in
+           conversation_search(idx, "zebra", top_k=None).collect()}
+    # only convs with a zebra turn appear
+    assert set(got) == {"c1", "c2"}
+    c1, c2 = got["c1"], got["c2"]
+    # c1's two zebra turns have identical (dl=2, tf=1) scores -> rounded
+    # tie -> best_turn is the LOWEST tying turn
+    assert c1["best_turn"] == 0 and c1["n_hit_turns"] == 2
+    # tf=3 in a dl=3 doc beats tf=1 in dl=2 (same idf) under BM25
+    assert c2["score_r"] > c1["score_r"]
+    assert c2["best_turn"] == 0 and c2["n_hit_turns"] == 1
+    # sum of the two identical rounded turn scores, exactly
+    assert c1["sum_score_r"] == round(2 * c1["score_r"], 4)
+    # MaxP ordering: top_k=1 returns c2
+    top1 = conversation_search(idx, "zebra", top_k=1).collect()
+    assert [r["conv_id"] for r in top1] == ["c2"]
+
+
+def test_search_with_context_window_and_edges(spark):
+    from searchengine_spark.transcripts import search_with_context
+
+    tr = _mini_transcripts(spark)
+    idx = _mini_index(spark, tr)
+    out = search_with_context(idx, tr, "zebra", top_k=3, window=1).collect()
+    assert [r["doc_id"] for r in out][0] == "c2:0000"  # strongest turn first
+    by_id = {r["doc_id"]: r for r in out}
+    # c1 turn 2 hit: window=1 pulls turns 1..2 (turn 3 doesn't exist)
+    c1t2 = by_id["c1:0002"]
+    assert c1t2["n_ctx_turns"] == 2
+    assert c1t2["context"] == "[1] assistant: data data\n[2] tool: zebra data"
+    # conversation-start edge: turn 0 hit has no preceding turn
+    c2t0 = by_id["c2:0000"]
+    assert c2t0["context"].startswith("[0] user: zebra zebra zebra")
+    assert c2t0["n_ctx_turns"] == 2  # turns 0 and 1
+
+
+def test_tool_transitions_hand_checked(spark):
+    from searchengine_spark.transcripts import tool_transitions
+
+    rows = [
+        # c1: grep -> (non-tool turns skipped) -> editor -> grep
+        ("c1", 0, "user", "x", ""),
+        ("c1", 1, "tool", "x", "grep"),
+        ("c1", 2, "assistant", "x", ""),
+        ("c1", 3, "tool", "x", "editor"),
+        ("c1", 4, "tool", "x", "grep"),
+        # c2: grep only
+        ("c2", 0, "tool", "x", "grep"),
+        # c3: grep -> editor (same transition as nothing else)
+        ("c3", 0, "tool", "x", "grep"),
+        ("c3", 1, "tool", "x", "editor"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {(r["src_tool"], r["dst_tool"]): (r["n"], r["n_convs"])
+           for r in tool_transitions(df).collect()}
+    assert got == {
+        ("<start>", "grep"): (3, 3),
+        ("grep", "editor"): (2, 2),
+        ("editor", "grep"): (1, 1),
+    }
