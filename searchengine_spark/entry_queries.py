@@ -3236,6 +3236,72 @@ ORDER BY n DESC, src_tool, dst_tool
 """
 
 
+_RECENCY_NOW_ES = 1767312000  # 2026-01-02T00:00:00Z = fixture epoch + 1 day
+_RECENCY_HALF_LIFE_S = 21600  # 6 h — spans meaningful decay over the corpus
+
+
+def tr_recency_top10(spark, sf_dir):
+    """Recency-decayed BM25 (query/ranked.py::search_bm25_recency):
+    score × 0.5^(age/half-life) with a pinned 'now' literal, decayed
+    BEFORE the top-k cut. The oracle replays the BM25 scored CTE and the
+    identical decay arithmetic over inlined (doc_id, epoch) rows."""
+    from .fixtures import doc_key_col, transcripts_df
+    from .query.ranked import search_bm25_recency
+
+    tr = transcripts_df(spark, "tiny")
+    corpus = tr.withColumn("doc_id", doc_key_col())
+    idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    return search_bm25_recency(
+        idx,
+        corpus.select("doc_id", "ts"),
+        _TR_BM25_QUERY,
+        _RECENCY_NOW_ES,
+        _RECENCY_HALF_LIFE_S,
+        10,
+    )
+
+
+def _tr_recency_sql() -> str:
+    from .fixtures import SIZES, doc_key, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', {})".format(doc_key(str(cid), int(ti)), int(ts.timestamp()))
+        for cid, ti, ts in zip(pdf["conv_id"], pdf["turn_idx"], pdf["ts"])
+    )
+    return f"""
+WITH {_tr_corpus_ctes()},
+{_tr_scored_frag(_TR_BM25_QUERY)},
+trts(doc_id, es) AS (VALUES {rows})
+SELECT s.doc_id,
+       round(s.score * pow(0.5, ({_RECENCY_NOW_ES} - t.es)::DOUBLE
+                                / {float(_RECENCY_HALF_LIFE_S)}), 4)
+         AS score_r,
+       ({_RECENCY_NOW_ES} - t.es)::BIGINT AS age_s
+FROM scored s JOIN trts t ON t.doc_id = s.doc_id
+ORDER BY score_r DESC, s.doc_id LIMIT 10
+"""
+
+
+_SUGGEST_PREFIX = "s"
+_SUGGEST_K = 4  # of 6 matching vocab terms — exercises the cut
+
+
+def ft_suggest(spark, sf_dir):
+    """Query autocomplete (query/fuzzy.py::suggest_terms): top-k vocabulary
+    completions of a prefix by document frequency. The oracle filters the
+    independently-recomputed stats CTE with the same LIKE prefix."""
+    idx = _ft_index(spark, sf_dir)
+    return fz.suggest_terms(idx, _SUGGEST_PREFIX, _SUGGEST_K)
+
+
+FT_SUGGEST_SQL = f"""
+WITH {TOK_CTES}
+SELECT term, df, cf FROM stats WHERE term LIKE '{_SUGGEST_PREFIX}%'
+ORDER BY df DESC, term LIMIT {_SUGGEST_K}
+"""
+
+
 _PRF_FB_DOCS = 5
 _PRF_FB_TERMS = 3
 
@@ -3514,6 +3580,8 @@ QUERIES = {
     "tr_conv_search": tr_conv_search,
     "tr_context": tr_context,
     "tr_tool_paths": tr_tool_paths,
+    "tr_recency_top10": tr_recency_top10,
+    "ft_suggest": ft_suggest,
     # media plumbing: oracled via a construction-derived VALUES table
     # (expected sha/bytes/decoded computed driver-side without Spark);
     # float feature vectors are pytest-value-tested instead
@@ -3602,5 +3670,7 @@ ORACLES = {
     "tr_conv_search": _tr_conv_search_sql(),
     "tr_context": _tr_context_sql(),
     "tr_tool_paths": _tr_tool_paths_sql(),
+    "tr_recency_top10": _tr_recency_sql(),
+    "ft_suggest": FT_SUGGEST_SQL,
     "media_features": _media_features_sql(),
 }

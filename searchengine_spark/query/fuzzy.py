@@ -185,3 +185,19 @@ def search_bm25_corrected(index, query: str, k: int | None = None) -> DataFrame:
     BM25 plan; correction adds only driver-side vocabulary lookups."""
     corrected = [c for _, c in correct_query_terms(index, query)]
     return index.search_bm25(corrected, k)
+
+
+def suggest_terms(
+    index, prefix: str, k: int = 10, max_terms: int = MAX_EXPANDED_TERMS
+) -> DataFrame:
+    """Query autocomplete: the top-``k`` vocabulary completions of
+    ``prefix`` ranked by document frequency (df desc, term asc — a total
+    order, terms are unique). Rides prefix_terms, so the StartsWith
+    predicate reaches the term-stats scan (term-sorted artifact stats →
+    row-group pruning) and the Lucene-style expansion cap still guards
+    one-letter prefixes. Returns ``(term, df, cf)``."""
+    return (
+        prefix_terms(index, prefix, max_terms)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

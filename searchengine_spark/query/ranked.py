@@ -262,3 +262,44 @@ def search_tfidf(index, query, k: int | None = None) -> DataFrame:
     )
     scored = scored.orderBy(F.desc("score"), F.asc("doc_id"))
     return scored.limit(k) if k is not None else scored
+
+
+def search_bm25_recency(
+    index,
+    meta: DataFrame,
+    query: str,
+    now_es: int,
+    half_life_s: float,
+    k: int | None = None,
+    ts_col: str = "ts",
+    decimals: int = 4,
+) -> DataFrame:
+    """Recency-decayed BM25: ``score' = bm25 · 0.5^((now−ts)/half_life)``
+    — exponential time decay over a (doc_id, timestamp) metadata frame,
+    the freshness-aware ranking a transcript search surface needs (recent
+    turns matter more than stale ones at equal relevance).
+
+    ``now_es`` is an explicit epoch-seconds literal, never wall-clock —
+    determinism (and the DuckDB twin) require the caller to pin "now".
+    The decay multiplies the raw score BEFORE the rounded top-k cut, so
+    it genuinely re-ranks (a post-cut decay could only reorder the k).
+
+    Plan: the stock BM25 plan, then ONE doc_id equi-join against the
+    metadata frame — scored rows are only the term-matched docs, and at
+    10^12 turns a doc_id-bucketed metadata table co-locates the join.
+    Returns ``(doc_id, score_r, age_s)``.
+    """
+    scored = search_bm25(index, query, None)
+    m = meta.select("doc_id", F.col(ts_col).cast("long").alias("_es"))
+    age_s = F.lit(int(now_es)) - F.col("_es")
+    decayed = F.col("score") * F.pow(
+        F.lit(0.5), age_s.cast("double") / F.lit(float(half_life_s))
+    )
+    out = scored.join(m, "doc_id").select(
+        "doc_id",
+        F.round(decayed, decimals).alias("score_r"),
+        age_s.cast("long").alias("age_s"),
+    )
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(k)

@@ -578,3 +578,54 @@ def test_tool_transitions_hand_checked(spark):
         ("grep", "editor"): (2, 2),
         ("editor", "grep"): (1, 1),
     }
+
+
+def test_recency_decay_reranks_and_math(spark):
+    import math
+    from datetime import datetime, timezone
+
+    from searchengine_spark.query.ranked import search_bm25_recency
+
+    # doc 1: stronger BM25 (tf=2) but 12h old; doc 2: weaker (tf=1, longer
+    # dl) but fresh. With a 3h half-life the fresh doc must win.
+    t0 = datetime(2026, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
+    t1 = datetime(2026, 1, 1, 12, 0, 0, tzinfo=timezone.utc)
+    rows = [("1", "zebra zebra", t0), ("2", "zebra data data data", t1)]
+    corpus = spark.createDataFrame(rows, "doc_id string, text string, ts timestamp")
+    idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    now_es = int(t1.timestamp())  # doc2 age 0, doc1 age 43200 s
+    out = search_bm25_recency(
+        idx, corpus.select("doc_id", "ts"), "zebra", now_es, 10800.0, 10
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got["1"]["age_s"] == 43200 and got["2"]["age_s"] == 0
+    # replay the decay exactly: raw bm25 * 0.5^(age/half_life)
+    raw = {r["doc_id"]: r["score"] for r in idx.search_bm25("zebra", None).collect()}
+    for d in ("1", "2"):
+        want = round(raw[d] * math.pow(0.5, got[d]["age_s"] / 10800.0), 4)
+        assert got[d]["score_r"] == want
+    # undecayed order has doc 1 first; decay flips it
+    assert raw["1"] > raw["2"]
+    ordered = [r["doc_id"] for r in out.collect()]
+    assert ordered[0] == "2"
+
+
+def test_suggest_terms_df_order_and_cap(spark):
+    from searchengine_spark.query.fuzzy import suggest_terms
+
+    rows = [
+        ("1", "apple apricot banana"),
+        ("2", "apple apricot"),
+        ("3", "apple axe"),
+        ("4", "apple"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+    # punctuation analyzer: suggestions should be surface forms, not stems
+    idx = build_index(spark, corpus, analyzer="punctuation", cache=False)
+    got = [(r["term"], r["df"]) for r in suggest_terms(idx, "a", 3).collect()]
+    # df: apple=4, apricot=2, axe=1 -> k=3 keeps all three in df-desc order
+    assert got == [("apple", 4), ("apricot", 2), ("axe", 1)]
+    got2 = [r["term"] for r in suggest_terms(idx, "ap", 1).collect()]
+    assert got2 == ["apple"]
+    with pytest.raises(ValueError):
+        suggest_terms(idx, "", 3)
