@@ -629,3 +629,38 @@ def test_suggest_terms_df_order_and_cap(spark):
     assert got2 == ["apple"]
     with pytest.raises(ValueError):
         suggest_terms(idx, "", 3)
+
+
+def test_transcript_ops_plans_no_nested_loop(spark):
+    """Plan assertion for the transcript-retrieval operators: every join
+    is an equi-join — no BroadcastNestedLoop, no CartesianProduct (the
+    context window's |Δturn| bound must stay a residual on the conv_id
+    hash join, never a join condition on its own)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.fuzzy import suggest_terms
+    from searchengine_spark.query.ranked import search_bm25_recency
+    from searchengine_spark.transcripts import (
+        conversation_search,
+        search_with_context,
+        tool_transitions,
+    )
+
+    tr = _mini_transcripts(spark).withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    idx = _mini_index(spark, tr)
+    from searchengine_spark.fixtures import doc_key_col
+
+    meta = tr.withColumn("doc_id", doc_key_col()).select("doc_id", "ts")
+    frames = {
+        "conv_search": conversation_search(idx, "zebra", 3),
+        "context": search_with_context(idx, tr, "zebra", 3, 1),
+        "tool_paths": tool_transitions(tr),
+        "recency": search_bm25_recency(idx, meta, "zebra", 1767312000, 3600.0, 3),
+        "suggest": suggest_terms(idx, "z", 3),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
