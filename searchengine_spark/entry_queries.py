@@ -3283,6 +3283,51 @@ ORDER BY score_r DESC, s.doc_id LIMIT 10
 """
 
 
+_FIELDED_QUERY = _TR_BM25_QUERY + " role:assistant role:user"
+
+
+def tr_fielded_top10(spark, sf_dir):
+    """Fielded search-box query (query/fielded.py): ``field:value`` tokens
+    compile to metadata equality filters (same-field values OR, fields
+    AND) feeding filtered BM25; free text stays the relevance query. The
+    oracle replays the BM25 scored CTE restricted by the same role
+    predicate over inlined (doc_id, role) rows — scores must equal the
+    unfiltered ones (restriction semantics: corpus-global idf/avgdl)."""
+    from .fixtures import doc_key_col, transcripts_df
+    from .query.fielded import search_fielded
+
+    tr = transcripts_df(spark, "tiny")
+    corpus = tr.withColumn("doc_id", doc_key_col())
+    idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    res = search_fielded(
+        idx, corpus.select("doc_id", "role", "tool"), _FIELDED_QUERY, None
+    )
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _tr_fielded_sql() -> str:
+    from .fixtures import SIZES, doc_key, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', '{}')".format(doc_key(str(cid), int(ti)), role)
+        for cid, ti, role in zip(pdf["conv_id"], pdf["turn_idx"], pdf["role"])
+    )
+    return f"""
+WITH {_tr_corpus_ctes()},
+{_tr_scored_frag(_TR_BM25_QUERY)},
+trmeta(doc_id, role) AS (VALUES {rows})
+SELECT s.doc_id, round(s.score, 4) AS score_r
+FROM scored s JOIN trmeta m ON m.doc_id = s.doc_id
+WHERE m.role IN ('assistant', 'user')
+ORDER BY score_r DESC, s.doc_id LIMIT 10
+"""
+
+
 _SUGGEST_PREFIX = "s"
 _SUGGEST_K = 4  # of 6 matching vocab terms — exercises the cut
 
@@ -3581,6 +3626,7 @@ QUERIES = {
     "tr_context": tr_context,
     "tr_tool_paths": tr_tool_paths,
     "tr_recency_top10": tr_recency_top10,
+    "tr_fielded_top10": tr_fielded_top10,
     "ft_suggest": ft_suggest,
     # media plumbing: oracled via a construction-derived VALUES table
     # (expected sha/bytes/decoded computed driver-side without Spark);
@@ -3671,6 +3717,7 @@ ORACLES = {
     "tr_context": _tr_context_sql(),
     "tr_tool_paths": _tr_tool_paths_sql(),
     "tr_recency_top10": _tr_recency_sql(),
+    "tr_fielded_top10": _tr_fielded_sql(),
     "ft_suggest": FT_SUGGEST_SQL,
     "media_features": _media_features_sql(),
 }

@@ -664,3 +664,52 @@ def test_transcript_ops_plans_no_nested_loop(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# --- fielded query surface (query/fielded.py) ------------------------------
+
+
+def test_parse_fielded():
+    from searchengine_spark.query.fielded import parse_fielded
+
+    free, filt = parse_fielded("spark error role:assistant tool:bash role:user")
+    assert free == "spark error"
+    assert filt == {"role": ["assistant", "user"], "tool": ["bash"]}
+    # degenerate colon tokens stay free text; dup values collapse
+    free, filt = parse_fielded("a: :b c role:x role:x")
+    assert free == "a: :b c"
+    assert filt == {"role": ["x"]}
+    assert parse_fielded("plain words") == ("plain words", {})
+
+
+def test_search_fielded_restriction_and_errors(spark):
+    from searchengine_spark.query.fielded import search_fielded
+
+    tr = _mini_transcripts(spark)
+    idx = _mini_index(spark, tr)
+    from searchengine_spark.fixtures import doc_key_col
+
+    meta = tr.withColumn("doc_id", doc_key_col()).select(
+        "doc_id", "role", "tool"
+    )
+    full = {r["doc_id"]: r["score"]
+            for r in idx.search_bm25("zebra", None).collect()}
+    got = {r["doc_id"]: r["score"]
+           for r in search_fielded(idx, meta, "zebra role:user", None).collect()}
+    # only user-role turns match, with UNCHANGED scores (corpus-global stats)
+    assert set(got) == {"c1:0000", "c2:0000"}
+    for d, s in got.items():
+        assert s == full[d]
+    # same-field OR: user+tool roles
+    got2 = search_fielded(idx, meta, "zebra role:user role:tool", None)
+    assert {r["doc_id"] for r in got2.collect()} == {
+        "c1:0000", "c1:0002", "c2:0000"
+    }
+    # no filters -> identical to plain BM25
+    got3 = {r["doc_id"]: r["score"]
+            for r in search_fielded(idx, meta, "zebra", None).collect()}
+    assert got3 == full
+    with pytest.raises(ValueError, match="free-text"):
+        search_fielded(idx, meta, "role:user", None)
+    with pytest.raises(ValueError, match="unknown filter field"):
+        search_fielded(idx, meta, "zebra rol:user", None)
