@@ -3328,6 +3328,112 @@ ORDER BY score_r DESC, s.doc_id LIMIT 10
 """
 
 
+_BM25F_WEIGHTS = {"assistant": 2.0, "user": 1.0}  # 'tool' unsearched:
+# exercises the searched-fields-only df/N/avgdl convention, not just the
+# weighting
+
+
+def tr_bm25f_top10(spark, sf_dir):
+    """Field-weighted BM25F (query/bm25f.py) over conversations: doc =
+    conv_id, fields = role streams (assistant boosted 2x, tool turns
+    excluded from search AND from the collection statistics). The oracle
+    replays the whole model in SQL — per-(conv, role) tf/dl from the
+    inlined corpus + stem map, searched-field df/N/avgdl, the per-field
+    length-normalized weighted pseudo-frequency, and the single
+    saturation — then the rounded top-10 cut."""
+    from .fixtures import transcripts_df
+    from .query.bm25f import search_bm25f
+
+    tr = transcripts_df(spark, "tiny")
+    fields = tr.select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("role").alias("field"),
+        "text",
+    )
+    res = search_bm25f(spark, fields, _TR_BM25_QUERY, _BM25F_WEIGHTS)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _tr_bm25f_sql() -> str:
+    from collections import Counter
+
+    from .analysis.porter import stem
+    from .fixtures import SIZES, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', '{}', '{}')".format(cid, role, txt.replace("'", "''"))
+        for cid, role, txt in zip(pdf["conv_id"], pdf["role"], pdf["text"])
+    )
+    vocab = sorted({t for txt in pdf["text"] for t in punctuation_tokenize(txt)})
+    stems = ", ".join(f"('{t}', '{stem(t)}')" for t in vocab)
+    searched = ", ".join(f"'{f}'" for f in sorted(_BM25F_WEIGHTS))
+    fw = ", ".join(
+        f"('{f}', {w})" for f, w in sorted(_BM25F_WEIGHTS.items())
+    )
+    counts = Counter(_tr_analyzed(_TR_BM25_QUERY))
+    qrows = ", ".join(f"('{t}', {c})" for t, c in sorted(counts.items()))
+    return f"""
+WITH trf AS (SELECT * FROM (VALUES {rows}) AS v(doc_id, field, text)),
+trstems AS (SELECT * FROM (VALUES {stems}) AS v(tok, term)),
+trflists AS (
+  SELECT doc_id, field,
+         list_filter(
+           string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                              '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> '' AND x NOT IN ({_STOP_SQL})
+         ) AS toks
+  FROM trf WHERE field IN ({searched})
+),
+trftok AS (
+  SELECT l.doc_id, l.field, s.term
+  FROM (SELECT doc_id, field, unnest(toks) AS tok FROM trflists) l
+  JOIN trstems s ON s.tok = l.tok
+),
+trfpost AS (
+  SELECT doc_id, field, term, count(*)::BIGINT AS tf
+  FROM trftok GROUP BY doc_id, field, term
+),
+trfdl AS (
+  SELECT doc_id, field, sum(len(toks))::BIGINT AS dl
+  FROM trflists GROUP BY doc_id, field
+),
+trfavg AS (SELECT field, avg(dl)::DOUBLE AS avgdl FROM trfdl GROUP BY field),
+trfn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM trflists),
+trfdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM trfpost GROUP BY term
+),
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+  FROM (VALUES {qrows}) AS q(term, qtf)
+  JOIN trfdf d ON d.term = q.term CROSS JOIN trfn n
+),
+fw AS (SELECT * FROM (VALUES {fw}) AS v(field, w)),
+wtf AS (
+  SELECT p.doc_id, p.term,
+         sum(f.w * p.tf::DOUBLE
+             / (1.0 - {BM25_B} + {BM25_B} * l.dl / a.avgdl)) AS wtf
+  FROM trfpost p
+  JOIN trfdl l ON l.doc_id = p.doc_id AND l.field = p.field
+  JOIN trfavg a ON a.field = p.field
+  JOIN fw f ON f.field = p.field
+  GROUP BY p.doc_id, p.term
+),
+scored AS (
+  SELECT w.doc_id, sum(q.qtf * q.idf * w.wtf / ({BM25_K1} + w.wtf)) AS score
+  FROM wtf w JOIN qw q ON q.term = w.term GROUP BY w.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY score_r DESC, doc_id LIMIT 10
+"""
+
+
 _SUGGEST_PREFIX = "s"
 _SUGGEST_K = 4  # of 6 matching vocab terms — exercises the cut
 
@@ -3627,6 +3733,7 @@ QUERIES = {
     "tr_tool_paths": tr_tool_paths,
     "tr_recency_top10": tr_recency_top10,
     "tr_fielded_top10": tr_fielded_top10,
+    "tr_bm25f_top10": tr_bm25f_top10,
     "ft_suggest": ft_suggest,
     # media plumbing: oracled via a construction-derived VALUES table
     # (expected sha/bytes/decoded computed driver-side without Spark);
@@ -3718,6 +3825,7 @@ ORACLES = {
     "tr_tool_paths": _tr_tool_paths_sql(),
     "tr_recency_top10": _tr_recency_sql(),
     "tr_fielded_top10": _tr_fielded_sql(),
+    "tr_bm25f_top10": _tr_bm25f_sql(),
     "ft_suggest": FT_SUGGEST_SQL,
     "media_features": _media_features_sql(),
 }

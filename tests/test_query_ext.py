@@ -713,3 +713,125 @@ def test_search_fielded_restriction_and_errors(spark):
         search_fielded(idx, meta, "role:user", None)
     with pytest.raises(ValueError, match="unknown filter field"):
         search_fielded(idx, meta, "zebra rol:user", None)
+
+
+# --- BM25F field-weighted ranking (query/bm25f.py) --------------------------
+
+
+_BM25F_ROWS = [
+    ("d1", "title", "spark shuffle tuning guide"),
+    ("d1", "body", "how to tune shuffle partitions in spark. shuffle is costly"),
+    ("d2", "title", "cooking pasta"),
+    ("d2", "body", "spark of flavor in the sauce; shuffle the deck"),
+    ("d3", "body", "spark errors and shuffle spill, spark spark"),
+    ("d3", "body", "second body fragment mentions shuffle once"),  # additive rows
+]
+
+
+def _bm25f_pyref(rows, query, weights, k1=1.2, b=0.75):
+    """Independent pure-python BM25F (Robertson/Zaragoza simple form)."""
+    from collections import Counter
+
+    from searchengine_spark.analysis.analyzer import analyze
+
+    docs = {}
+    for d, f, t in rows:
+        if f in weights:
+            docs.setdefault(d, {}).setdefault(f, []).extend(analyze(t))
+    dl = {(d, f): len(tk) for d, fs in docs.items() for f, tk in fs.items()}
+    fields = {f for _, f in dl}
+    avg = {
+        f: sum(v for (d2, f2), v in dl.items() if f2 == f)
+        / sum(1 for (d2, f2) in dl if f2 == f)
+        for f in fields
+    }
+    n = len(docs)
+    q = Counter(analyze(query))
+    dfc = {
+        t: sum(1 for fs in docs.values() if any(t in tk for tk in fs.values()))
+        for t in q
+    }
+    out = {}
+    for d, fs in docs.items():
+        s = 0.0
+        for t, qtf in sorted(q.items()):
+            if not dfc[t]:
+                continue
+            idf = math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0)
+            wtf = 0.0
+            for f in sorted(fs):
+                tf = fs[f].count(t)
+                if tf:
+                    wtf += weights[f] * tf / (1 - b + b * dl[(d, f)] / avg[f])
+            if wtf:
+                s += qtf * idf * wtf / (k1 + wtf)
+        if s:
+            out[d] = s
+    return out
+
+
+def test_bm25f_matches_pure_python_reference(spark):
+    from searchengine_spark.query.bm25f import search_bm25f
+
+    df = spark.createDataFrame(_BM25F_ROWS, "doc_id string, field string, text string")
+    w = {"title": 2.5, "body": 1.0}
+    got = {r["doc_id"]: r["score"]
+           for r in search_bm25f(spark, df, "spark shuffle", w).collect()}
+    exp = _bm25f_pyref(_BM25F_ROWS, "spark shuffle", w)
+    assert set(got) == set(exp) == {"d1", "d2", "d3"}
+    for d in got:
+        assert got[d] == pytest.approx(exp[d], abs=1e-12)
+    # title boost is live: d1 (title+body hits) outranks d2 (weak body hits)
+    assert got["d1"] > got["d2"]
+
+
+def test_bm25f_searched_fields_restrict_collection_stats(spark):
+    from searchengine_spark.query.bm25f import search_bm25f
+
+    df = spark.createDataFrame(_BM25F_ROWS, "doc_id string, field string, text string")
+    # body-only search: d2's title-only pasta text is out of N/df/avgdl too
+    got = {r["doc_id"]: r["score"]
+           for r in search_bm25f(spark, df, "spark shuffle", {"body": 1.0}).collect()}
+    exp = _bm25f_pyref(_BM25F_ROWS, "spark shuffle", {"body": 1.0})
+    assert got == pytest.approx(exp)
+    # raising a matched field's weight strictly raises the score (saturation
+    # is monotone in the weighted pseudo-frequency)
+    up = {r["doc_id"]: r["score"]
+          for r in search_bm25f(spark, df, "spark shuffle", {"body": 3.0}).collect()}
+    assert all(up[d] > got[d] for d in got)
+
+
+def test_bm25f_single_field_rank_identical_to_bm25(spark):
+    """With ONE searched field, BM25F reduces to idf*tf/(k1*B + tf) — plain
+    BM25 without the (k1+1) numerator — so ranks are identical and scores
+    differ by exactly (k1+1) (given qtf=1 per term)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.bm25f import search_bm25f
+
+    tr = _mini_transcripts(spark)
+    idx = _mini_index(spark, tr)
+    from searchengine_spark.fixtures import doc_key_col
+
+    fields = tr.withColumn("doc_id", doc_key_col()).select(
+        "doc_id", F.lit("text").alias("field"), "text"
+    )
+    f1 = search_bm25f(spark, fields, "zebra data", {"text": 1.0}).collect()
+    b1 = idx.search_bm25("zebra data", None).collect()
+    assert [r["doc_id"] for r in f1] == [r["doc_id"] for r in b1]
+    k1 = float(idx.k1)
+    for rf, rb in zip(f1, b1):
+        assert rf["score"] * (k1 + 1.0) == pytest.approx(rb["score"], rel=1e-12)
+
+
+def test_bm25f_edge_cases(spark):
+    from searchengine_spark.query.bm25f import search_bm25f
+
+    df = spark.createDataFrame(_BM25F_ROWS, "doc_id string, field string, text string")
+    w = {"title": 2.0, "body": 1.0}
+    assert search_bm25f(spark, df, "the of and", w).count() == 0  # stop-only
+    assert search_bm25f(spark, df, "xylophone", w).count() == 0  # unknown
+    assert search_bm25f(spark, df, "spark", w, k=0).count() == 0
+    assert search_bm25f(spark, df, "spark", w, k=2).count() == 2
+    with pytest.raises(ValueError, match="at least one"):
+        search_bm25f(spark, df, "spark", {})
