@@ -303,6 +303,60 @@ GROUP BY doc_id
 """
 
 
+_REGEX_PATTERN = "s(c|t)[a-z]+|[a-z]*dow"  # {scan, stream, window} at the
+# graded scales — deliberately NOT a prefix (exercises alternation + a
+# suffix-anchored branch); Java-regex ∩ RE2 subset so the oracle replays
+# it verbatim
+
+
+def ft_regex(spark, sf_dir):
+    """Regex term search (Lucene RegexpQuery): docs containing any
+    vocabulary term fully matching the anchored pattern, plus the distinct
+    matching-term count (query/fuzzy.py::search_regex — vocabulary-sized
+    stats scan, capped expansion, then a term-IN postings lookup)."""
+    idx = _ft_index(spark, sf_dir)
+    return _as_long_doc_id(fz.search_regex(idx, _REGEX_PATTERN))
+
+
+FT_REGEX_SQL = f"""
+WITH {TOK_CTES}
+SELECT doc_id, count(DISTINCT term)::BIGINT AS n_regex_terms
+FROM tok
+WHERE regexp_full_match(term, '{_REGEX_PATTERN}')
+GROUP BY doc_id
+"""
+
+
+_SLOP_PHRASE = "merge sort"
+_SLOP = 1
+
+
+def ft_phrase_slop(spark, sf_dir):
+    """Ordered sloppy phrase (SpanNearQuery inOrder=true): 'merge sort'
+    with one intervener allowed — strictly between exact phrase and
+    unordered NEAR selectivity (query/phrase.py::search_phrase_slop)."""
+    idx = _ft_index(spark, sf_dir)
+    return _as_long_doc_id(idx.search_phrase_slop(_SLOP_PHRASE, _SLOP))
+
+
+def _phrase_slop_sql(phrase: str, slop: int) -> str:
+    terms = punctuation_tokenize(phrase)
+    budget = slop + len(terms) - 1
+    joins = "".join(
+        f"\nJOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos > t{j-1}.pos"
+        for j in range(1, len(terms))
+    )
+    conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(terms))
+    last = len(terms) - 1
+    # existence via any in-order witness within the gap budget; DISTINCT
+    # collapses witnesses — the k-way join is the independent algorithm
+    return f"""
+WITH {TOK_CTES}
+SELECT DISTINCT t0.doc_id FROM tok t0{joins}
+WHERE {conds} AND t{last}.pos - t0.pos <= {budget}
+"""
+
+
 _SNIPPET_QUERY = "spark join hash"
 _SNIPPET_K = 10
 _SNIPPET_WINDOW = 4
@@ -3658,6 +3712,8 @@ QUERIES = {
     "ft_or": ft_or,
     "ft_boolexpr": ft_boolexpr,
     "ft_near": ft_near,
+    "ft_regex": ft_regex,
+    "ft_phrase_slop": ft_phrase_slop,
     "ft_phrase": ft_phrase,
     "ft_bm25_top20": ft_bm25_top20,
     "ft_bm25_filtered": ft_bm25_filtered,
@@ -3754,6 +3810,8 @@ ORACLES = {
     "ft_or": _or_sql(_FT_QUERIES["or"]),
     "ft_boolexpr": _boolexpr_sql(_BOOL_QUERY),
     "ft_near": _near_sql(_NEAR_QUERY, _NEAR_WINDOW),
+    "ft_regex": FT_REGEX_SQL,
+    "ft_phrase_slop": _phrase_slop_sql(_SLOP_PHRASE, _SLOP),
     "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),
     "ft_bm25_top20": _bm25_sql(_FT_QUERIES["bm25"], 20),
     "ft_bm25_filtered": _bm25_sql(_FT_QUERIES["bm25"], 20, _BM25F_PRED_SQL),

@@ -327,6 +327,15 @@ class Index:
 
         return search_phrase(self, phrase)
 
+    def search_phrase_slop(self, phrase: str, slop: int) -> DataFrame:
+        """Ordered sloppy phrase (SpanNearQuery inOrder=true) — see
+        query/phrase.py::search_phrase_slop; slop=0 == exact phrase."""
+        if not self.positional:
+            raise ValueError("phrase search requires a positional index")
+        from ..query.phrase import search_phrase_slop
+
+        return search_phrase_slop(self, phrase, slop)
+
     def search_bm25(self, query: str, k: int | None = None) -> DataFrame:
         from ..query.ranked import search_bm25
 

@@ -129,6 +129,49 @@ def search_prefix(
     )
 
 
+def regex_terms(
+    index, pattern: str, max_terms: int = MAX_EXPANDED_TERMS
+) -> DataFrame:
+    """(term, df, cf) vocabulary terms matching ``pattern`` — Lucene
+    RegexpQuery semantics: the pattern is anchored and must match the
+    WHOLE term (``rlike`` with ``^(?:...)$`` wrapping).
+
+    Unlike a prefix, a regex predicate cannot push into the parquet scan
+    — but the scan is the TERM-STATS table (vocabulary-sized, orders of
+    magnitude smaller than the corpus), so a full vocabulary pass is the
+    correct cost class; the match then drives a term-IN postings lookup
+    like every other expansion operator. Expansion is capped Lucene-style
+    (maxClauseCount). Keep patterns in the Java-regex ∩ RE2 subset
+    (alternation, classes, quantifiers — the textops/pii rule) so DuckDB
+    oracles can replay them verbatim.
+    """
+    if not pattern:
+        raise ValueError("empty pattern")
+    out = index.term_stats.where(F.col("term").rlike(f"^(?:{pattern})$"))
+    n = out.limit(max_terms + 1).count()
+    if n > max_terms:
+        raise ValueError(
+            f"pattern '{pattern}' expands to >{max_terms} terms "
+            "(maxClauseCount guard) — tighten the pattern"
+        )
+    return out.select("term", "df", "cf")
+
+
+def search_regex(
+    index, pattern: str, max_terms: int = MAX_EXPANDED_TERMS
+) -> DataFrame:
+    """(doc_id, n_regex_terms): documents containing any vocabulary term
+    fully matching ``pattern``, with the count of distinct such terms."""
+    matched = [r["term"] for r in regex_terms(index, pattern, max_terms).collect()]
+    if not matched:
+        spark = index.term_stats.sparkSession
+        return spark.createDataFrame([], "doc_id string, n_regex_terms long")
+    post = index.postings_for_terms(matched, positional=False)
+    return post.groupBy("doc_id").agg(
+        F.countDistinct("term").cast("long").alias("n_regex_terms")
+    )
+
+
 def fuzzy_terms_multi(index, query_terms: list[str]) -> DataFrame:
     """(qterm, term, df, cf): edit-distance-1 vocabulary matches for MANY
     probe terms in ONE variant join — the vocabulary explodes once however

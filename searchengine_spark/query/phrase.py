@@ -70,6 +70,54 @@ def position_maps(index, uniq: list[str]) -> DataFrame:
     )
 
 
+def search_phrase_slop(index, phrase, slop: int) -> DataFrame:
+    """Ordered sloppy phrase — Lucene ``SpanNearQuery(inOrder=true, slop)``
+    semantics: a document matches iff there are positions
+    ``p_0 < p_1 < ... < p_{k-1}``, slot j an occurrence of analyzed term j,
+    whose total gap ``p_{k-1} - p_0 - (k-1)`` is at most ``slop``.
+    ``slop=0`` degenerates to the exact phrase (consecutive positions);
+    the reference ships only that form (Q4), this is its standard
+    relaxation ("merge ... sort" within a couple of interveners).
+
+    Plan: the shared positional front (``position_maps`` — two-phase
+    positions-free candidate scan at high df), then ONE JVM expression per
+    doc. For each start position of term 0, a runtime ``F.aggregate`` fold
+    walks the remaining slots greedily (smallest occurrence strictly after
+    the previous slot — greedy-minimal is exchange-argument optimal for
+    the span test, and a broken chain nulls out, which three-valued logic
+    drops). The fold is a runtime loop over k-1 literal terms, NOT nested
+    macro-expansion, so cost per probe is O(k · tf) — the captured-
+    expression HOF blowup in CLAUDE.md does not apply."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    terms = index.analyze_query(phrase)
+    if not terms:
+        return index.spark.createDataFrame([], "doc_id string")
+    uniq = sorted(set(terms))
+    per_doc = position_maps(index, uniq)
+    if len(terms) == 1:
+        return per_doc.select("doc_id")
+    rest = F.array(*[F.lit(t) for t in terms[1:]])
+    budget = slop + len(terms) - 1
+
+    def span_end(p0):
+        return F.aggregate(
+            rest,
+            p0,
+            lambda acc, t: F.array_min(
+                F.filter(
+                    F.element_at(F.col("posmap"), t), lambda q: q > acc
+                )
+            ),
+        )
+
+    ok = F.exists(
+        F.col("posmap").getItem(terms[0]),
+        lambda p0: span_end(p0) - p0 <= budget,
+    )
+    return per_doc.where(ok).select("doc_id")
+
+
 def search_phrase(index, phrase) -> DataFrame:
     terms = index.analyze_query(phrase)
     if not terms:

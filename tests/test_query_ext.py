@@ -835,3 +835,104 @@ def test_bm25f_edge_cases(spark):
     assert search_bm25f(spark, df, "spark", w, k=2).count() == 2
     with pytest.raises(ValueError, match="at least one"):
         search_bm25f(spark, df, "spark", {})
+
+
+# --- ordered sloppy phrase (query/phrase.py::search_phrase_slop) ------------
+
+
+def test_phrase_slop_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort now"),                  # exact, gap 0
+            (2, "merge quick brown sort"),          # ordered, gap 2
+            (3, "merge x sort"),                    # ordered, gap 1
+            (4, "sort then merge"),                 # REVERSED
+            (5, "merge only"),                      # missing 'sort'
+            (6, "merge x y z sort"),                # ordered, gap 3
+        ],
+        "doc_id long, text string",
+    ).selectExpr("cast(doc_id as string) doc_id", "text")
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    assert _ids(idx.search_phrase_slop("merge sort", 0)) == [1]
+    assert _ids(idx.search_phrase_slop("merge sort", 1)) == [1, 3]
+    assert _ids(idx.search_phrase_slop("merge sort", 2)) == [1, 2, 3]
+    assert _ids(idx.search_phrase_slop("merge sort", 3)) == [1, 2, 3, 6]
+    # order is enforced: doc 4 never matches ordered slop...
+    assert 4 not in _ids(idx.search_phrase_slop("merge sort", 10))
+    # ...but does match unordered NEAR at the same span
+    assert 4 in _ids(idx.search_near("merge sort", 2))
+    # single term: slop irrelevant
+    assert _ids(idx.search_phrase_slop("merge", 0)) == [1, 2, 3, 4, 5, 6]
+    with pytest.raises(ValueError, match="slop"):
+        idx.search_phrase_slop("merge sort", -1)
+
+
+def test_phrase_slop_zero_equals_exact_phrase(spark):
+    # randomized-ish corpus over a tiny vocabulary; slop=0 must equal the
+    # exact phrase operator on every doc, including duplicate-term phrases
+    vocab = ["alpha", "beta", "gamma", "alpha"]
+    rows = []
+    n = 0
+    for a in vocab:
+        for b in vocab:
+            for c in vocab:
+                rows.append((n, f"{a} {b} {c}"))
+                n += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "cast(doc_id as string) doc_id", "text"
+    )
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    for phrase in ("alpha beta", "beta alpha", "alpha alpha", "alpha beta gamma"):
+        assert _ids(idx.search_phrase_slop(phrase, 0)) == _ids(
+            idx.search_phrase(phrase)
+        ), phrase
+    # slop is monotone: widening never loses docs
+    prev: set = set()
+    for s in range(0, 4):
+        cur = set(_ids(idx.search_phrase_slop("alpha gamma", s)))
+        assert prev <= cur
+        prev = cur
+
+
+def test_phrase_slop_artifact_parity(spark, tmp_path):
+    from searchengine_spark.index.artifact import build_artifact
+
+    rows = [
+        (i, f"merge w{i} sort filler" if i % 3 else f"sort w{i} filler merge")
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "cast(doc_id as string) doc_id", "text"
+    )
+    lidx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    aidx = build_artifact(spark, docs, str(tmp_path / "sx"), analyzer="punctuation")
+    for s in (0, 1, 2):
+        assert _ids(lidx.search_phrase_slop("merge sort", s)) == _ids(
+            aidx.search_phrase_slop("merge sort", s)
+        ), f"slop {s}"
+
+
+# --- regex term search (query/fuzzy.py::regex_terms/search_regex) -----------
+
+
+def test_regex_terms_and_search(spark, qx_index):
+    from searchengine_spark.query import fuzzy as fz
+
+    # anchored full-term match: 'beta'/'zeta' but NOT 'alpha' (ends 'a'
+    # but doesn't match the branch) — exercises alternation + classes
+    terms = {r["term"] for r in fz.regex_terms(qx_index, "[bz]eta").collect()}
+    assert terms == {"beta", "zeta"}
+    got = {int(r["doc_id"]): r["n_regex_terms"]
+           for r in fz.search_regex(qx_index, "[bz]eta").collect()}
+    assert got == {1: 1, 3: 1, 6: 1}
+    # anchoring: a bare substring pattern must NOT match mid-term
+    assert fz.regex_terms(qx_index, "lph").count() == 0
+    assert {r["term"] for r in fz.regex_terms(qx_index, ".*lph.*").collect()} == {
+        "alpha"
+    }
+    # no match -> empty typed frame
+    assert fz.search_regex(qx_index, "q[xyz]+").count() == 0
+    with pytest.raises(ValueError, match="empty pattern"):
+        fz.regex_terms(qx_index, "")
+    with pytest.raises(ValueError, match="maxClauseCount"):
+        fz.regex_terms(qx_index, ".*", max_terms=3)
