@@ -1427,6 +1427,89 @@ FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+_MMR_DEPTH = 20
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+# the cosine expression fragment shared by the MMR oracle's pairwise CTE
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+def mmr_top5(spark, sf_dir):
+    """MMR diversity rerank (query/mmr.py): brute-force cosine top-20
+    candidates, then greedy lam=0.7 selection of 5 — rank 1 is the pure
+    best hit, later ranks trade relevance against redundancy with the
+    already-picked set. Rounded rel/sim inputs + numeric-id tie-breaks
+    make the greedy engine-independent; the oracle unrolls all 5 steps."""
+    from .query.mmr import mmr_rerank
+
+    qv = _query_vec(spark, sf_dir)
+    base = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
+    cand = sim.brute_force_topk(base, qv, _MMR_DEPTH)
+    res = mmr_rerank(
+        cand, base, _MMR_K, lam=_MMR_LAM, id_col="vec_id", rel_col="cos_sim"
+    )
+    return res.orderBy("mmr_rank")
+
+
+def _mmr_sql() -> str:
+    # lam literals via repr(): '0.7' and '0.30000000000000004' parse to the
+    # exact doubles the driver-side greedy multiplies with — bit-identical
+    # composites, so selection replays without rounding the composite
+    lam, one_m = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    cos_q = _COS_SQL.format(a="e.embedding", b="qv.q")
+    cos_ab = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    parts = [
+        f"""qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
+scored AS MATERIALIZED (
+  SELECT e.vec_id, {cos_q} AS cos_sim
+  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> {_ANN_QUERY_ID}
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, round(cos_sim, 4) AS rel_r
+  FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {_MMR_DEPTH}
+),
+vecs AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding FROM embeddings e JOIN cand USING (vec_id)
+),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, round({cos_ab}, 4) AS sim_r
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+),
+s1 AS MATERIALIZED (SELECT vec_id, rel_r FROM cand ORDER BY rel_r DESC, vec_id LIMIT 1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        union = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        parts.append(
+            f"""sel{i - 1} AS MATERIALIZED ({union}),
+p{i} AS (
+  SELECT c.vec_id, c.rel_r,
+         {lam} * c.rel_r - {one_m} * (
+           SELECT max(s.sim_r) FROM sims s
+           WHERE (s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel{i - 1}))
+              OR (s.ib = c.vec_id AND s.ia IN (SELECT vec_id FROM sel{i - 1}))
+         ) AS mmr
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+),
+s{i} AS MATERIALIZED (SELECT vec_id, rel_r FROM p{i} ORDER BY mmr DESC, vec_id LIMIT 1)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT vec_id, {i}::INTEGER AS mmr_rank, rel_r FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, mmr_rank, rel_r FROM ({final}) ORDER BY mmr_rank"
+    )
+
+
 # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51), so
 # a real-world 0.9 dup threshold would select nothing; 0.35 exercises the
 # operator on the top ~0.1% of pairs
@@ -3745,6 +3828,7 @@ QUERIES = {
     "bpe_merges": bpe_merges_q,
     "bpe_counts": bpe_counts_q,
     "ann_cosine_top10": ann_cosine_top10,
+    "mmr_top5": mmr_top5,
     "emb_near_dup": emb_near_dup,
     "emb_norm_by_label": emb_norm_by_label,
     "rel_tpch_q1": rel_tpch_q1,
@@ -3843,6 +3927,7 @@ ORACLES = {
     "bpe_merges": _bpe_merges_sql(),
     "bpe_counts": _bpe_counts_sql(),
     "ann_cosine_top10": ANN_COSINE_SQL,
+    "mmr_top5": _mmr_sql(),
     "emb_near_dup": EMB_NEAR_DUP_SQL,
     "emb_norm_by_label": EMB_NORM_SQL,
     "rel_tpch_q1": REL_TPCH_Q1_SQL,

@@ -936,3 +936,46 @@ def test_regex_terms_and_search(spark, qx_index):
         fz.regex_terms(qx_index, "")
     with pytest.raises(ValueError, match="maxClauseCount"):
         fz.regex_terms(qx_index, ".*", max_terms=3)
+
+
+# --- MMR diversity rerank (query/mmr.py) ------------------------------------
+
+
+def test_mmr_diversity_flips_redundant_runner_up(spark):
+    from searchengine_spark.query.mmr import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 0.90), (2, 0.89), (3, 0.50)], "doc_id long, score double"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # lam=0.5: doc 2 is near-identical to the seed, so the orthogonal doc 3
+    # wins rank 2 despite much lower relevance
+    got = [(r["doc_id"], r["mmr_rank"])
+           for r in mmr_rerank(cand, emb, 3, lam=0.5).orderBy("mmr_rank").collect()]
+    assert got == [(1, 1), (3, 2), (2, 3)]
+    # lam=1 degenerates to pure relevance order
+    rel = [(r["doc_id"], r["mmr_rank"])
+           for r in mmr_rerank(cand, emb, 3, lam=1.0).orderBy("mmr_rank").collect()]
+    assert rel == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_mmr_edge_cases(spark):
+    from searchengine_spark.query.mmr import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],  # doc 3 has NO vector
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank(cand, emb, 5).orderBy("mmr_rank").collect()
+    # vectorless candidates drop; k caps at the pool
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert [r["mmr_rank"] for r in out] == [1, 2]
+    assert mmr_rerank(cand, emb, 0).count() == 0
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cand, emb, 2, lam=1.5)

@@ -200,7 +200,7 @@ def test_windowed_counts_with_watermark_drops_late_rows(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), 'stream did not finish in 600s'
     spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(src_dir)
     q2 = (
         windowed_event_counts(
@@ -215,7 +215,7 @@ def test_windowed_counts_with_watermark_drops_late_rows(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), 'stream did not finish in 600s'
     out = spark.read.parquet(out_dir)
     # the too-late 'late' row was behind the watermark -> dropped entirely
     assert out.where("event_type = 'late'").count() == 0
@@ -392,7 +392,7 @@ def test_streaming_foreachbatch_appends(spark, corpus, tmp_path):
     query = start_incremental_index(
         spark, stream, path, ckpt, trigger={"availableNow": True}
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(600), 'stream did not finish in 600s'
 
     aidx = load_artifact(spark, path)
     assert aidx.n_docs == corpus.count()
@@ -471,7 +471,7 @@ def test_streaming_dedup_appends_only_novel(spark, corpus, tmp_path):
         spark, stream, path, ckpt, trigger={"availableNow": True},
         dedup_store=store,
     )
-    query.awaitTermination(180)
+    assert query.awaitTermination(600), 'stream did not finish in 600s'
 
     aidx = load_artifact(spark, path)
     expected = seed.unionByName(fresh).unionByName(novel2)
@@ -516,7 +516,7 @@ def test_streaming_dedup_replay_is_deterministic_noop(spark, corpus, tmp_path):
             spark, stream, path, ckpt, trigger={"availableNow": True},
             dedup_store=store,
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), 'stream did not finish in 600s'
 
     run(str(tmp_path / "ck1"))
     n1 = load_artifact(spark, path).n_docs
