@@ -160,6 +160,7 @@ def main() -> None:
         "span_pairs",
         "dup_score",
         "colloc_top20",
+        "doc_keyterms",
     ):
         extras_times[name], _ = timed(
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()
@@ -198,6 +199,45 @@ def main() -> None:
     extras_times["ft_bm25_prf"], _ = timed(
         lambda: idx.search_bm25_prf(
             "spark join hash", 20, id_cast="long"
+        ).collect()
+    )
+    from searchengine_spark.query import fuzzy as fz
+    from searchengine_spark.query.mmr import mmr_rerank
+
+    extras_times["ft_phrase_slop"], _ = timed(
+        lambda: idx.search_phrase_slop("table hash", 2).count()
+    )
+    extras_times["ft_regex"], _ = timed(
+        lambda: fz.search_regex(idx, "s(c|t)[a-z]+|[a-z]*dow").count()
+    )
+    extras_times["mmr_top10"], _ = timed(
+        lambda: mmr_rerank(
+            sim.brute_force_topk(emb_rest, qvec, 50),
+            emb_rest,
+            10,
+            id_col="vec_id",
+            rel_col="cos_sim",
+        ).count()
+    )
+    # fielded filter grammar against the ALREADY-BUILT cached index (the
+    # operator under test is the filter compilation + filtered BM25 plan;
+    # an uncached per-query re-analyze would just re-measure the build)
+    from searchengine_spark.query.bm25f import search_bm25f
+    from searchengine_spark.query.fielded import search_fielded
+
+    extras_times["ft_fielded"], _ = timed(
+        lambda: search_fielded(
+            idx, docs.select("doc_id", "lang"), "spark join hash lang:en", 20
+        ).collect()
+    )
+    # BM25F pays its own one-pass analyze by design (fit-and-score form)
+    extras_times["ft_bm25f"], _ = timed(
+        lambda: search_bm25f(
+            spark,
+            docs.select("doc_id", F.col("lang").alias("field"), "text"),
+            "spark join hash",
+            {"en": 2.0, "de": 1.0},
+            20,
         ).collect()
     )
 

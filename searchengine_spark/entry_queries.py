@@ -303,6 +303,46 @@ GROUP BY doc_id
 """
 
 
+_KEYTERMS_N = 3
+
+
+def doc_keyterms_q(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (textops/keyterms.py) — the
+    corpus-tagging primitive; unsmoothed ln(N/df) so ubiquitous terms
+    score 0. Rounded scores + ascending-term tie-breaks make the per-doc
+    set engine-independent; the oracle replays scoring and the
+    row_number window."""
+    from .textops.keyterms import doc_keyterms
+
+    out = doc_keyterms(
+        _docs(spark, sf_dir), top_n=_KEYTERMS_N, analyzer="punctuation"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        "kt_rank",
+        "score_r",
+    )
+
+
+DOC_KEYTERMS_SQL = f"""
+WITH {TOK_CTES},
+kt AS (
+  SELECT p.doc_id, p.term,
+         round(p.tf::DOUBLE * ln(c.n_docs::DOUBLE / s.df::DOUBLE), 4) AS score_r
+  FROM postings p JOIN stats s ON s.term = p.term CROSS JOIN corpus c
+),
+rk AS (
+  SELECT doc_id, term, score_r,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_r DESC, term) AS rn
+  FROM kt
+)
+SELECT doc_id, term, rn::INTEGER AS kt_rank, score_r
+FROM rk WHERE rn <= {_KEYTERMS_N}
+"""
+
+
 _REGEX_PATTERN = "s(c|t)[a-z]+|[a-z]*dow"  # {scan, stream, window} at the
 # graded scales — deliberately NOT a prefix (exercises alternation + a
 # suffix-anchored branch); Java-regex ∩ RE2 subset so the oracle replays
@@ -3006,6 +3046,53 @@ def ft_bm25_filtered(spark, sf_dir):
     )
 
 
+_PAGE_K = 20
+
+
+def ft_bm25_page2(spark, sf_dir):
+    """Cursor pagination (query/ranked.py::search_bm25_after): page 1's
+    last (score_r, doc_id) row feeds back as the search-after cursor; the
+    cursor is a WHERE predicate (deep paging never materializes earlier
+    pages). The oracle computes the SAME page with the independent
+    OFFSET algorithm — equivalent because the rounded-score + numeric-id
+    order is total."""
+    idx = _ft_index(spark, sf_dir)
+    p1 = idx.search_bm25_after(
+        _FT_QUERIES["bm25"], _PAGE_K, id_cast="long"
+    ).collect()
+    cursor = (p1[-1]["score_r"], p1[-1]["doc_id"])
+    return idx.search_bm25_after(
+        _FT_QUERIES["bm25"], _PAGE_K, cursor=cursor, id_cast="long"
+    )
+
+
+def _bm25_page2_sql() -> str:
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM {_qterms_values_sql(_FT_QUERIES["bm25"])}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY round(score, 4) DESC, doc_id
+LIMIT {_PAGE_K} OFFSET {_PAGE_K}
+"""
+
+
 _HYBRID_DEPTH = 50
 
 
@@ -3797,9 +3884,11 @@ QUERIES = {
     "ft_near": ft_near,
     "ft_regex": ft_regex,
     "ft_phrase_slop": ft_phrase_slop,
+    "doc_keyterms": doc_keyterms_q,
     "ft_phrase": ft_phrase,
     "ft_bm25_top20": ft_bm25_top20,
     "ft_bm25_filtered": ft_bm25_filtered,
+    "ft_bm25_page2": ft_bm25_page2,
     "ft_bm25_prf": ft_bm25_prf,
     "hybrid_rrf_top10": hybrid_rrf_top10,
     "colloc_top20": colloc_top20,
@@ -3896,9 +3985,11 @@ ORACLES = {
     "ft_near": _near_sql(_NEAR_QUERY, _NEAR_WINDOW),
     "ft_regex": FT_REGEX_SQL,
     "ft_phrase_slop": _phrase_slop_sql(_SLOP_PHRASE, _SLOP),
+    "doc_keyterms": DOC_KEYTERMS_SQL,
     "ft_phrase": _phrase_sql(_FT_QUERIES["phrase"]),
     "ft_bm25_top20": _bm25_sql(_FT_QUERIES["bm25"], 20),
     "ft_bm25_filtered": _bm25_sql(_FT_QUERIES["bm25"], 20, _BM25F_PRED_SQL),
+    "ft_bm25_page2": _bm25_page2_sql(),
     "ft_bm25_prf": _bm25_prf_sql(),
     "hybrid_rrf_top10": _hybrid_sql(),
     "colloc_top20": _colloc_sql(),

@@ -364,6 +364,19 @@ class Index:
 
         return search_bm25_prf(self, query, k, fb_docs, fb_terms, id_cast)
 
+    def search_bm25_after(
+        self,
+        query: str,
+        k: int,
+        cursor=None,
+        decimals: int = 4,
+        id_cast: str | None = None,
+    ) -> DataFrame:
+        """Cursor pagination — see query/ranked.py::search_bm25_after."""
+        from ..query.ranked import search_bm25_after
+
+        return search_bm25_after(self, query, k, cursor, decimals, id_cast)
+
     def search_tfidf(self, query: str, k: int | None = None) -> DataFrame:
         from ..query.ranked import search_tfidf
 

@@ -264,6 +264,44 @@ def search_tfidf(index, query, k: int | None = None) -> DataFrame:
     return scored.limit(k) if k is not None else scored
 
 
+def search_bm25_after(
+    index,
+    query: str,
+    k: int,
+    cursor: tuple[float, object] | None = None,
+    decimals: int = 4,
+    id_cast: str | None = None,
+) -> DataFrame:
+    """Deterministic cursor pagination (Elasticsearch ``search_after``):
+    the next ``k`` results strictly after ``cursor = (score_r, doc_id)``
+    in the engine's total result order — rounded score descending, doc_id
+    ascending. ``cursor=None`` is page 1; feed the last returned row back
+    as the cursor for the next page. Returns (doc_id, score_r).
+
+    Rounding to ``decimals`` BEFORE the order is what makes the cursor
+    stable across engines and partitionings (raw-float cursors would
+    split rounded ties differently than they display). The cursor is a
+    WHERE predicate, not an OFFSET: page N costs one top-k cut over the
+    predicate-filtered scored set — no materialization of pages 1..N-1,
+    which is what keeps deep paging O(k) per page at corpus scale.
+
+    ``id_cast`` (e.g. ``"long"``) casts doc_id for the tie-break AND the
+    cursor comparison — numeric ids paginated as strings would order
+    '10' < '2' and silently skip/duplicate rows across pages (the same
+    hazard query/hybrid.py's id_cast exists for)."""
+    did = F.col("doc_id").cast(id_cast) if id_cast else F.col("doc_id")
+    scored = search_bm25(index, query, None).select(
+        did.alias("doc_id"), F.round("score", decimals).alias("score_r")
+    )
+    if cursor is not None:
+        cs, cid = float(cursor[0]), cursor[1]
+        scored = scored.where(
+            (F.col("score_r") < cs)
+            | ((F.col("score_r") == cs) & (F.col("doc_id") > F.lit(cid)))
+        )
+    return scored.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(k)
+
+
 def search_bm25_recency(
     index,
     meta: DataFrame,

@@ -979,3 +979,53 @@ def test_mmr_edge_cases(spark):
     assert mmr_rerank(cand, emb, 0).count() == 0
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(cand, emb, 2, lam=1.5)
+
+
+# --- cursor pagination (query/ranked.py::search_bm25_after) -----------------
+
+
+def test_search_after_pages_partition_full_ranking(spark):
+    # 30 docs over a tiny vocab -> plenty of rounded-score ties, and
+    # numeric ids >9 so a string tie-break would misorder ('10' < '2')
+    rows = [(i, "alpha beta" if i % 3 else "alpha alpha beta gamma")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "cast(doc_id as string) doc_id", "text"
+    )
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    q = "alpha gamma"
+    full = sorted(
+        (
+            (r["doc_id"], r["score_r"])
+            for r in idx.search_bm25(q, None)
+            .selectExpr("cast(doc_id as long) doc_id", "round(score, 4) score_r")
+            .collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    pages, cursor = [], None
+    while True:
+        p = idx.search_bm25_after(q, 7, cursor=cursor, id_cast="long").collect()
+        if not p:
+            break
+        pages.extend((r["doc_id"], r["score_r"]) for r in p)
+        cursor = (p[-1]["score_r"], p[-1]["doc_id"])
+        if len(p) < 7:
+            break
+    # pages concatenated == the full ranking: nothing skipped or duplicated
+    assert pages == full
+    assert len(pages) == 30
+
+
+def test_search_after_cursor_is_strictly_after(spark, qx_index):
+    p1 = qx_index.search_bm25_after("alpha delta", 2, id_cast="long").collect()
+    cursor = (p1[-1]["score_r"], p1[-1]["doc_id"])
+    p2 = qx_index.search_bm25_after(
+        "alpha delta", 2, cursor=cursor, id_cast="long"
+    ).collect()
+    ids1 = {r["doc_id"] for r in p1}
+    ids2 = {r["doc_id"] for r in p2}
+    assert not ids1 & ids2
+    # page-2 rows sort strictly after the cursor
+    for r in p2:
+        assert (-r["score_r"], r["doc_id"]) > (-cursor[0], cursor[1])

@@ -1015,3 +1015,42 @@ def test_bpe_exhaustion_spark_matches_oracle_semantics(spark):
     assert sorted(con.sql(eq.ORACLES["bpe_counts"]).fetchall()) == [
         (1, 2, 2), (2, 1, 1),
     ]
+
+
+# --- per-document keyword extraction (textops/keyterms.py) -------------------
+
+
+def test_doc_keyterms_hand_computed(spark):
+    import math
+
+    from searchengine_spark.textops.keyterms import doc_keyterms
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple apple banana common"),
+            ("d2", "banana cherry common"),
+            ("d3", "common cherry cherry cherry"),
+        ],
+        "doc_id string, text string",
+    )
+    out = doc_keyterms(docs, top_n=2, analyzer="punctuation")
+    got = {
+        (r["doc_id"], r["kt_rank"]): (r["term"], r["score_r"])
+        for r in out.collect()
+    }
+    n = 3
+    idf = {t: math.log(n / df) for t, df in
+           {"apple": 1, "banana": 2, "cherry": 2, "common": 3}.items()}
+    # d1: apple tf=2 (rank 1), banana tf=1; 'common' (df=N) scores 0 — last
+    assert got[("d1", 1)] == ("apple", round(2 * idf["apple"], 4))
+    assert got[("d1", 2)] == ("banana", round(1 * idf["banana"], 4))
+    # d2: banana vs cherry tie on tf=1, df=2 -> equal score, term asc
+    assert got[("d2", 1)] == ("banana", round(idf["banana"], 4))
+    assert got[("d2", 2)] == ("cherry", round(idf["cherry"], 4))
+    # d3: cherry tf=3 first; the ubiquitous term rounds to exactly 0.0
+    assert got[("d3", 1)] == ("cherry", round(3 * idf["cherry"], 4))
+    assert got[("d3", 2)] == ("common", 0.0)
+    # every doc has at most top_n rows and ranks are 1..k
+    assert len(got) == 6
+    with pytest.raises(ValueError, match="top_n"):
+        doc_keyterms(docs, top_n=0)
