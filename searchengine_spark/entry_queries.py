@@ -3046,6 +3046,69 @@ def ft_bm25_filtered(spark, sf_dir):
     )
 
 
+_SYN_MAP = {"join": ["merge"], "hash": ["key"]}  # analyzed-term groups
+_SYN_K = 20
+
+
+def ft_bm25_syn(spark, sf_dir):
+    """Synonym-aware BM25 (query/synonyms.py — Lucene SynonymQuery):
+    'join|merge' and 'hash|key' score as blended pseudo-terms (summed tf,
+    UNION df), never as an OR of independently-idf'd terms. The oracle
+    replays the group mapping, blended stats, and BM25 math in SQL."""
+    from .query.synonyms import search_bm25_synonyms
+
+    idx = _ft_index(spark, sf_dir)
+    res = search_bm25_synonyms(idx, _FT_QUERIES["bm25"], _SYN_MAP, None)
+    return (
+        _as_long_doc_id(
+            res.select("doc_id", F.round("score", 4).alias("score_r"))
+        )
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(_SYN_K)
+    )
+
+
+def _bm25_syn_sql() -> str:
+    from collections import Counter
+
+    qtf = Counter(punctuation_tokenize(_FT_QUERIES["bm25"]))
+    groups = {t: sorted(set(_SYN_MAP.get(t, [])) | {t}) for t in sorted(qtf)}
+    gm = ", ".join(
+        f"('{m}', '{gid}')" for gid, ms in sorted(groups.items()) for m in ms
+    )
+    qrows = ", ".join(f"('{g}', {c})" for g, c in sorted(qtf.items()))
+    return f"""
+WITH {TOK_CTES},
+gm AS (SELECT * FROM (VALUES {gm}) AS v(term, gid)),
+gp AS (
+  SELECT p.doc_id, g.gid, sum(p.tf)::BIGINT AS tf, max(d.dl) AS dl
+  FROM postings p
+  JOIN gm g ON g.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  GROUP BY p.doc_id, g.gid
+),
+gdf AS (SELECT gid, count(*)::BIGINT AS df FROM gp GROUP BY gid),
+qw AS (
+  SELECT q.gid, q.qtf,
+         ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) AS idf
+  FROM (VALUES {qrows}) AS q(gid, qtf)
+  JOIN gdf f ON f.gid = q.gid
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT gp.doc_id,
+         sum(qw.qtf * qw.idf * gp.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (gp.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * gp.dl / c.avgdl))
+         ) AS score
+  FROM gp JOIN qw ON qw.gid = gp.gid
+  CROSS JOIN corpus c
+  GROUP BY gp.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT {_SYN_K}
+"""
+
+
 _PAGE_K = 20
 
 
@@ -3889,6 +3952,7 @@ QUERIES = {
     "ft_bm25_top20": ft_bm25_top20,
     "ft_bm25_filtered": ft_bm25_filtered,
     "ft_bm25_page2": ft_bm25_page2,
+    "ft_bm25_syn": ft_bm25_syn,
     "ft_bm25_prf": ft_bm25_prf,
     "hybrid_rrf_top10": hybrid_rrf_top10,
     "colloc_top20": colloc_top20,
@@ -3990,6 +4054,7 @@ ORACLES = {
     "ft_bm25_top20": _bm25_sql(_FT_QUERIES["bm25"], 20),
     "ft_bm25_filtered": _bm25_sql(_FT_QUERIES["bm25"], 20, _BM25F_PRED_SQL),
     "ft_bm25_page2": _bm25_page2_sql(),
+    "ft_bm25_syn": _bm25_syn_sql(),
     "ft_bm25_prf": _bm25_prf_sql(),
     "hybrid_rrf_top10": _hybrid_sql(),
     "colloc_top20": _colloc_sql(),

@@ -1029,3 +1029,74 @@ def test_search_after_cursor_is_strictly_after(spark, qx_index):
     # page-2 rows sort strictly after the cursor
     for r in p2:
         assert (-r["score_r"], r["doc_id"]) > (-cursor[0], cursor[1])
+
+
+# --- synonym-aware BM25 (query/synonyms.py) ----------------------------------
+
+
+def test_synonym_bm25_blended_semantics(spark):
+    from searchengine_spark.query.synonyms import search_bm25_synonyms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "car fast"),
+            (2, "automobile fast"),
+            (3, "car automobile fast"),   # both variants: blended tf=2
+            (4, "fast only here"),
+            (5, "boring filler text"),
+        ],
+        "doc_id long, text string",
+    ).selectExpr("cast(doc_id as string) doc_id", "text")
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    got = {int(r["doc_id"]): r["score"]
+           for r in search_bm25_synonyms(idx, "car", {"car": ["automobile"]}).collect()}
+    # union semantics: docs with EITHER variant match
+    assert set(got) == {1, 2, 3}
+    # blended frequency: doc 3 (tf_g=2, same dl as others? no — longer dl)
+    # gets ONE idf at higher tf, not idf twice; independent-OR would give
+    # it ~2x doc 1's score. Compute the expected blend by hand:
+    n, df_g = 5, 3
+    idf = math.log((n - df_g + 0.5) / (df_g + 0.5) + 1.0)
+    k1, b = float(idx.k1), float(idx.b)
+    avgdl = float(idx.avgdl)
+
+    def bm25(tf, dl):
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == pytest.approx(bm25(1, 2), abs=1e-12)
+    assert got[2] == pytest.approx(bm25(1, 2), abs=1e-12)
+    assert got[3] == pytest.approx(bm25(2, 3), abs=1e-12)
+    assert got[3] < 2 * got[1]  # the anti-stuffing property
+
+
+def test_synonym_bm25_singleton_groups_equal_plain_bm25(spark, qx_index):
+    from searchengine_spark.query.synonyms import search_bm25_synonyms
+
+    plain = {r["doc_id"]: r["score"]
+             for r in qx_index.search_bm25("alpha gamma", None).collect()}
+    syn = {r["doc_id"]: r["score"]
+           for r in search_bm25_synonyms(qx_index, "alpha gamma", {}).collect()}
+    assert syn == plain  # bit-identical: same stats, same fold order
+
+
+def test_synonym_bm25_overlapping_groups_rejected(qx_index):
+    from searchengine_spark.query.synonyms import search_bm25_synonyms
+
+    with pytest.raises(ValueError, match="double-count"):
+        search_bm25_synonyms(
+            qx_index, "alpha beta", {"alpha": ["gamma"], "beta": ["gamma"]}
+        )
+
+
+def test_compile_synonyms_analyzes_both_sides(spark):
+    from searchengine_spark.query.synonyms import compile_synonyms
+
+    docs = spark.createDataFrame(
+        [("1", "running jumps")], "doc_id string, text string"
+    )
+    idx = build_index(spark, docs, cache=False)  # composable: Porter stems
+    m = compile_synonyms(idx, {"running": ["jogged", "the"]})
+    # key and members both stemmed; stop-word synonym drops out
+    (key,) = m.keys()
+    assert key == "run"
+    assert "jog" in m[key] and "run" in m[key] and "the" not in m[key]
