@@ -1100,3 +1100,40 @@ def test_compile_synonyms_analyzes_both_sides(spark):
     (key,) = m.keys()
     assert key == "run"
     assert "jog" in m[key] and "run" in m[key] and "the" not in m[key]
+
+
+def test_session5_ops_plans_no_nested_loop(spark):
+    """Plan assertion for the session-5 operators: every join in fielded /
+    BM25F / sloppy phrase / regex / synonym / pagination / keyterms plans
+    is an equi-join. MMR is deliberately NOT here: its pairwise-cosine
+    stage is a depth-bounded inequality join (depth^2 rows regardless of
+    corpus size) — the one sanctioned bounded-cross shape."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.fixtures import doc_key_col
+    from searchengine_spark.query import fuzzy as fz
+    from searchengine_spark.query.bm25f import search_bm25f
+    from searchengine_spark.query.fielded import search_fielded
+    from searchengine_spark.query.synonyms import search_bm25_synonyms
+    from searchengine_spark.textops.keyterms import doc_keyterms
+
+    tr = _mini_transcripts(spark)
+    idx = _mini_index(spark, tr)
+    meta = tr.withColumn("doc_id", doc_key_col()).select("doc_id", "role", "tool")
+    fields = tr.select(
+        F.col("conv_id").alias("doc_id"), F.col("role").alias("field"), "text"
+    )
+    plans = {
+        "fielded": search_fielded(idx, meta, "zebra role:user", None),
+        "bm25f": search_bm25f(spark, fields, "zebra data", {"user": 1.0, "tool": 0.5}),
+        "phrase_slop": idx.search_phrase_slop("zebra data", 2),
+        "regex": fz.search_regex(idx, "z[a-z]+"),
+        "synonyms": search_bm25_synonyms(idx, "zebra", {"zebra": ["data"]}),
+        "page2": idx.search_bm25_after("zebra data", 2, cursor=(9.9, "a"),
+                                       id_cast=None),
+        "keyterms": doc_keyterms(tr.withColumn("doc_id", doc_key_col()), 2),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
