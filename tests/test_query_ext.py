@@ -1137,3 +1137,36 @@ def test_session5_ops_plans_no_nested_loop(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bm25f_randomized_differential(spark):
+    """Seeded random corpora × random weights vs the independent pure-
+    python BM25F — exact float equality (the sorted-fold contract)."""
+    import random
+
+    from searchengine_spark.query.bm25f import search_bm25f
+
+    rng = random.Random(20260818)
+    vocab = ["alpha", "beta", "gamma", "delta", "zebra", "data", "x"]
+    fields = ["title", "body", "meta"]
+    for trial in range(3):
+        rows = []
+        for d in range(rng.randint(4, 9)):
+            for f in fields:
+                if rng.random() < 0.7:  # some (doc, field) groups absent
+                    n = rng.randint(1, 8)
+                    rows.append(
+                        (f"d{d}", f, " ".join(rng.choices(vocab, k=n)))
+                    )
+        w = {f: round(rng.uniform(0.2, 3.0), 2)
+             for f in fields if rng.random() < 0.8}
+        if not w:
+            w = {"body": 1.0}
+        query = " ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+        df = spark.createDataFrame(rows, "doc_id string, field string, text string")
+        got = {r["doc_id"]: r["score"]
+               for r in search_bm25f(spark, df, query, w).collect()}
+        exp = _bm25f_pyref(rows, query, w)
+        assert set(got) == set(exp), (trial, query, w)
+        for d in got:
+            assert got[d] == pytest.approx(exp[d], abs=1e-12), (trial, d)
