@@ -3932,6 +3932,209 @@ LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+_SIG_MIN_DF = 5
+_SIG_TOP_N = 10
+_SIG_QUERY_TERMS = ["dup"]
+_TREND_MIN_AFTER = 3
+_TREND_ALPHA = 0.5
+
+
+def _g2_sql_expr(k11: str, k12: str, k21: str, k22: str, n: str) -> str:
+    """SQL twin of significance._g2_cell's summed form — identical
+    expression shape (cell-by-cell O·ln(O/(row·col/N)), zero cells 0)."""
+    k11, k12, k21, k22 = f"({k11})", f"({k12})", f"({k21})", f"({k22})"
+
+    def cell(o, r, c):
+        return (
+            f"(CASE WHEN {o} > 0 THEN {o} * ln({o} / (({r}) * ({c}) / {n})) "
+            f"ELSE 0.0 END)"
+        )
+
+    row1, row2 = f"({k11} + {k12})", f"({k21} + {k22})"
+    col1, col2 = f"({k11} + {k21})", f"({k12} + {k22})"
+    return (
+        f"2.0 * ({cell(k11, row1, col1)} + {cell(k12, row1, col2)} + "
+        f"{cell(k21, row2, col1)} + {cell(k22, row2, col2)})"
+    )
+
+
+def sig_terms_by_lang(spark, sf_dir):
+    """Per-language significant terms by Dunning G² over doc frequency
+    (textops/significance.py) — the ES significant_terms aggregation the
+    reference's term-stats surface (Q8) cannot answer. One corpus-sized
+    combinable (group, term) count; everything downstream vocab-bounded."""
+    from .textops import significance as sg
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("lang").alias("group"), _tok_col(F.col("text")).alias("tokens")
+    )
+    return sg.significant_terms_by_group(
+        docs, top_n=_SIG_TOP_N, min_fg_df=_SIG_MIN_DF
+    )
+
+
+def _sig_terms_sql() -> str:
+    g2 = _g2_sql_expr(
+        "g.fg_df::DOUBLE",
+        "(t.df_all - g.fg_df)::DOUBLE",
+        "(gn.n_g - g.fg_df)::DOUBLE",
+        "(nn.n - gn.n_g)::DOUBLE - (t.df_all - g.fg_df)::DOUBLE",
+        "nn.n::DOUBLE",
+    )
+    return f"""
+WITH lists AS (
+  SELECT doc_id, lang,
+         list_filter(
+           string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                              '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> '' AND x NOT IN ({_STOP_SQL})
+         ) AS toks
+  FROM documents
+),
+dt AS (SELECT doc_id, lang, unnest(list_distinct(toks)) AS term FROM lists),
+gt AS (SELECT lang, term, count(*)::BIGINT AS fg_df FROM dt GROUP BY 1, 2),
+tot AS (SELECT term, sum(fg_df)::BIGINT AS df_all FROM gt GROUP BY 1),
+gn AS (SELECT lang, count(*)::BIGINT AS n_g FROM documents GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+sc AS (
+  SELECT g.lang AS "group", g.term, g.fg_df,
+         (t.df_all - g.fg_df)::BIGINT AS bg_df,
+         round({g2}, 6) AS g2_r
+  FROM gt g
+  JOIN tot t USING (term)
+  JOIN gn ON gn.lang = g.lang
+  CROSS JOIN nn
+  WHERE g.fg_df >= {_SIG_MIN_DF}
+    AND g.fg_df * (nn.n - gn.n_g) > (t.df_all - g.fg_df) * gn.n_g
+)
+SELECT "group", term, fg_df, bg_df, g2_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY "group"
+                               ORDER BY g2_r DESC, term) AS rn
+  FROM sc
+) WHERE rn <= {_SIG_TOP_N}
+ORDER BY "group", g2_r DESC, term
+"""
+
+
+def sig_terms_query(spark, sf_dir):
+    """Significant terms of a query's match set (foreground = docs
+    containing the query term, background = the rest; query terms
+    excluded from the output) — ES 'aggregations on search results'."""
+    from .textops import significance as sg
+
+    return sg.significant_terms_for_query(
+        _docs_tokens(spark, sf_dir),
+        _SIG_QUERY_TERMS,
+        top_n=_SIG_TOP_N,
+        min_fg_df=_SIG_MIN_DF,
+    )
+
+
+def _sig_terms_query_sql() -> str:
+    qlist = ", ".join("'" + t + "'" for t in sorted(set(_SIG_QUERY_TERMS)))
+    g2 = _g2_sql_expr(
+        "g.fg_df::DOUBLE",
+        "(t.df_all - g.fg_df)::DOUBLE",
+        "(gn.n_g - g.fg_df)::DOUBLE",
+        "(nn.n - gn.n_g)::DOUBLE - (t.df_all - g.fg_df)::DOUBLE",
+        "nn.n::DOUBLE",
+    )
+    return f"""
+WITH {TOK_CTES},
+lab AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(list_intersect(toks, [{qlist}])) > 0
+              THEN 'match' ELSE 'rest' END AS grp
+  FROM lists
+),
+dt AS (SELECT doc_id, grp, unnest(list_distinct(toks)) AS term FROM lab),
+gt AS (SELECT grp, term, count(*)::BIGINT AS fg_df FROM dt GROUP BY 1, 2),
+tot AS (SELECT term, sum(fg_df)::BIGINT AS df_all FROM gt GROUP BY 1),
+gn AS (SELECT grp, count(*)::BIGINT AS n_g FROM lab GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+sc AS (
+  SELECT g.term, g.fg_df, (t.df_all - g.fg_df)::BIGINT AS bg_df,
+         round({g2}, 6) AS g2_r
+  FROM gt g
+  JOIN tot t USING (term)
+  JOIN gn ON gn.grp = g.grp
+  CROSS JOIN nn
+  WHERE g.grp = 'match'
+    AND g.fg_df >= {_SIG_MIN_DF}
+    AND g.term NOT IN ({qlist})
+    AND g.fg_df * (nn.n - gn.n_g) > (t.df_all - g.fg_df) * gn.n_g
+)
+SELECT term, fg_df, bg_df, g2_r FROM sc
+ORDER BY g2_r DESC, term LIMIT {_SIG_TOP_N}
+"""
+
+
+def tr_trending_terms(spark, sf_dir):
+    """Bursty terms across a timestamp split over the tiny transcripts
+    corpus (textops/significance.py::trending_terms), full analyzer chain
+    (punctuation + stop words + Porter). The epoch-second projection makes
+    the split comparison integer on both engines (no tz arithmetic)."""
+    from .analysis.analyzer import make_analyze_udf
+    from .fixtures import transcripts_df
+    from .textops import significance as sg
+
+    tr = transcripts_df(spark, "tiny")
+    toks = tr.select(
+        F.unix_timestamp("ts").alias("es"),
+        make_analyze_udf()(F.col("text")).alias("tokens"),
+    )
+    return sg.trending_terms(
+        toks,
+        _trend_split_es(),
+        ts_col="es",
+        alpha=_TREND_ALPHA,
+        min_after=_TREND_MIN_AFTER,
+        top_n=20,
+    )
+
+
+def _trend_split_es() -> int:
+    """Split instant: 10 h after the corpus epoch — conversations 0-9
+    (conv spacing 3600 s) land before, 10-19 after."""
+    from .fixtures import _EPOCH
+
+    return int(_EPOCH.timestamp()) + 10 * 3600
+
+
+def _tr_trending_sql() -> str:
+    from .fixtures import SIZES, doc_key, transcripts_pandas
+
+    split = _trend_split_es()
+    pdf = transcripts_pandas(SIZES["tiny"])
+    flags = ", ".join(
+        "('{}', {})".format(
+            doc_key(str(cid), int(ti)),
+            "TRUE" if int(ts.timestamp()) >= split else "FALSE",
+        )
+        for cid, ti, ts in zip(pdf["conv_id"], pdf["turn_idx"], pdf["ts"])
+    )
+    a = repr(_TREND_ALPHA)
+    return f"""
+WITH {_tr_corpus_ctes()},
+trafter(doc_id, after) AS (VALUES {flags}),
+cnt AS (
+  SELECT k.term,
+         sum(CASE WHEN a.after THEN 1 ELSE 0 END)::BIGINT AS c_after,
+         sum(CASE WHEN a.after THEN 0 ELSE 1 END)::BIGINT AS c_before
+  FROM trtok k JOIN trafter a USING (doc_id)
+  GROUP BY 1
+),
+tots AS (SELECT sum(c_after)::DOUBLE AS ta, sum(c_before)::DOUBLE AS tb
+         FROM cnt)
+SELECT term, c_before, c_after,
+       round(ln(((c_after + {a}) / (ta + {a}))
+              / ((c_before + {a}) / (tb + {a}))), 6) AS trend_r
+FROM cnt CROSS JOIN tots
+WHERE c_after >= {_TREND_MIN_AFTER}
+ORDER BY trend_r DESC, term LIMIT 20
+"""
+
+
 QUERIES = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
@@ -3956,6 +4159,9 @@ QUERIES = {
     "ft_bm25_prf": ft_bm25_prf,
     "hybrid_rrf_top10": hybrid_rrf_top10,
     "colloc_top20": colloc_top20,
+    "sig_terms_by_lang": sig_terms_by_lang,
+    "sig_terms_query": sig_terms_query,
+    "tr_trending_terms": tr_trending_terms,
     "hits_top20": hits_top20,
     "ft_bm25_wand": ft_bm25_wand,
     "ft_bm25_batch": ft_bm25_batch,
@@ -4058,6 +4264,9 @@ ORACLES = {
     "ft_bm25_prf": _bm25_prf_sql(),
     "hybrid_rrf_top10": _hybrid_sql(),
     "colloc_top20": _colloc_sql(),
+    "sig_terms_by_lang": _sig_terms_sql(),
+    "sig_terms_query": _sig_terms_query_sql(),
+    "tr_trending_terms": _tr_trending_sql(),
     "hits_top20": _hits_sql(),
     "ft_bm25_wand": _bm25_sql(_FT_QUERIES["bm25"], 20),
     "ft_bm25_batch": _bm25_batch_sql(_FT_BATCH_QUERIES, 20),
