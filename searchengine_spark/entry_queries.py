@@ -4069,6 +4069,60 @@ ORDER BY g2_r DESC, term LIMIT {_SIG_TOP_N}
 """
 
 
+_SIG_SEARCH_QUERY = "dup merge"
+
+
+def ft_sig_terms(spark, sf_dir):
+    """INDEX-BACKED significant terms of a search's match set
+    (textops/significance.py::significant_terms_for_search): match ids
+    from the term-filtered postings scan, foreground tokenize restricted
+    to matched docs via a corpus semi-join, background df verbatim from
+    the index's precomputed term_stats — no corpus-wide re-tokenize.
+    The oracle replays match set, stats, and G² over TOK_CTES postings."""
+    from .textops import significance as sg
+
+    idx = _ft_index(spark, sf_dir)
+    return sg.significant_terms_for_search(
+        idx, _SIG_SEARCH_QUERY, top_n=_SIG_TOP_N, min_fg_df=_SIG_MIN_DF
+    )
+
+
+def _ft_sig_terms_sql() -> str:
+    qlist = ", ".join(
+        "'" + t + "'" for t in sorted(set(punctuation_tokenize(_SIG_SEARCH_QUERY)))
+    )
+    g2 = _g2_sql_expr(
+        "f.fg_df::DOUBLE",
+        "(s.df - f.fg_df)::DOUBLE",
+        "(mn.n_g - f.fg_df)::DOUBLE",
+        "(nn.n - mn.n_g)::DOUBLE - (s.df - f.fg_df)::DOUBLE",
+        "nn.n::DOUBLE",
+    )
+    return f"""
+WITH {TOK_CTES},
+match AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({qlist})),
+mn AS (SELECT count(*)::BIGINT AS n_g FROM match),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+fg AS (
+  SELECT p.term, count(*)::BIGINT AS fg_df
+  FROM postings p JOIN match m USING (doc_id)
+  GROUP BY 1
+),
+sc AS (
+  SELECT f.term, f.fg_df, (s.df - f.fg_df)::BIGINT AS bg_df,
+         round({g2}, 6) AS g2_r
+  FROM fg f
+  JOIN stats s USING (term)
+  CROSS JOIN mn CROSS JOIN nn
+  WHERE f.fg_df >= {_SIG_MIN_DF}
+    AND f.term NOT IN ({qlist})
+    AND f.fg_df * (nn.n - mn.n_g) > (s.df - f.fg_df) * mn.n_g
+)
+SELECT term, fg_df, bg_df, g2_r FROM sc
+ORDER BY g2_r DESC, term LIMIT {_SIG_TOP_N}
+"""
+
+
 def tr_trending_terms(spark, sf_dir):
     """Bursty terms across a timestamp split over the tiny transcripts
     corpus (textops/significance.py::trending_terms), full analyzer chain
@@ -4161,6 +4215,7 @@ QUERIES = {
     "colloc_top20": colloc_top20,
     "sig_terms_by_lang": sig_terms_by_lang,
     "sig_terms_query": sig_terms_query,
+    "ft_sig_terms": ft_sig_terms,
     "tr_trending_terms": tr_trending_terms,
     "hits_top20": hits_top20,
     "ft_bm25_wand": ft_bm25_wand,
@@ -4266,6 +4321,7 @@ ORACLES = {
     "colloc_top20": _colloc_sql(),
     "sig_terms_by_lang": _sig_terms_sql(),
     "sig_terms_query": _sig_terms_query_sql(),
+    "ft_sig_terms": _ft_sig_terms_sql(),
     "tr_trending_terms": _tr_trending_sql(),
     "hits_top20": _hits_sql(),
     "ft_bm25_wand": _bm25_sql(_FT_QUERIES["bm25"], 20),

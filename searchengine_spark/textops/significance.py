@@ -172,6 +172,89 @@ def significant_terms_for_query(
     )
 
 
+def significant_terms_for_search(
+    index,
+    query: str,
+    top_n: int = 10,
+    min_fg_df: int = 3,
+    exclude_query: bool = True,
+) -> DataFrame:
+    """Index-backed significant terms of a search's match set — the
+    "aggregations on search results" form that scales with the MATCH SET,
+    not the corpus: the match ids come from the term-filtered postings
+    scan (``postings_for_terms`` pushes the term filter below the artifact
+    decode barrier), only the matched documents' text is re-analyzed (one
+    pushed-down corpus semi-join), and the background document frequencies
+    come verbatim from the index's precomputed ``term_stats`` table — no
+    corpus-wide tokenization pass at all.
+
+    Same statistic, direction filter, rounding, and (g2_r desc, term)
+    ordering as ``significant_terms_for_query``; on an index whose stats
+    are fresh (no pending tombstones) the two are bit-identical, which is
+    pinned by test. After deletes the stats stay stale until compaction
+    (the engine's documented reference-parity semantics), and this
+    operator inherits that surface.
+
+    Requires ``index.corpus`` (attach_corpus) for the match-set text.
+    Returns ``(term, fg_df, bg_df, g2_r)``.
+    """
+    from ..analysis.analyzer import make_analyze_udf
+
+    if index.corpus is None:
+        raise ValueError("significant_terms_for_search needs index.corpus "
+                         "(call attach_corpus)")
+    q_terms = index.analyze_query(query)
+    if not q_terms:
+        raise ValueError(f"query analyzes to no terms: {query!r}")
+    match = (
+        index.postings_for_terms(q_terms, positional=False)
+        .select(index.doc_id_col)
+        .distinct()
+        .persist()
+    )
+    n_g = int(match.count())
+    n_docs = int(index.n_docs)
+    analyze = make_analyze_udf(index.analyzer)
+    fg = (
+        index.corpus.join(match, index.doc_id_col, "left_semi")
+        .select(analyze(F.col(index.text_col)).alias("toks"))
+        .select(F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    k11 = F.col("fg_df").cast("double")
+    k12 = (F.col("df_all") - F.col("fg_df")).cast("double")
+    k21 = (F.lit(n_g) - F.col("fg_df")).cast("double")
+    k22 = (F.lit(n_docs) - F.lit(n_g) - k12).cast("double")
+    row1, row2 = k11 + k12, k21 + k22
+    col1, col2 = k11 + k21, k12 + k22
+    n = F.lit(float(n_docs))
+    g2 = 2.0 * (
+        _g2_cell(k11, row1 * col1 / n)
+        + _g2_cell(k12, row1 * col2 / n)
+        + _g2_cell(k21, row2 * col1 / n)
+        + _g2_cell(k22, row2 * col2 / n)
+    )
+    scored = (
+        fg.where(F.col("fg_df") >= min_fg_df)
+        .join(index.term_stats.select("term", F.col("df").alias("df_all")),
+              "term")
+        .where(
+            F.col("fg_df") * F.lit(n_docs - n_g)
+            > (F.col("df_all") - F.col("fg_df")) * F.lit(n_g)
+        )
+        .select(
+            "term",
+            "fg_df",
+            (F.col("df_all") - F.col("fg_df")).alias("bg_df"),
+            F.round(g2, 6).alias("g2_r"),
+        )
+    )
+    if exclude_query:
+        scored = scored.where(~F.col("term").isin(list(set(q_terms))))
+    return scored.orderBy(F.desc("g2_r"), "term").limit(top_n)
+
+
 def trending_terms(
     df: DataFrame,
     split_ts,

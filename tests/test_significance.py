@@ -214,6 +214,85 @@ def test_trending_empty_before_window_is_finite(spark):
     assert rows and all(math.isfinite(r.trend_r) for r in rows)
 
 
+SEARCH_DOCS = [
+    ("d1", "The database index rebuild failed with a timeout error."),
+    ("d2", "Index rebuild finished; the optimizer chose a merge join."),
+    ("d3", "Timeout error in the network layer, retrying the request."),
+    ("d4", "The optimizer rewrote the query plan after the index hint."),
+    ("d5", "Garden party on Sunday, bring lemonade and cakes."),
+    ("d6", "The lemonade stand sold cakes near the garden gate."),
+    ("d7", "Index corruption detected; rebuild scheduled with the optimizer."),
+    ("d8", "Merge join fallback after the hash join spilled to disk."),
+]
+
+
+def _sig_search_expected(spark, idx_corpus, query_terms):
+    """Token-based twin: the corpus re-analyzed with the same chain."""
+    from searchengine_spark.analysis.analyzer import make_analyze_udf
+
+    toks = idx_corpus.select(
+        make_analyze_udf()(F.col("text")).alias("tokens")
+    )
+    return significant_terms_for_query(
+        toks, query_terms, top_n=5, min_fg_df=1
+    ).collect()
+
+
+def test_sig_terms_for_search_matches_token_variant(spark):
+    """Index-backed (postings match set + precomputed term_stats) is
+    bit-identical to the corpus-tokenizing variant on a fresh index."""
+    from searchengine_spark.index import build_index
+    from searchengine_spark.textops.significance import (
+        significant_terms_for_search,
+    )
+
+    docs = spark.createDataFrame(SEARCH_DOCS, "doc_id string, text string")
+    idx = build_index(spark, docs, cache=False)
+    idx.attach_corpus(docs)
+    got = significant_terms_for_search(
+        idx, "index rebuild", top_n=5, min_fg_df=1
+    ).collect()
+    want = _sig_search_expected(spark, docs, idx.analyze_query("index rebuild"))
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    terms = [r.term for r in got]
+    # query terms excluded; match-set vocabulary surfaces, not garden talk
+    assert "index" not in terms and "rebuild" not in terms
+    assert "optim" in terms  # stemmed "optimizer" rides with the match set
+    assert "lemonad" not in terms
+
+
+def test_sig_terms_for_search_artifact_parity(spark, tmp_path):
+    from searchengine_spark.index.artifact import build_artifact
+    from searchengine_spark.textops.significance import (
+        significant_terms_for_search,
+    )
+
+    docs = spark.createDataFrame(SEARCH_DOCS, "doc_id string, text string")
+    aidx = build_artifact(spark, docs, str(tmp_path / "sigx"))
+    aidx.attach_corpus(docs)
+    got = significant_terms_for_search(
+        aidx, "index rebuild", top_n=5, min_fg_df=1
+    ).collect()
+    want = _sig_search_expected(spark, docs, aidx.analyze_query("index rebuild"))
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_sig_terms_for_search_requires_corpus_and_terms(spark):
+    from searchengine_spark.index import build_index
+    from searchengine_spark.textops.significance import (
+        significant_terms_for_search,
+    )
+
+    docs = spark.createDataFrame(SEARCH_DOCS, "doc_id string, text string")
+    idx = build_index(spark, docs, cache=False)
+    idx.corpus = None  # build_index attaches it by default
+    with pytest.raises(ValueError, match="corpus"):
+        significant_terms_for_search(idx, "index")
+    idx.attach_corpus(docs)
+    with pytest.raises(ValueError, match="no terms"):
+        significant_terms_for_search(idx, "the of and")
+
+
 def test_significance_plans_have_no_nested_loops(spark):
     df = _corpus_df(spark)
     tdf = spark.createDataFrame(TS, "ts timestamp, tokens array<string>")
