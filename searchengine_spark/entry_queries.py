@@ -4069,6 +4069,68 @@ ORDER BY g2_r DESC, term LIMIT {_SIG_TOP_N}
 """
 
 
+def ft_bm25_explain(spark, sf_dir):
+    """Lucene-explain-style BM25 breakdown (query/ranked.py::explain_bm25)
+    for the top-3 docs of the standard BM25 query: one row per (doc,
+    matched term) with tf/dl/qtf/df/idf and the exact partial the scorer
+    folds. The doc set is the rounded-score + numeric-id top-3 (the
+    ft_bm25_top20 cut), so membership is engine-independent."""
+    from .query.ranked import explain_bm25
+
+    idx = _ft_index(spark, sf_dir)
+    top = (
+        _as_long_doc_id(
+            idx.search_bm25(_FT_QUERIES["bm25"], None).select(
+                "doc_id", F.round("score", 4).alias("score_r")
+            )
+        )
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(3)
+        .collect()
+    )
+    out = explain_bm25(
+        idx, _FT_QUERIES["bm25"], [str(r["doc_id"]) for r in top]
+    )
+    return _as_long_doc_id(out).orderBy("doc_id", "term")
+
+
+def _ft_bm25_explain_sql() -> str:
+    q = _FT_QUERIES["bm25"]
+    part = (
+        f"qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)"
+        f" / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+        f" * d.dl / c.avgdl))"
+    )
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf, s.df,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM {_qterms_values_sql(q)}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT p.doc_id, sum({part}) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+top3 AS (SELECT doc_id FROM scored
+         ORDER BY round(score, 4) DESC, doc_id LIMIT 3)
+SELECT p.doc_id, p.term, p.tf::BIGINT AS tf, d.dl::BIGINT AS dl,
+       qw.qtf, qw.df, round(qw.idf, 6) AS idf_r, round({part}, 6) AS partial_r
+FROM postings p
+JOIN top3 t ON t.doc_id = p.doc_id
+JOIN qw ON qw.term = p.term
+JOIN doclen d ON d.doc_id = p.doc_id
+CROSS JOIN corpus c
+ORDER BY p.doc_id, p.term
+"""
+
+
 _SIG_SEARCH_QUERY = "dup merge"
 
 
@@ -4216,6 +4278,7 @@ QUERIES = {
     "sig_terms_by_lang": sig_terms_by_lang,
     "sig_terms_query": sig_terms_query,
     "ft_sig_terms": ft_sig_terms,
+    "ft_bm25_explain": ft_bm25_explain,
     "tr_trending_terms": tr_trending_terms,
     "hits_top20": hits_top20,
     "ft_bm25_wand": ft_bm25_wand,
@@ -4322,6 +4385,7 @@ ORACLES = {
     "sig_terms_by_lang": _sig_terms_sql(),
     "sig_terms_query": _sig_terms_query_sql(),
     "ft_sig_terms": _ft_sig_terms_sql(),
+    "ft_bm25_explain": _ft_bm25_explain_sql(),
     "tr_trending_terms": _tr_trending_sql(),
     "hits_top20": _hits_sql(),
     "ft_bm25_wand": _bm25_sql(_FT_QUERIES["bm25"], 20),

@@ -226,6 +226,62 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
     )
 
 
+def explain_bm25(index, query, doc_ids: list) -> DataFrame:
+    """Lucene-``explain``-style score breakdown: one row per (document,
+    matched query term) with every input to the BM25 partial —
+    ``(doc_id, term, tf, dl, qtf, df, idf_r, partial_r)``, ordered by
+    (doc_id, term). The partial expression is the exact one
+    ``search_bm25_weighted`` folds, so ``sum(partial)`` per doc equals the
+    search score (pre-rounding differences only from the rounding here).
+
+    ``doc_ids`` is a caller-provided result set (typically the top-k ids
+    under inspection), so the ``isin`` point filter stays k-bounded — the
+    same ordinal-point-lookup cost class as hydration, never a corpus
+    scan. Terms the index has never seen (df = 0) produce no rows, same
+    as search.
+    """
+    if not doc_ids:
+        raise ValueError("doc_ids must be non-empty")
+    terms = index.analyze_query(query)
+    qtf = Counter(terms)
+    stats = index.query_term_stats(list(qtf)) if terms else {}
+    rows = [
+        (t, c, stats[t][0], bm25_idf(index.n_docs, stats[t][0]))
+        for t, c in sorted(qtf.items())
+        if stats[t][0] > 0
+    ]
+    if not rows:
+        return index.spark.createDataFrame(
+            [],
+            "doc_id string, term string, tf long, dl long, qtf int, "
+            "df long, idf_r double, partial_r double",
+        )
+    qdf = index.spark.createDataFrame(
+        rows, "term string, qtf int, df long, idf double"
+    )
+    k1, b = float(index.k1), float(index.b)
+    avgdl = float(index.avgdl) or 1.0
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    partial = F.col("qtf") * F.col("idf") * tf * (k1 + 1.0) / norm
+    post = index.postings_for_terms([r[0] for r in rows], positional=False)
+    return (
+        post.where(F.col("doc_id").isin(list(doc_ids)))
+        .join(F.broadcast(qdf), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            "qtf",
+            "df",
+            F.round("idf", 6).alias("idf_r"),
+            F.round(partial, 6).alias("partial_r"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
 def search_tfidf(index, query, k: int | None = None) -> DataFrame:
     weights = _query_weights(index, query, tfidf_idf)
     if not weights or k == 0:

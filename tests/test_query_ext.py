@@ -1170,3 +1170,57 @@ def test_bm25f_randomized_differential(spark):
         assert set(got) == set(exp), (trial, query, w)
         for d in got:
             assert got[d] == pytest.approx(exp[d], abs=1e-12), (trial, d)
+
+
+# ---------------------------------------------------------------------------
+# explain_bm25 (Lucene-explain-style score breakdown)
+# ---------------------------------------------------------------------------
+
+
+def test_explain_bm25_partials_sum_to_search_score(spark):
+    """sum(partial) per doc == search_bm25 score (6dp rounding only),
+    and the breakdown inputs (tf, dl, df) are the index's own stats."""
+    from searchengine_spark.query.ranked import explain_bm25
+
+    tr = _mini_transcripts(spark)
+    idx = _mini_index(spark, tr)
+    res = idx.search_bm25("zebra data", 3).collect()
+    ids = [r["doc_id"] for r in res]
+    exp = explain_bm25(idx, "zebra data", ids).collect()
+    assert {r["doc_id"] for r in exp} == set(ids)
+    sums = {}
+    for r in exp:
+        sums[r["doc_id"]] = sums.get(r["doc_id"], 0.0) + r["partial_r"]
+        assert r["df"] == idx.document_frequency(r["term"])
+    for r in res:
+        assert sums[r["doc_id"]] == pytest.approx(r["score"], abs=1e-5)
+
+
+def test_explain_bm25_artifact_parity(spark, tmp_path):
+    from searchengine_spark.index.artifact import build_artifact
+    from searchengine_spark.query.ranked import explain_bm25
+
+    tr = _mini_transcripts(spark)
+    from searchengine_spark.fixtures import doc_key_col
+
+    docs = tr.withColumn("doc_id", doc_key_col()).select("doc_id", "text")
+    lidx = build_index(spark, docs, cache=False)
+    aidx = build_artifact(spark, docs, str(tmp_path / "expl"))
+    ids = [r["doc_id"] for r in lidx.search_bm25("zebra data", 3).collect()]
+    lrows = [tuple(r) for r in explain_bm25(lidx, "zebra data", ids).collect()]
+    arows = [tuple(r) for r in explain_bm25(aidx, "zebra data", ids).collect()]
+    assert lrows == arows and lrows
+
+
+def test_explain_bm25_edge_cases(spark):
+    from searchengine_spark.query.ranked import explain_bm25
+
+    idx = _mini_index(spark, _mini_transcripts(spark))
+    with pytest.raises(ValueError):
+        explain_bm25(idx, "zebra", [])
+    # unknown-vocabulary query -> empty frame with the full schema
+    out = explain_bm25(idx, "qqqqxyzzy", ["c1:0000"])
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "term", "tf", "dl", "qtf", "df", "idf_r", "partial_r",
+    ]
