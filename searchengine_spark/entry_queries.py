@@ -4209,6 +4209,50 @@ def tr_trending_terms(spark, sf_dir):
     )
 
 
+_HIST_INTERVAL_S = 3600
+
+
+def tr_date_histogram(spark, sf_dir):
+    """ES date_histogram over search results (query/morelike.py::
+    facet_date_histogram): hit counts of the standard transcript query's
+    OR match set per fixed 1-hour bucket; match set from the term-filtered
+    postings scan, ONE combinable count per bucket."""
+    from .fixtures import doc_key_col, transcripts_df
+    from .query.morelike import facet_date_histogram
+
+    tr = transcripts_df(spark, "tiny")
+    corpus = tr.withColumn("doc_id", doc_key_col())
+    idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    return facet_date_histogram(
+        idx,
+        _TR_BM25_QUERY,
+        corpus.select("doc_id", "ts"),
+        interval_s=_HIST_INTERVAL_S,
+        mode="or",
+    )
+
+
+def _tr_date_histogram_sql() -> str:
+    from .fixtures import SIZES, doc_key, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', {})".format(doc_key(str(cid), int(ti)), int(ts.timestamp()))
+        for cid, ti, ts in zip(pdf["conv_id"], pdf["turn_idx"], pdf["ts"])
+    )
+    stems = ", ".join("'" + t + "'" for t in sorted(set(_tr_analyzed(_TR_BM25_QUERY))))
+    return f"""
+WITH {_tr_corpus_ctes()},
+trts(doc_id, es) AS (VALUES {rows}),
+m AS (SELECT DISTINCT doc_id FROM trpostings WHERE term IN ({stems}))
+SELECT (floor(t.es / {_HIST_INTERVAL_S}) * {_HIST_INTERVAL_S})::BIGINT
+         AS bucket_es,
+       count(*)::BIGINT AS n_hits
+FROM m JOIN trts t USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _trend_split_es() -> int:
     """Split instant: 10 h after the corpus epoch — conversations 0-9
     (conv spacing 3600 s) land before, 10-19 after."""
@@ -4280,6 +4324,7 @@ QUERIES = {
     "ft_sig_terms": ft_sig_terms,
     "ft_bm25_explain": ft_bm25_explain,
     "tr_trending_terms": tr_trending_terms,
+    "tr_date_histogram": tr_date_histogram,
     "hits_top20": hits_top20,
     "ft_bm25_wand": ft_bm25_wand,
     "ft_bm25_batch": ft_bm25_batch,
@@ -4387,6 +4432,7 @@ ORACLES = {
     "ft_sig_terms": _ft_sig_terms_sql(),
     "ft_bm25_explain": _ft_bm25_explain_sql(),
     "tr_trending_terms": _tr_trending_sql(),
+    "tr_date_histogram": _tr_date_histogram_sql(),
     "hits_top20": _hits_sql(),
     "ft_bm25_wand": _bm25_sql(_FT_QUERIES["bm25"], 20),
     "ft_bm25_batch": _bm25_batch_sql(_FT_BATCH_QUERIES, 20),

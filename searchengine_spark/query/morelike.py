@@ -92,3 +92,44 @@ def facet_counts(
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def facet_date_histogram(
+    index,
+    query: str,
+    meta: DataFrame,
+    ts_col: str = "ts",
+    interval_s: int = 3600,
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``date_histogram`` over search results: hit counts per
+    fixed-width time bucket. ``meta`` is a (doc_id, ts) frame (e.g. the
+    transcripts table keyed by doc_key); the match set comes from the
+    term-filtered postings scan and semi-joins the metadata, then ONE
+    combinable count per bucket. Buckets are epoch-truncating
+    (``floor(epoch / interval) * interval``, the timeseries.py
+    retention-cohort arithmetic — deterministic and timezone-free);
+    empty buckets are omitted (a gap-filling sequence join would be
+    driver-trivial for bounded ranges but is the caller's choice).
+
+    Returns ``(bucket_es, n_hits)`` ordered by bucket_es — bucket start
+    in epoch seconds.
+    """
+    if interval_s <= 0:
+        raise ValueError(f"interval_s must be positive, got {interval_s}")
+    matched = (
+        index.search_keyword(query)
+        if mode == "keyword"
+        else index.search_or(query)
+    )
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(interval_s))
+        * F.lit(interval_s)
+    ).cast("long")
+    return (
+        meta.join(matched.select("doc_id"), "doc_id", "left_semi")
+        .select(bucket.alias("bucket_es"))
+        .groupBy("bucket_es")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .orderBy("bucket_es")
+    )

@@ -1224,3 +1224,31 @@ def test_explain_bm25_edge_cases(spark):
     assert out.columns == [
         "doc_id", "term", "tf", "dl", "qtf", "df", "idf_r", "partial_r",
     ]
+
+
+def test_facet_date_histogram_hand_computed(spark):
+    from datetime import datetime
+
+    from searchengine_spark.query.morelike import facet_date_histogram
+
+    rows = [
+        ("d1", "zebra runs", datetime(2024, 1, 1, 10, 5)),
+        ("d2", "zebra sleeps", datetime(2024, 1, 1, 10, 55)),
+        ("d3", "zebra eats", datetime(2024, 1, 1, 12, 0)),   # gap at 11:00
+        ("d4", "nothing here", datetime(2024, 1, 1, 10, 30)),  # no match
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, ts timestamp")
+    idx = build_index(spark, df.select("doc_id", "text"), cache=False)
+    got = [
+        (r.bucket_es, r.n_hits)
+        for r in facet_date_histogram(
+            idx, "zebra", df.select("doc_id", "ts"), interval_s=3600
+        ).collect()
+    ]
+    h10 = int(datetime(2024, 1, 1, 10).timestamp())
+    h12 = int(datetime(2024, 1, 1, 12).timestamp())
+    # two hits in the 10:00 bucket, one at 12:00, NO empty 11:00 bucket,
+    # the non-matching doc never counted
+    assert got == [(h10, 2), (h12, 1)]
+    with pytest.raises(ValueError):
+        facet_date_histogram(idx, "zebra", df, interval_s=0)
