@@ -4069,6 +4069,79 @@ ORDER BY g2_r DESC, term LIMIT {_SIG_TOP_N}
 """
 
 
+_BOOL_MUST = ["merge"]
+_BOOL_SHOULD = ["sort fast"]
+_BOOL_MUST_NOT = ["dup"]
+_BOOL_K = 15
+
+
+def ft_bm25_bool(spark, sf_dir):
+    """Lucene BooleanQuery with BM25 scoring (query/ranked.py::
+    search_bm25_boolean): must=all-present filter, must_not veto,
+    should terms boost the score of already-matching docs; one postings
+    scan over the union vocabulary + one doc_id shuffle."""
+    from .query.ranked import search_bm25_boolean
+
+    idx = _ft_index(spark, sf_dir)
+    res = search_bm25_boolean(
+        idx, must=_BOOL_MUST, should=_BOOL_SHOULD, must_not=_BOOL_MUST_NOT,
+        k=None,
+    )
+    return (
+        _as_long_doc_id(
+            res.select("doc_id", F.round("score", 4).alias("score_r"))
+        )
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(_BOOL_K)
+    )
+
+
+def _ft_bm25_bool_sql() -> str:
+    from collections import Counter
+
+    m_terms = [t for e in _BOOL_MUST for t in punctuation_tokenize(e)]
+    s_terms = [t for e in _BOOL_SHOULD for t in punctuation_tokenize(e)]
+    n_terms = sorted(
+        {t for e in _BOOL_MUST_NOT for t in punctuation_tokenize(e)}
+    )
+    qtf = Counter(m_terms + s_terms)
+    qrows = ", ".join(f"('{t}', {c})" for t, c in sorted(qtf.items()))
+    mlist = ", ".join("'" + t + "'" for t in sorted(set(m_terms)))
+    nlist = ", ".join("'" + t + "'" for t in n_terms)
+    part = (
+        f"qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)"
+        f" / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+        f" * d.dl / c.avgdl))"
+    )
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM (VALUES {qrows}) AS q(term, qtf)
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+mset AS (
+  SELECT doc_id FROM postings WHERE term IN ({mlist})
+  GROUP BY doc_id HAVING count(*) = {len(set(m_terms))}
+),
+nset AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({nlist})),
+scored AS (
+  SELECT p.doc_id, sum({part}) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  WHERE p.doc_id IN (SELECT doc_id FROM mset)
+    AND p.doc_id NOT IN (SELECT doc_id FROM nset)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY score_r DESC, doc_id LIMIT {_BOOL_K}
+"""
+
+
 def ft_bm25_explain(spark, sf_dir):
     """Lucene-explain-style BM25 breakdown (query/ranked.py::explain_bm25)
     for the top-3 docs of the standard BM25 query: one row per (doc,
@@ -4323,6 +4396,7 @@ QUERIES = {
     "sig_terms_query": sig_terms_query,
     "ft_sig_terms": ft_sig_terms,
     "ft_bm25_explain": ft_bm25_explain,
+    "ft_bm25_bool": ft_bm25_bool,
     "tr_trending_terms": tr_trending_terms,
     "tr_date_histogram": tr_date_histogram,
     "hits_top20": hits_top20,
@@ -4431,6 +4505,7 @@ ORACLES = {
     "sig_terms_query": _sig_terms_query_sql(),
     "ft_sig_terms": _ft_sig_terms_sql(),
     "ft_bm25_explain": _ft_bm25_explain_sql(),
+    "ft_bm25_bool": _ft_bm25_bool_sql(),
     "tr_trending_terms": _tr_trending_sql(),
     "tr_date_histogram": _tr_date_histogram_sql(),
     "hits_top20": _hits_sql(),

@@ -226,6 +226,107 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
     )
 
 
+def search_bm25_boolean(
+    index,
+    must: list | None = None,
+    should: list | None = None,
+    must_not: list | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Lucene ``BooleanQuery`` with BM25 scoring: a document matches iff
+    it contains ALL ``must`` terms, NO ``must_not`` term, and — when
+    ``must`` is empty — at least one ``should`` term (Lucene's
+    minimum-should-match=1 rule for pure-should queries). The score sums
+    the BM25 partials of the present must+should terms; must_not terms
+    filter only, never score.
+
+    Each clause entry runs through the analyzer chain (a multi-token
+    entry contributes all its tokens to that clause). A term appearing
+    in both a scoring clause and ``must_not`` is contradictory and
+    raises. Unknown-vocabulary must terms (df = 0) can never be
+    satisfied, so the result is empty — Lucene semantics, unlike the
+    flat ``search_and`` which ignores them.
+
+    Plan: ONE postings scan over the union vocabulary + ONE doc_id
+    shuffle; clause membership travels in the broadcast weights frame,
+    presence checks are conditional counts in the same aggregate, and
+    the score fold is the exact sorted-term fold of
+    ``search_bm25_weighted`` (pure-should queries are bit-identical to
+    ``search_bm25``, pinned by test).
+    """
+    def _an(clause):
+        out = []
+        for entry in clause or []:
+            out.extend(index.analyze_query(entry))
+        return out
+
+    m_terms, s_terms, n_terms = _an(must), _an(should), _an(must_not)
+    scoring = set(m_terms) | set(s_terms)
+    contra = scoring & set(n_terms)
+    if contra:
+        raise ValueError(f"terms in both scoring and must_not: {sorted(contra)}")
+    if not scoring:
+        return _empty_scores(index)
+    qtf = Counter(m_terms + s_terms)
+    stats = index.query_term_stats(sorted(scoring | set(n_terms)))
+    if any(stats[t][0] == 0 for t in set(m_terms)):
+        return _empty_scores(index)  # unsatisfiable must clause
+    n_must = len(set(m_terms))
+    rows = []
+    for term in sorted(scoring | set(n_terms)):
+        df = stats[term][0]
+        if df == 0:
+            continue  # absent everywhere: can't score, can't veto
+        rows.append((
+            term,
+            int(qtf.get(term, 0)),
+            bm25_idf(index.n_docs, df) if term in scoring else 0.0,
+            term in set(m_terms),
+            term in set(n_terms),
+        ))
+    if not rows:
+        return _empty_scores(index)
+    qdf = index.spark.createDataFrame(
+        rows, "term string, qtf int, idf double, is_must boolean, is_not boolean"
+    )
+    k1, b = float(index.k1), float(index.b)
+    avgdl = float(index.avgdl) or 1.0
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    partial = F.col("qtf") * F.col("idf") * tf * (k1 + 1.0) / norm
+    post = index.postings_for_terms([r[0] for r in rows], positional=False)
+    grouped = (
+        post.join(F.broadcast(qdf), "term")
+        .select(
+            "doc_id",
+            "is_must",
+            "is_not",
+            F.when(F.col("qtf") > 0,
+                   F.struct("term", partial.alias("partial"))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.array_distinct(F.collect_list("p"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("score"),
+            F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("_mh"),
+            F.max(F.when(F.col("is_not"), 1).otherwise(0)).alias("_nh"),
+            F.max(F.when(~F.col("is_not"), 1).otherwise(0)).alias("_sh"),
+        )
+    )
+    keep = (F.col("_mh") == n_must) & (F.col("_nh") == 0)
+    if n_must == 0:
+        keep = keep & (F.col("_sh") == 1)
+    scored = (
+        grouped.where(keep)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return scored.limit(k) if k is not None else scored
+
+
 def explain_bm25(index, query, doc_ids: list) -> DataFrame:
     """Lucene-``explain``-style score breakdown: one row per (document,
     matched query term) with every input to the BM25 partial —

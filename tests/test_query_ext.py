@@ -1252,3 +1252,71 @@ def test_facet_date_histogram_hand_computed(spark):
     assert got == [(h10, 2), (h12, 1)]
     with pytest.raises(ValueError):
         facet_date_histogram(idx, "zebra", df, interval_s=0)
+
+
+# ---------------------------------------------------------------------------
+# search_bm25_boolean (Lucene BooleanQuery with BM25 scoring)
+# ---------------------------------------------------------------------------
+
+
+def _bool_corpus(spark):
+    rows = [
+        ("d1", "zebra data merge fast"),
+        ("d2", "zebra data data"),
+        ("d3", "zebra merge banned"),
+        ("d4", "merge fast fast"),
+        ("d5", "banned data"),
+        ("d6", "unrelated words entirely"),
+    ]
+    return build_index(
+        spark,
+        spark.createDataFrame(rows, "doc_id string, text string"),
+        cache=False,
+    )
+
+
+def test_bm25_boolean_pure_should_is_plain_bm25(spark):
+    from searchengine_spark.query.ranked import search_bm25_boolean
+
+    idx = _bool_corpus(spark)
+    a = {r["doc_id"]: r["score"]
+         for r in idx.search_bm25("zebra data", None).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in search_bm25_boolean(idx, should=["zebra data"]).collect()}
+    assert a == b  # exact float equality: the identical sorted fold
+
+
+def test_bm25_boolean_clause_semantics(spark):
+    from searchengine_spark.query.ranked import search_bm25_boolean
+
+    idx = _bool_corpus(spark)
+    got = search_bm25_boolean(
+        idx, must=["zebra"], should=["fast"], must_not=["banned"]
+    ).collect()
+    ids = [r["doc_id"] for r in got]
+    # d3 has zebra but is vetoed; d4 has fast but lacks the must term;
+    # d1 (zebra + fast) must outrank d2 (zebra only, no should hit)
+    assert set(ids) == {"d1", "d2"}
+    assert ids[0] == "d1"
+    # must with zero matches anywhere -> empty, Lucene semantics
+    assert search_bm25_boolean(idx, must=["qqqzzz"]).count() == 0
+    # all clauses empty / analyzed away -> empty
+    assert search_bm25_boolean(idx, should=["the of"]).count() == 0
+    with pytest.raises(ValueError, match="must_not"):
+        search_bm25_boolean(idx, must=["zebra"], must_not=["zebra"])
+
+
+def test_bm25_boolean_artifact_parity(spark, tmp_path):
+    from searchengine_spark.index.artifact import build_artifact
+    from searchengine_spark.query.ranked import search_bm25_boolean
+
+    tr = _mini_transcripts(spark)
+    from searchengine_spark.fixtures import doc_key_col
+
+    docs = tr.withColumn("doc_id", doc_key_col()).select("doc_id", "text")
+    lidx = build_index(spark, docs, cache=False)
+    aidx = build_artifact(spark, docs, str(tmp_path / "boolx"))
+    kw = dict(must=["data"], should=["zebra"], must_not=["gamma"])
+    lrows = [tuple(r) for r in search_bm25_boolean(lidx, **kw).collect()]
+    arows = [tuple(r) for r in search_bm25_boolean(aidx, **kw).collect()]
+    assert lrows == arows
