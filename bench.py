@@ -241,6 +241,37 @@ def main() -> None:
         ).collect()
     )
 
+    # session-6 additions: corpus analytics + scored-boolean/explain, all
+    # against the cached documents index / raw documents frame
+    from searchengine_spark.query.ranked import explain_bm25, search_bm25_boolean
+    from searchengine_spark.textops import significance as sg
+
+    extras_times["ft_bm25_bool"], _ = timed(
+        lambda: search_bm25_boolean(
+            idx, must=["merge"], should=["sort fast"], must_not=["dup"], k=20
+        ).collect()
+    )
+    top_ids = [r["doc_id"] for r in idx.search_bm25("spark join hash", 10).collect()]
+    extras_times["ft_bm25_explain"], _ = timed(
+        lambda: explain_bm25(idx, "spark join hash", top_ids).collect()
+    )
+    extras_times["ft_sig_terms"], _ = timed(
+        lambda: sg.significant_terms_for_search(
+            idx, "dup merge", top_n=10, min_fg_df=5
+        ).collect()
+    )
+    from searchengine_spark.entry_queries import _tok_col
+
+    extras_times["sig_terms_by_lang"], _ = timed(
+        lambda: sg.significant_terms_by_group(
+            docs.select(
+                F.col("lang").alias("group"), _tok_col(F.col("text")).alias("tokens")
+            ),
+            top_n=10,
+            min_fg_df=5,
+        ).collect()
+    )
+
     # --- relational surface ---
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     q["rel_tpch_q1"], _ = timed(
@@ -261,6 +292,27 @@ def main() -> None:
     build_s = time.perf_counter() - t0
     q["transcripts_build"] = build_s
     turns_per_sec = n_turns / build_s if build_s > 0 else 0.0
+
+    # trending terms over the full bench transcripts corpus (the one-pass
+    # analyze IS the operator's own cost — no index reuse by design)
+    from datetime import timedelta
+
+    from searchengine_spark.analysis.analyzer import make_analyze_udf
+    from searchengine_spark.fixtures import _EPOCH
+
+    split_es = int(_EPOCH.timestamp()) + (bench_convs // 2) * 3600
+    extras_times["tr_trending_terms"], _ = timed(
+        lambda: sg.trending_terms(
+            tr.select(
+                F.unix_timestamp("ts").alias("es"),
+                make_analyze_udf()(F.col("text")).alias("tokens"),
+            ),
+            split_es,
+            ts_col="es",
+            min_after=10,
+            top_n=20,
+        ).collect()
+    )
 
     idx.postings.unpersist()
     idx.term_stats.unpersist()
