@@ -1428,6 +1428,69 @@ LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+_SUGGEST_PREV = "merge"
+_SUGGEST_PREFIX = "s"
+_SUGGEST_K = 10
+
+
+def ft_suggest_next(spark, sf_dir):
+    """Bigram next-term completion (textops/lm.py::suggest_next_terms):
+    top continuations of a previous term under a typed prefix, off the
+    TRAINED bigram count table — train once, suggest per keystroke."""
+    model, _ = lm.bigram_lm(_docs_tokens(spark, sf_dir))
+    return lm.suggest_next_terms(
+        model, _SUGGEST_PREV, prefix=_SUGGEST_PREFIX, k=_SUGGEST_K
+    )
+
+
+def _ft_suggest_next_sql() -> str:
+    return f"""
+WITH {TOK_CTES},
+bg AS (
+  SELECT a.term AS w1, b.term AS w2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2)
+SELECT w2 AS term, c12 AS n FROM c12
+WHERE w1 = '{_SUGGEST_PREV}' AND w2 LIKE '{_SUGGEST_PREFIX}%'
+ORDER BY n DESC, term LIMIT {_SUGGEST_K}
+"""
+
+
+def ft_doclen_profile(spark, sf_dir):
+    """Corpus document-length distribution off the index (the ES
+    index-stats surface): count / min / max / mean and exact interpolated
+    p50/p90/p99 over per-doc analyzed lengths. One distinct (doc_id, dl)
+    projection of the postings + one aggregate."""
+    idx = _ft_index(spark, sf_dir)
+    dls = idx.postings.select("doc_id", "dl").distinct()
+    return dls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("dl").cast("long").alias("min_dl"),
+        F.max("dl").cast("long").alias("max_dl"),
+        F.round(F.avg("dl"), 6).alias("avg_dl_r"),
+        F.round(F.expr("percentile(dl, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(dl, 0.9D)"), 6).alias("p90"),
+        F.round(F.expr("percentile(dl, 0.99D)"), 6).alias("p99"),
+    )
+
+
+def _ft_doclen_profile_sql() -> str:
+    # docs with zero surviving tokens have no postings rows, so the index
+    # profile covers dl > 0 — mirrored here
+    return f"""
+WITH {TOK_CTES}
+SELECT count(*)::BIGINT AS n_docs,
+       min(dl)::BIGINT AS min_dl,
+       max(dl)::BIGINT AS max_dl,
+       round(avg(dl), 6) AS avg_dl_r,
+       round(quantile_cont(dl, 0.5), 6) AS p50,
+       round(quantile_cont(dl, 0.9), 6) AS p90,
+       round(quantile_cont(dl, 0.99), 6) AS p99
+FROM doclen WHERE dl > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity / embeddings entries
 # ---------------------------------------------------------------------------
@@ -4397,6 +4460,8 @@ QUERIES = {
     "ft_sig_terms": ft_sig_terms,
     "ft_bm25_explain": ft_bm25_explain,
     "ft_bm25_bool": ft_bm25_bool,
+    "ft_suggest_next": ft_suggest_next,
+    "ft_doclen_profile": ft_doclen_profile,
     "tr_trending_terms": tr_trending_terms,
     "tr_date_histogram": tr_date_histogram,
     "hits_top20": hits_top20,
@@ -4506,6 +4571,8 @@ ORACLES = {
     "ft_sig_terms": _ft_sig_terms_sql(),
     "ft_bm25_explain": _ft_bm25_explain_sql(),
     "ft_bm25_bool": _ft_bm25_bool_sql(),
+    "ft_suggest_next": _ft_suggest_next_sql(),
+    "ft_doclen_profile": _ft_doclen_profile_sql(),
     "tr_trending_terms": _tr_trending_sql(),
     "tr_date_histogram": _tr_date_histogram_sql(),
     "hits_top20": _hits_sql(),

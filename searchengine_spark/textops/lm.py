@@ -132,3 +132,30 @@ def lm_perplexity(
     """
     model, vocab = bigram_lm(df, tokens_col, id_col)
     return lm_score(df, model, vocab, tokens_col, id_col, k)
+
+
+def suggest_next_terms(
+    model: DataFrame, prev_term: str, prefix: str = "", k: int = 10
+) -> DataFrame:
+    """Search-box next-term completion off the TRAINED bigram counts
+    frame (``bigram_lm``'s first return — train once over the corpus,
+    suggest per keystroke): the top-``k`` continuations ``w2`` of
+    ``prev_term`` by pair count, optionally restricted to a typed prefix
+    of the next token. Returns ``(term, n)`` ordered by (n desc, term
+    asc) — a deterministic total order.
+
+    The model frame is vocabulary-bounded and (w1, w2)-keyed, so the
+    ``w1`` equality and the ``StartsWith`` both push into its scan; a
+    suggestion costs a filter + TakeOrdered over one term's
+    continuation set, never a corpus pass.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    out = model.where(F.col("w1") == prev_term)
+    if prefix:
+        out = out.where(F.col("w2").startswith(prefix))
+    return (
+        out.select(F.col("w2").alias("term"), F.col("c12").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )

@@ -1054,3 +1054,26 @@ def test_doc_keyterms_hand_computed(spark):
     assert len(got) == 6
     with pytest.raises(ValueError, match="top_n"):
         doc_keyterms(docs, top_n=0)
+
+
+def test_suggest_next_terms_hand_computed(spark):
+    from searchengine_spark.textops.lm import bigram_lm, suggest_next_terms
+
+    rows = [
+        ("d1", ["merge", "sort", "merge", "sort", "merge", "scan"]),
+        ("d2", ["merge", "sort", "merge", "join"]),
+        ("d3", ["fast", "merge", "speed"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<string>")
+    model, _ = bigram_lm(df)
+    got = [(r.term, r.n) for r in suggest_next_terms(model, "merge").collect()]
+    # continuations of "merge": sort×3, scan×1, join×1, speed×1 — count
+    # desc then term asc
+    assert got == [("sort", 3), ("join", 1), ("scan", 1), ("speed", 1)]
+    pref = [(r.term, r.n)
+            for r in suggest_next_terms(model, "merge", prefix="s").collect()]
+    assert pref == [("sort", 3), ("scan", 1), ("speed", 1)]
+    assert suggest_next_terms(model, "unknownterm").count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        suggest_next_terms(model, "merge", k=0)
