@@ -350,6 +350,26 @@ class Index:
 
         return search_bm25(self, query, k, allowed=allowed)
 
+    def search_bm25_boolean(
+        self,
+        must: list | None = None,
+        should: list | None = None,
+        must_not: list | None = None,
+        k: int | None = None,
+    ) -> DataFrame:
+        """Lucene BooleanQuery with BM25 scoring — see
+        query/ranked.py::search_bm25_boolean."""
+        from ..query.ranked import search_bm25_boolean
+
+        return search_bm25_boolean(self, must, should, must_not, k)
+
+    def explain_score(self, query: str, doc_ids: list) -> DataFrame:
+        """Per-(doc, term) BM25 breakdown — see
+        query/ranked.py::explain_bm25."""
+        from ..query.ranked import explain_bm25
+
+        return explain_bm25(self, query, doc_ids)
+
     def search_bm25_prf(
         self,
         query: str,
