@@ -4345,6 +4345,60 @@ def tr_trending_terms(spark, sf_dir):
     )
 
 
+_CLAUSES = [("user", "error"), ("assistant", "merge")]
+
+
+def tr_clause_search(spark, sf_dir):
+    """Cross-role conversation retrieval (transcripts.py::
+    conversation_clause_search — the ES has_child join pattern): convs
+    where a USER turn contains 'error' AND an ASSISTANT turn contains
+    'merge' (full analyzer chain); one corpus pass, one conv groupBy,
+    no join node."""
+    from .fixtures import transcripts_df
+    from .transcripts import conversation_clause_search
+
+    tr = transcripts_df(spark, "tiny")
+    return conversation_clause_search(tr, _CLAUSES)
+
+
+def _tr_clause_search_sql() -> str:
+    from .fixtures import SIZES, doc_key, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    meta = ", ".join(
+        "('{}', '{}', '{}')".format(doc_key(str(cid), int(ti)), cid, role)
+        for cid, ti, role in zip(pdf["conv_id"], pdf["turn_idx"], pdf["role"])
+    )
+    msets, conds, cols = [], [], []
+    for i, (role, query) in enumerate(_CLAUSES):
+        terms = sorted(set(_tr_analyzed(query)))
+        tl = ", ".join("'" + t + "'" for t in terms)
+        msets.append(
+            f"m{i} AS (SELECT doc_id FROM trtok WHERE term IN ({tl}) "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)})"
+        )
+        cols.append(
+            f"sum(CASE WHEN t.role = '{role}' AND m{i}.doc_id IS NOT NULL "
+            f"THEN 1 ELSE 0 END)::BIGINT AS hits_{i}"
+        )
+        conds.append(f"hits_{i} > 0")
+    joins = "\n  ".join(
+        f"LEFT JOIN m{i} ON m{i}.doc_id = t.doc_id" for i in range(len(_CLAUSES))
+    )
+    return f"""
+WITH {_tr_corpus_ctes()},
+trmeta(doc_id, conv_id, role) AS (VALUES {meta}),
+{", ".join(msets)},
+agg AS (
+  SELECT t.conv_id, {", ".join(cols)}
+  FROM trmeta t
+  {joins}
+  GROUP BY t.conv_id
+)
+SELECT * FROM agg WHERE {" AND ".join(conds)} ORDER BY conv_id
+"""
+
+
 _HIST_INTERVAL_S = 3600
 
 
@@ -4464,6 +4518,7 @@ QUERIES = {
     "ft_doclen_profile": ft_doclen_profile,
     "tr_trending_terms": tr_trending_terms,
     "tr_date_histogram": tr_date_histogram,
+    "tr_clause_search": tr_clause_search,
     "hits_top20": hits_top20,
     "ft_bm25_wand": ft_bm25_wand,
     "ft_bm25_batch": ft_bm25_batch,
@@ -4575,6 +4630,7 @@ ORACLES = {
     "ft_doclen_profile": _ft_doclen_profile_sql(),
     "tr_trending_terms": _tr_trending_sql(),
     "tr_date_histogram": _tr_date_histogram_sql(),
+    "tr_clause_search": _tr_clause_search_sql(),
     "hits_top20": _hits_sql(),
     "ft_bm25_wand": _bm25_sql(_FT_QUERIES["bm25"], 20),
     "ft_bm25_batch": _bm25_batch_sql(_FT_BATCH_QUERIES, 20),

@@ -279,3 +279,62 @@ def conversation_stats(
         .alias("duration_s"),
         F.sum(ntok).cast("long").alias("n_tokens"),
     )
+
+
+def conversation_clause_search(
+    df: DataFrame,
+    clauses: list,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    analyzer: str = "composable",
+) -> DataFrame:
+    """Cross-role conversation retrieval (the ES ``has_child`` join
+    pattern over the turn hierarchy): return the conversations where, for
+    EVERY ``(role, query)`` clause, some turn of that role contains ALL
+    of the query's analyzed terms — e.g. "the user asked about an error
+    AND the assistant ran a merge".
+
+    Returns ``(conv_id, hits_0, hits_1, ...)`` — one matching-turn count
+    per clause, conversations ordered by conv_id. A clause whose query
+    analyzes to no terms (stop words only) raises; an unknown role simply
+    matches no turns, so the conversation set is empty.
+
+    Plan shape: ONE corpus pass (the vectorized analyze projection +
+    per-clause boolean flags, all JVM expressions over the token array)
+    into ONE combinable groupBy(conv_id) whose terms are conditional
+    sums; the filter "every clause hit at least once" is a HAVING over
+    those sums. No join at all — the parent-child relation rides the
+    conv_id aggregation key, which is how a 10^12-turn table wants it
+    (Spark's groupBy replaces the index-time block-join Lucene needs).
+    """
+    from .analysis.analyzer import get_analyzer, make_analyze_udf
+
+    if not clauses:
+        raise ValueError("clauses must be non-empty")
+    an = get_analyzer(analyzer)
+    analyzed = []
+    for role, query in clauses:
+        terms = an(query)
+        if not terms:
+            raise ValueError(f"clause query analyzes to no terms: {query!r}")
+        analyzed.append((role, sorted(set(terms))))
+    toks = make_analyze_udf(analyzer)(F.col(text_col))
+    flags = [
+        (
+            (F.col(role_col) == role)
+            & (F.size(F.array_intersect(toks, F.lit(terms))) == len(terms))
+        )
+        .cast("long")
+        .alias(f"hit_{i}")
+        for i, (role, terms) in enumerate(analyzed)
+    ]
+    per_turn = df.select(F.col(conv_col).alias("conv_id"), *flags)
+    agg = per_turn.groupBy("conv_id").agg(
+        *[F.sum(f"hit_{i}").alias(f"hits_{i}") for i in range(len(analyzed))]
+    )
+    keep = None
+    for i in range(len(analyzed)):
+        c = F.col(f"hits_{i}") > 0
+        keep = c if keep is None else (keep & c)
+    return agg.where(keep).orderBy("conv_id")

@@ -1320,3 +1320,43 @@ def test_bm25_boolean_artifact_parity(spark, tmp_path):
     lrows = [tuple(r) for r in search_bm25_boolean(lidx, **kw).collect()]
     arows = [tuple(r) for r in search_bm25_boolean(aidx, **kw).collect()]
     assert lrows == arows
+
+
+def test_conversation_clause_search_hand_computed(spark):
+    from searchengine_spark.transcripts import conversation_clause_search
+
+    rows = [
+        # c1: user asks about errors, assistant merges -> matches both
+        ("c1", 0, "user", "an error happened in the merge", ""),
+        ("c1", 1, "assistant", "running the merge now", ""),
+        # c2: user mentions error but assistant never merges
+        ("c2", 0, "user", "error again", ""),
+        ("c2", 1, "assistant", "looking into it", ""),
+        # c3: the ASSISTANT says error (wrong role for clause 0)
+        ("c3", 0, "user", "please help", ""),
+        ("c3", 1, "assistant", "error while merging", ""),
+        # c4: both clauses, and the user repeats the error turn
+        ("c4", 0, "user", "error one", ""),
+        ("c4", 1, "assistant", "merge done", ""),
+        ("c4", 2, "user", "error two", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = [
+        (r.conv_id, r.hits_0, r.hits_1)
+        for r in conversation_clause_search(
+            df, [("user", "error"), ("assistant", "merge")]
+        ).collect()
+    ]
+    # c4's second user-error turn counts; role mismatch (c3) excluded.
+    # NOTE c4 turn 2 "error two": role=user would be turn_idx%3 pattern in
+    # fixtures but here roles are explicit.
+    assert got == [("c1", 1, 1), ("c4", 2, 1)]
+    # multi-term clause: ALL terms must land in ONE turn of that role
+    single = conversation_clause_search(df, [("user", "error merge")])
+    assert [r.conv_id for r in single.collect()] == ["c1"]
+    with pytest.raises(ValueError, match="no terms"):
+        conversation_clause_search(df, [("user", "the of")])
+    with pytest.raises(ValueError):
+        conversation_clause_search(df, [])
