@@ -471,7 +471,8 @@ def build_artifact(
             n_buckets=n_buckets,
         )
         entry["build_sec"] = round(time.time() - t0, 3)
-        entry["lineage"] = {"source": source_desc, "filter": seg_filter}
+        entry["lineage"] = {"op": "append", "source": source_desc,
+                            "filter": seg_filter}
         segments.append(entry)
         snap_id += 1
         _commit_snapshot(
@@ -534,6 +535,7 @@ def append_segment(
     )
     entry["build_sec"] = round(time.time() - t0, 3)
     entry["lineage"] = {
+        "op": "append",
         "source": source_desc,
         "filter": "appended batch",
         "stream_batch_id": stream_batch_id,
@@ -837,6 +839,7 @@ def upsert_documents(
     )
     entry["build_sec"] = round(time.time() - t0, 3)
     entry["lineage"] = {
+        "op": "append",  # an upsert's replacement rows ARE new data
         "source": source_desc,
         "filter": f"upsert ({n_dead} prior versions tombstoned)",
     }
@@ -891,8 +894,14 @@ def docs_added_between(
         )
 
     def _is_rewrite(seg_entry) -> bool:
-        src = seg_entry.get("lineage", {}).get("source", "")
-        return src.startswith(("subcompaction of", "compaction of"))
+        lin = seg_entry.get("lineage", {})
+        if "op" in lin:  # structured field (current writers)
+            return lin["op"] == "rewrite"
+        # legacy artifacts predate the op field: fall back to the
+        # rewrite sources' prefix convention
+        return lin.get("source", "").startswith(
+            ("subcompaction of", "compaction of")
+        )
 
     # walk the snapshot log (Iceberg-style): a segment is "added in the
     # range" if some snapshot in (from, to] first lists it with append /
@@ -1117,6 +1126,7 @@ def subcompact(
             "bytes": int(agg["bytes"] or 0),
             "partitions": [],
             "lineage": {
+                "op": "rewrite",
                 "source": f"subcompaction of segments {segs} "
                 f"at snapshot {src.snapshot['snapshot_id']}",
                 "filter": f"seg IN {segs}",
@@ -1321,6 +1331,7 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
                     "bytes": int(agg["bytes"] or 0),
                     "partitions": [],
                     "lineage": {
+                        "op": "rewrite",
                         "source": f"compaction of {path} "
                         f"snapshot {src.snapshot['snapshot_id']}",
                         "filter": "full corpus",

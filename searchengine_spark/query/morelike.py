@@ -79,6 +79,8 @@ def facet_counts(
     """
     if index.corpus is None:
         raise ValueError("index built without corpus reference")
+    if mode not in ("keyword", "or"):
+        raise ValueError(f"mode must be 'keyword' or 'or', got {mode!r}")
     matched = (
         index.search_keyword(query)
         if mode == "keyword"
@@ -117,6 +119,8 @@ def facet_date_histogram(
     """
     if interval_s <= 0:
         raise ValueError(f"interval_s must be positive, got {interval_s}")
+    if mode not in ("keyword", "or"):
+        raise ValueError(f"mode must be 'keyword' or 'or', got {mode!r}")
     matched = (
         index.search_keyword(query)
         if mode == "keyword"

@@ -63,6 +63,20 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
+def _bm25_partial(index):
+    """The per-posting BM25 partial Column — qtf·idf·tf·(k1+1)/norm over
+    columns (qtf, idf, tf, dl). ONE definition shared by the scorer, the
+    batch scorer, the boolean scorer, and explain_bm25 so their floats
+    stay bit-identical (explain's sum-equals-score contract and the
+    pure-should ≡ plain-BM25 pin both depend on the exact expression
+    tree)."""
+    k1, b = float(index.k1), float(index.b)
+    avgdl = float(index.avgdl) or 1.0
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    return F.col("qtf") * F.col("idf") * tf * (k1 + 1.0) / norm
+
+
 def tfidf_idf(n_docs: int, df: int) -> float:
     # log10(N/df + 1): the +1 lands outside the division (Java precedence,
     # InvertedIndexManager.java:611)
@@ -94,11 +108,7 @@ def search_bm25_weighted(
     if not weights or k == 0:
         return _empty_scores(index)
     qdf = index.spark.createDataFrame(weights, "term string, qtf int, idf double")
-    k1, b = float(index.k1), float(index.b)
-    avgdl = float(index.avgdl) or 1.0
-    tf = F.col("tf").cast("double")
-    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    partial = F.col("qtf") * F.col("idf") * tf * (k1 + 1.0) / norm
+    partial = _bm25_partial(index)
     # Deterministic per-doc summation: fold partials in sorted-term order so
     # scores are bit-identical across partitionings and to the oracle
     # (float addition is order-sensitive; SURVEY.md §7.3). Query terms are
@@ -191,11 +201,7 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
         rows, "query_id string, term string, qtf int, idf double"
     )
     union_terms = sorted({t for _, t, _, _ in rows})
-    k1, b = float(index.k1), float(index.b)
-    avgdl = float(index.avgdl) or 1.0
-    tf = F.col("tf").cast("double")
-    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    partial = F.col("qtf") * F.col("idf") * tf * (k1 + 1.0) / norm
+    partial = _bm25_partial(index)
     scored = (
         index.postings_for_terms(union_terms, positional=False)
         .join(F.broadcast(qdf), "term")
@@ -289,18 +295,19 @@ def search_bm25_boolean(
     qdf = index.spark.createDataFrame(
         rows, "term string, qtf int, idf double, is_must boolean, is_not boolean"
     )
-    k1, b = float(index.k1), float(index.b)
-    avgdl = float(index.avgdl) or 1.0
-    tf = F.col("tf").cast("double")
-    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    partial = F.col("qtf") * F.col("idf") * tf * (k1 + 1.0) / norm
+    partial = _bm25_partial(index)
     post = index.postings_for_terms([r[0] for r in rows], positional=False)
+    # _mh counts DISTINCT must terms seen (a doc_id duplicated across
+    # segments contributes duplicate posting rows — the same case the
+    # array_distinct in the score fold tolerates); docs surviving
+    # _nh == 0 necessarily have a scoring-term row, so pure-should
+    # presence needs no extra aggregate
     grouped = (
         post.join(F.broadcast(qdf), "term")
         .select(
             "doc_id",
-            "is_must",
             "is_not",
+            F.when(F.col("is_must"), F.col("term")).alias("mt"),
             F.when(F.col("qtf") > 0,
                    F.struct("term", partial.alias("partial"))).alias("p"),
         )
@@ -311,14 +318,11 @@ def search_bm25_boolean(
                 F.lit(0.0),
                 lambda acc, x: acc + x["partial"],
             ).alias("score"),
-            F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("_mh"),
+            F.size(F.array_distinct(F.collect_list("mt"))).alias("_mh"),
             F.max(F.when(F.col("is_not"), 1).otherwise(0)).alias("_nh"),
-            F.max(F.when(~F.col("is_not"), 1).otherwise(0)).alias("_sh"),
         )
     )
     keep = (F.col("_mh") == n_must) & (F.col("_nh") == 0)
-    if n_must == 0:
-        keep = keep & (F.col("_sh") == 1)
     scored = (
         grouped.where(keep)
         .select("doc_id", "score")
@@ -360,11 +364,7 @@ def explain_bm25(index, query, doc_ids: list) -> DataFrame:
     qdf = index.spark.createDataFrame(
         rows, "term string, qtf int, df long, idf double"
     )
-    k1, b = float(index.k1), float(index.b)
-    avgdl = float(index.avgdl) or 1.0
-    tf = F.col("tf").cast("double")
-    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    partial = F.col("qtf") * F.col("idf") * tf * (k1 + 1.0) / norm
+    partial = _bm25_partial(index)
     post = index.postings_for_terms([r[0] for r in rows], positional=False)
     return (
         post.where(F.col("doc_id").isin(list(doc_ids)))

@@ -206,17 +206,22 @@ def significant_terms_for_search(
     q_terms = index.analyze_query(query)
     if not q_terms:
         raise ValueError(f"query analyzes to no terms: {query!r}")
+    # postings frames always carry the id as "doc_id"; a corpus attached
+    # under another name is renamed on ITS side (the hydrate pattern)
     match = (
         index.postings_for_terms(q_terms, positional=False)
-        .select(index.doc_id_col)
+        .select("doc_id")
         .distinct()
         .persist()
     )
     n_g = int(match.count())
     n_docs = int(index.n_docs)
     analyze = make_analyze_udf(index.analyzer)
+    corpus = index.corpus
+    if index.doc_id_col != "doc_id":
+        corpus = corpus.withColumnRenamed(index.doc_id_col, "doc_id")
     fg = (
-        index.corpus.join(match, index.doc_id_col, "left_semi")
+        corpus.join(match, "doc_id", "left_semi")
         .select(analyze(F.col(index.text_col)).alias("toks"))
         .select(F.explode(F.array_distinct("toks")).alias("term"))
         .groupBy("term")
@@ -283,7 +288,10 @@ def trending_terms(
         raise ValueError(f"top_n must be positive, got {top_n}")
     after = (F.col(ts_col) >= F.lit(split_ts)).alias("after")
     cnt = (
-        df.select(after, F.explode(F.col(tokens_col)).alias("term"))
+        # NULL timestamps are unplaceable (the >= comparison is NULL, which
+        # would otherwise silently land in 'before') — excluded up front
+        df.where(F.col(ts_col).isNotNull())
+        .select(after, F.explode(F.col(tokens_col)).alias("term"))
         .groupBy("term")
         .agg(
             F.sum(F.when(F.col("after"), 1).otherwise(0)).alias("c_after"),

@@ -96,3 +96,16 @@ def test_changelog_scan_is_partition_pruned(spark, log_path):
         ln for ln in plan.splitlines() if "PartitionFilters" in ln
     ][0]
     assert "seg" in seg_filter
+
+
+def test_changelog_append_with_compaction_like_source_desc(spark, tmp_path):
+    """Regression: rewrite detection uses the structured lineage op field,
+    not the free-text source string — an append whose source_desc happens
+    to start with 'compaction of' must still surface."""
+    path = str(tmp_path / "opfield")
+    build_artifact(spark, _df(spark, [("a", "x y")]), path)
+    append_segment(
+        spark, _df(spark, [("b", "y z")]), path,
+        source_desc="compaction of upstream exports (a plain append)",
+    )
+    assert _ids(docs_added_between(spark, path, 1)) == ["b"]

@@ -1360,3 +1360,38 @@ def test_conversation_clause_search_hand_computed(spark):
         conversation_clause_search(df, [("user", "the of")])
     with pytest.raises(ValueError):
         conversation_clause_search(df, [])
+
+
+def test_bm25_boolean_duplicate_doc_id_rows_still_match_must(spark):
+    """Regression: a doc_id duplicated across rows (two-segment append
+    without upsert) must count DISTINCT must terms, not posting rows."""
+    from searchengine_spark.query.ranked import search_bm25_boolean
+
+    rows = [
+        ("d1", "zebra data merge"),
+        ("d1", "zebra data merge"),   # duplicate doc_id
+        ("d2", "zebra data"),
+    ]
+    idx = build_index(
+        spark, spark.createDataFrame(rows, "doc_id string, text string"),
+        cache=False,
+    )
+    plain = {r["doc_id"] for r in idx.search_bm25("zebra", None).collect()}
+    boolean = {
+        r["doc_id"]
+        for r in search_bm25_boolean(idx, must=["zebra"]).collect()
+    }
+    assert boolean == plain == {"d1", "d2"}
+
+
+def test_facet_mode_validation(spark):
+    from searchengine_spark.query.morelike import (
+        facet_counts, facet_date_histogram,
+    )
+
+    tr = _mini_transcripts(spark)
+    idx = _mini_index(spark, tr)
+    with pytest.raises(ValueError, match="mode"):
+        facet_counts(idx, "zebra", "role", mode="and")
+    with pytest.raises(ValueError, match="mode"):
+        facet_date_histogram(idx, "zebra", tr, mode="AND")

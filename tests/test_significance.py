@@ -305,3 +305,45 @@ def test_significance_plans_have_no_nested_loops(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_sig_terms_for_search_nondefault_doc_id_col(spark):
+    """Regression: index/corpus attached under a non-default doc_id_col
+    must not crash (the postings frame always carries 'doc_id')."""
+    from searchengine_spark.index import build_index
+    from searchengine_spark.textops.significance import (
+        significant_terms_for_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(k, t) for k, t in SEARCH_DOCS], "turn_key string, text string"
+    )
+    idx = build_index(spark, docs, doc_id_col="turn_key", cache=False)
+    got = significant_terms_for_search(
+        idx, "index rebuild", top_n=5, min_fg_df=1
+    ).collect()
+    default = spark.createDataFrame(SEARCH_DOCS, "doc_id string, text string")
+    didx = build_index(spark, default, cache=False)
+    want = significant_terms_for_search(
+        didx, "index rebuild", top_n=5, min_fg_df=1
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_trending_null_ts_rows_are_excluded(spark):
+    from searchengine_spark.textops.significance import trending_terms
+
+    rows = TS + [(None, ["steady", "steady", "steady", "steady"])]
+    df = spark.createDataFrame(rows, "ts timestamp, tokens array<string>")
+    with_null = [
+        (r.term, r.c_before, r.c_after)
+        for r in trending_terms(df, SPLIT, min_after=1).collect()
+    ]
+    clean = [
+        (r.term, r.c_before, r.c_after)
+        for r in trending_terms(
+            spark.createDataFrame(TS, "ts timestamp, tokens array<string>"),
+            SPLIT, min_after=1,
+        ).collect()
+    ]
+    assert with_null == clean  # NULL-ts tokens never counted anywhere
