@@ -4267,6 +4267,51 @@ ORDER BY p.doc_id, p.term
 """
 
 
+_PERC_QUERIES = [
+    ("alert-dup", "dup"),
+    ("alert-merge-sort", "merge sort"),
+    ("alert-spark-join-hash", "spark join hash"),
+    ("alert-nohit", "merge qqqzzz"),
+]
+
+
+def ft_percolate(spark, sf_dir):
+    """Percolation / reverse search (query/percolate.py): which stored
+    keyword-conjunction queries fire for each document. One term-keyed
+    equi-join (broadcast query side) + one combinable (doc, query)
+    count — the streaming-ingestion alerting primitive."""
+    from .query.percolate import percolate
+
+    queries = spark.createDataFrame(
+        _PERC_QUERIES, "query_id string, query string"
+    )
+    return percolate(
+        queries, _docs_tokens(spark, sf_dir), analyzer="punctuation"
+    )
+
+
+def _ft_percolate_sql() -> str:
+    qrows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in _PERC_QUERIES
+        for t in sorted(set(punctuation_tokenize(q)))
+    )
+    return f"""
+WITH {TOK_CTES},
+qt AS (SELECT * FROM (VALUES {qrows}) AS v(query_id, term)),
+need AS (SELECT query_id, count(*)::BIGINT AS n FROM qt GROUP BY 1),
+hit AS (
+  SELECT p.doc_id, q.query_id, count(DISTINCT q.term)::BIGINT AS h
+  FROM postings p JOIN qt q ON q.term = p.term
+  GROUP BY 1, 2
+)
+SELECT hit.doc_id, hit.query_id
+FROM hit JOIN need USING (query_id)
+WHERE hit.h = need.n
+ORDER BY doc_id, query_id
+"""
+
+
 _SIG_SEARCH_QUERY = "dup merge"
 
 
@@ -4515,6 +4560,7 @@ QUERIES = {
     "ft_bm25_explain": ft_bm25_explain,
     "ft_bm25_bool": ft_bm25_bool,
     "ft_suggest_next": ft_suggest_next,
+    "ft_percolate": ft_percolate,
     "ft_doclen_profile": ft_doclen_profile,
     "tr_trending_terms": tr_trending_terms,
     "tr_date_histogram": tr_date_histogram,
@@ -4627,6 +4673,7 @@ ORACLES = {
     "ft_bm25_explain": _ft_bm25_explain_sql(),
     "ft_bm25_bool": _ft_bm25_bool_sql(),
     "ft_suggest_next": _ft_suggest_next_sql(),
+    "ft_percolate": _ft_percolate_sql(),
     "ft_doclen_profile": _ft_doclen_profile_sql(),
     "tr_trending_terms": _tr_trending_sql(),
     "tr_date_histogram": _tr_date_histogram_sql(),

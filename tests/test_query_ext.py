@@ -1395,3 +1395,42 @@ def test_facet_mode_validation(spark):
         facet_counts(idx, "zebra", "role", mode="and")
     with pytest.raises(ValueError, match="mode"):
         facet_date_histogram(idx, "zebra", tr, mode="AND")
+
+
+def test_percolate_hand_computed(spark):
+    from searchengine_spark.query.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", ["zebra", "data", "merg"]),
+            ("d2", ["zebra", "merg"]),
+            ("d3", ["data"]),
+        ],
+        "doc_id string, tokens array<string>",
+    )
+    queries = spark.createDataFrame(
+        [
+            ("q-zebra", "zebra"),
+            ("q-both", "zebra data"),     # conjunction: needs both
+            ("q-merge", "merging"),       # Porter-stems to 'merg'
+            ("q-none", "qqqzzz"),
+        ],
+        "query_id string, query string",
+    )
+    got = [(r.doc_id, r.query_id) for r in percolate(queries, docs).collect()]
+    assert got == [
+        ("d1", "q-both"), ("d1", "q-merge"), ("d1", "q-zebra"),
+        ("d2", "q-merge"), ("d2", "q-zebra"),
+    ]
+    # a vacuous (stop-word-only) stored query is rejected loudly
+    bad = spark.createDataFrame(
+        [("q-vacuous", "the of and")], "query_id string, query string"
+    )
+    with pytest.raises(ValueError, match="no terms"):
+        percolate(bad, docs)
+    # plan: the percolation join must never be a nested loop
+    plan = (
+        percolate(queries, docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
