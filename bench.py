@@ -272,6 +272,19 @@ def main() -> None:
         ).collect()
     )
 
+    from searchengine_spark.query.percolate import percolate
+
+    perc_queries = spark.createDataFrame(
+        [("q-dup", "dup"), ("q-ms", "merge sort"), ("q-sjh", "spark join hash")],
+        "query_id string, query string",
+    )
+    extras_times["ft_percolate"], _ = timed(
+        lambda: percolate(
+            perc_queries, docs.select("doc_id", _tok_col(F.col("text")).alias("tokens")),
+            analyzer="punctuation",
+        ).count()
+    )
+
     # --- relational surface ---
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     q["rel_tpch_q1"], _ = timed(
