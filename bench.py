@@ -285,6 +285,40 @@ def main() -> None:
         ).count()
     )
 
+    # session-7 additions: msm boolean, term vectors, dis-max, rank eval
+    extras_times["ft_bm25_msm"], _ = timed(
+        lambda: search_bm25_boolean(
+            idx, should=["merge sort", "hash", "join"], k=20,
+            min_should_match=2,
+        ).collect()
+    )
+    extras_times["ft_term_vectors"], _ = timed(
+        lambda: idx.term_vectors(top_ids).collect()
+    )
+    from searchengine_spark.query.bm25f import search_dismax
+
+    extras_times["ft_dismax"], _ = timed(
+        lambda: search_dismax(
+            spark,
+            docs.select("doc_id", F.col("lang").alias("field"), "text"),
+            "spark join hash",
+            ["en", "de"],
+            tie_breaker=0.3,
+            k=20,
+        ).collect()
+    )
+    from searchengine_spark.query.rankeval import rank_eval
+
+    _re_j = spark.createDataFrame(
+        [("q0", str(d), 1) for d in top_ids[:5]],
+        "query_id string, doc_id string, grade int",
+    )
+    extras_times["ft_rank_eval"], _ = timed(
+        lambda: rank_eval(
+            idx, {"q0": "spark join hash", "q1": "merge sort"}, _re_j, 10
+        ).collect()
+    )
+
     # --- relational surface ---
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     q["rel_tpch_q1"], _ = timed(
@@ -326,6 +360,25 @@ def main() -> None:
             top_n=20,
         ).collect()
     )
+
+    # sequence packing over the full bench transcripts corpus (the global
+    # prefix sum + fragment explosion IS the operator — no index reuse)
+    from searchengine_spark.textops.packing import pack_sequences
+
+    def _pack():
+        counts = tr.select(
+            "doc_id",
+            F.when(F.col("text") != "", F.size(F.split("text", " ")))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        frags = pack_sequences(counts, 2048)
+        n = frags.count()
+        frags.unpersist()
+        return n
+
+    extras_times["tr_pack_sequences"], _ = timed(_pack)
 
     idx.postings.unpersist()
     idx.term_stats.unpersist()

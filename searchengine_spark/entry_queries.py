@@ -3784,6 +3784,372 @@ FROM scored ORDER BY score_r DESC, doc_id LIMIT 10
 """
 
 
+_DISMAX_FIELDS = ["assistant", "user"]  # tool stream unsearched
+_DISMAX_TB = 0.3
+
+
+def tr_dismax_top10(spark, sf_dir):
+    """Disjunction-max multi-field ranking (query/bm25f.py::search_dismax,
+    ES ``dis_max`` / best_fields): each role stream scored as its OWN BM25
+    collection (per-field N/df/dl/avgdl), per-conv score = best field +
+    0.3 x the rest. The oracle replays the per-field statistics and the
+    max + tie_breaker combine end-to-end in SQL."""
+    from .fixtures import transcripts_df
+    from .query.bm25f import search_dismax
+
+    tr = transcripts_df(spark, "tiny")
+    fields = tr.select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("role").alias("field"),
+        "text",
+    )
+    res = search_dismax(
+        spark, fields, _TR_BM25_QUERY, _DISMAX_FIELDS, tie_breaker=_DISMAX_TB
+    )
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _tr_dismax_sql() -> str:
+    from collections import Counter
+
+    from .analysis.porter import stem
+    from .fixtures import SIZES, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', '{}', '{}')".format(cid, role, txt.replace("'", "''"))
+        for cid, role, txt in zip(pdf["conv_id"], pdf["role"], pdf["text"])
+    )
+    vocab = sorted({t for txt in pdf["text"] for t in punctuation_tokenize(txt)})
+    stems = ", ".join(f"('{t}', '{stem(t)}')" for t in vocab)
+    searched = ", ".join(f"'{f}'" for f in sorted(_DISMAX_FIELDS))
+    counts = Counter(_tr_analyzed(_TR_BM25_QUERY))
+    qrows = ", ".join(f"('{t}', {c})" for t, c in sorted(counts.items()))
+    return f"""
+WITH trf AS (SELECT * FROM (VALUES {rows}) AS v(doc_id, field, text)),
+trstems AS (SELECT * FROM (VALUES {stems}) AS v(tok, term)),
+trflists AS (
+  SELECT doc_id, field,
+         list_filter(
+           string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                              '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> '' AND x NOT IN ({_STOP_SQL})
+         ) AS toks
+  FROM trf WHERE field IN ({searched})
+),
+trftok AS (
+  SELECT l.doc_id, l.field, s.term
+  FROM (SELECT doc_id, field, unnest(toks) AS tok FROM trflists) l
+  JOIN trstems s ON s.tok = l.tok
+),
+trfpost AS (
+  SELECT doc_id, field, term, count(*)::BIGINT AS tf
+  FROM trftok GROUP BY doc_id, field, term
+),
+trfdl AS (
+  SELECT doc_id, field, sum(len(toks))::BIGINT AS dl
+  FROM trflists GROUP BY doc_id, field
+),
+trfstat AS (
+  SELECT field, count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl
+  FROM trfdl GROUP BY field
+),
+trfdf AS (
+  SELECT field, term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM trfpost GROUP BY field, term
+),
+qwf AS (
+  SELECT d.field, q.term, q.qtf,
+         ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf,
+         st.avgdl
+  FROM (VALUES {qrows}) AS q(term, qtf)
+  JOIN trfdf d ON d.term = q.term
+  JOIN trfstat st ON st.field = d.field
+),
+fsc AS (
+  SELECT p.doc_id, p.field,
+         sum(w.qtf * w.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE
+                + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / w.avgdl))
+         ) AS fscore
+  FROM trfpost p
+  JOIN qwf w ON w.field = p.field AND w.term = p.term
+  JOIN trfdl l ON l.doc_id = p.doc_id AND l.field = p.field
+  GROUP BY p.doc_id, p.field
+),
+scored AS (
+  SELECT doc_id,
+         max(fscore) + {_DISMAX_TB} * (sum(fscore) - max(fscore)) AS score
+  FROM fsc GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY score_r DESC, doc_id LIMIT 10
+"""
+
+
+_DECAY_ORIGIN_ES = 1767254400  # 2026-01-01T08:00:00Z — mid-corpus
+_DECAY_SCALE_S = 14400.0  # decay multiplier hits 0.5 at 4 h past offset
+_DECAY_OFFSET_S = 1800.0  # 30-min no-decay plateau around the origin
+
+
+def tr_decay_top10(spark, sf_dir):
+    """Gaussian function-score decay (query/ranked.py::search_bm25_decay,
+    the ES ``function_score`` decay family): BM25 x
+    exp(-d^2 / 2 sigma^2) with d = max(0, |ts - origin| - offset), pinned
+    origin literal, decay applied BEFORE the top-k cut. The oracle replays
+    the scored CTE and the identical arithmetic (sigma^2 inlined at full
+    float precision) over inlined (doc_id, epoch) rows."""
+    from .fixtures import doc_key_col, transcripts_df
+    from .query.ranked import search_bm25_decay
+
+    tr = transcripts_df(spark, "tiny")
+    corpus = tr.withColumn("doc_id", doc_key_col())
+    idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    return search_bm25_decay(
+        idx,
+        corpus.select("doc_id", "ts"),
+        _TR_BM25_QUERY,
+        _DECAY_ORIGIN_ES,
+        _DECAY_SCALE_S,
+        offset=_DECAY_OFFSET_S,
+        decay=0.5,
+        kind="gauss",
+        k=10,
+    )
+
+
+def _tr_decay_sql() -> str:
+    import math
+
+    from .fixtures import SIZES, doc_key, transcripts_pandas
+
+    sigma2 = -(_DECAY_SCALE_S**2) / (2.0 * math.log(0.5))
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', {})".format(doc_key(str(cid), int(ti)), int(ts.timestamp()))
+        for cid, ti, ts in zip(pdf["conv_id"], pdf["turn_idx"], pdf["ts"])
+    )
+    return f"""
+WITH {_tr_corpus_ctes()},
+{_tr_scored_frag(_TR_BM25_QUERY)},
+trts(doc_id, es) AS (VALUES {rows}),
+dd AS (
+  SELECT s.doc_id, s.score,
+         greatest(abs(t.es::DOUBLE - {float(_DECAY_ORIGIN_ES)!r})
+                  - {_DECAY_OFFSET_S!r}, 0.0) AS d
+  FROM scored s JOIN trts t ON t.doc_id = s.doc_id
+)
+SELECT doc_id,
+       round(score * exp(-(d * d) / {2.0 * sigma2!r}), 4) AS score_r,
+       round(d, 6) AS dist
+FROM dd ORDER BY score_r DESC, doc_id LIMIT 10
+"""
+
+
+_PACK_CAPACITY = 64
+
+
+def tr_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing for training export
+    (textops/packing.py::pack_sequences): whitespace token counts per
+    turn, docs concatenated in doc_id order, sliced into 64-token
+    sequences; one row per (doc x overlapped sequence) fragment. The
+    Spark side computes the global token prefix with the scalable
+    two-job pattern (range partition + per-partition sums); the oracle
+    replays the identical interval arithmetic with a window cumulative
+    sum + generate_series."""
+    from .fixtures import doc_key_col, transcripts_df
+    from .textops.packing import pack_sequences
+
+    tr = transcripts_df(spark, "tiny")
+    corpus = tr.select(
+        doc_key_col().alias("doc_id"),
+        F.when(F.col("text") != "", F.size(F.split("text", " ")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    frags = pack_sequences(corpus, _PACK_CAPACITY)
+    return frags.orderBy("seq_id", "doc_id")
+
+
+def _tr_pack_sql() -> str:
+    from .fixtures import SIZES, doc_key, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = ", ".join(
+        "('{}', '{}')".format(doc_key(str(cid), int(ti)), txt.replace("'", "''"))
+        for cid, ti, txt in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"])
+    )
+    c = _PACK_CAPACITY
+    return f"""
+WITH trpdocs(doc_id, text) AS (VALUES {rows}),
+tn AS (
+  SELECT doc_id,
+         (CASE WHEN text <> '' THEN len(string_split(text, ' '))
+               ELSE 0 END)::BIGINT AS ntok
+  FROM trpdocs
+),
+sp AS (
+  SELECT doc_id, ntok,
+         (sum(ntok) OVER (ORDER BY doc_id) - ntok)::BIGINT AS s
+  FROM tn WHERE ntok > 0
+),
+frag AS (
+  SELECT unnest(generate_series(s // {c}, (s + ntok - 1) // {c})) AS seq_id,
+         doc_id, s, ntok
+  FROM sp
+)
+SELECT seq_id::BIGINT AS seq_id, doc_id,
+       (greatest(s, seq_id * {c}) - s)::BIGINT AS doc_offset,
+       (greatest(s, seq_id * {c}) - seq_id * {c})::BIGINT AS seq_offset,
+       (least(s + ntok, (seq_id + 1) * {c})
+        - greatest(s, seq_id * {c}))::BIGINT AS frag_len
+FROM frag
+ORDER BY seq_id, doc_id
+"""
+
+
+_RANKEVAL_QUERIES = {
+    # varied selectivity plus a no-hit query (metrics must be 0.0, not
+    # missing rows)
+    "q_err": "error timeout retry",
+    "q_idx": "index segment merge",
+    "q_none": "zzznotaterm",
+}
+_RANKEVAL_K = 10
+
+
+def _rankeval_judgments() -> list[tuple[str, str, int]]:
+    """Deterministic graded judgments derived from the fixture corpus:
+    grade = number of distinct analyzed query terms present in the turn's
+    analyzed token set, kept only at grade >= 2 (so judged docs are a
+    strict subset of matching docs — P@k and NDCG move away from 1.0).
+    Inlined VERBATIM on both sides: the oracle checks the ranking replay
+    and the metric arithmetic, not the judgment derivation."""
+    from .analysis.analyzer import analyze
+    from .fixtures import SIZES, doc_key, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    docs = [
+        (doc_key(str(cid), int(ti)), set(analyze(txt)))
+        for cid, ti, txt in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"])
+    ]
+    out = []
+    for qid, qtext in sorted(_RANKEVAL_QUERIES.items()):
+        qterms = set(analyze(qtext))
+        if not qterms:
+            continue
+        for did, toks in docs:
+            g = len(qterms & toks)
+            if g >= 2:
+                out.append((qid, did, g))
+    return out
+
+
+def tr_rank_eval(spark, sf_dir):
+    """Rank evaluation (query/rankeval.py, the ES ``_rank_eval`` surface):
+    P@10, MRR, NDCG@10 for a query batch against graded judgments, all
+    queries scored in ONE shared postings scan. The oracle replays the
+    batched BM25 ranking, the rounded-score rank windows, and the metric
+    arithmetic (DCG gains, ideal-DCG from the judgments, reciprocal
+    rank) over the same inlined judgments."""
+    from .fixtures import doc_key_col, transcripts_df
+    from .query.rankeval import rank_eval
+
+    tr = transcripts_df(spark, "tiny")
+    corpus = tr.withColumn("doc_id", doc_key_col())
+    idx = build_index(spark, corpus.select("doc_id", "text"), cache=False)
+    j = spark.createDataFrame(
+        _rankeval_judgments(), "query_id string, doc_id string, grade int"
+    )
+    return rank_eval(idx, _RANKEVAL_QUERIES, j, _RANKEVAL_K)
+
+
+def _tr_rank_eval_sql() -> str:
+    from collections import Counter
+
+    k = _RANKEVAL_K
+    qq_rows = []
+    for qid, text in sorted(_RANKEVAL_QUERIES.items()):
+        for term, qtf in sorted(Counter(_tr_analyzed(text)).items()):
+            qq_rows.append(f"('{qid}', '{term}', {qtf})")
+    qq = ", ".join(qq_rows)
+    jrows = ", ".join(
+        f"('{q}', '{d}', {g})" for q, d, g in _rankeval_judgments()
+    )
+    qids = ", ".join(f"('{q}')" for q in sorted(_RANKEVAL_QUERIES))
+    return f"""
+WITH {_tr_corpus_ctes()},
+qq AS (SELECT * FROM (VALUES {qq}) AS v(query_id, term, qtf)),
+qw AS (
+  SELECT qq.query_id, qq.term, qq.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM qq JOIN trstats s ON s.term = qq.term CROSS JOIN trcorpus c
+),
+scored AS (
+  SELECT qw.query_id, p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE
+                + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM trpostings p
+  JOIN qw ON qw.term = p.term
+  JOIN trdoclen d ON d.doc_id = p.doc_id
+  CROSS JOIN trcorpus c
+  GROUP BY qw.query_id, p.doc_id
+),
+topk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id
+         ) AS rnk
+  FROM scored
+  QUALIFY rnk <= {k}
+),
+jd AS (SELECT * FROM (VALUES {jrows}) AS v(query_id, doc_id, grade)),
+hits AS (
+  SELECT t.query_id, t.rnk, coalesce(j.grade, 0) AS grade
+  FROM topk t
+  LEFT JOIN jd j ON j.query_id = t.query_id AND j.doc_id = t.doc_id
+),
+perq AS (
+  SELECT query_id,
+         sum((pow(2.0, grade) - 1.0) / log2(rnk::DOUBLE + 1.0)) AS dcg,
+         (count(CASE WHEN grade > 0 THEN 1 END)::DOUBLE / {k}) AS p_at_k,
+         coalesce(1.0 / min(CASE WHEN grade > 0 THEN rnk END), 0.0) AS rr
+  FROM hits GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         sum((pow(2.0, grade) - 1.0) / log2(irank::DOUBLE + 1.0))
+           FILTER (WHERE irank <= {k}) AS idcg,
+         count(*)::BIGINT AS n_judged
+  FROM (
+    SELECT query_id, grade,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY grade DESC, doc_id
+           ) AS irank
+    FROM jd WHERE grade > 0
+  ) GROUP BY query_id
+)
+SELECT q.query_id,
+       coalesce(i.n_judged, 0)::BIGINT AS n_judged,
+       round(coalesce(p.p_at_k, 0.0), 6) AS p_at_k,
+       round(coalesce(p.rr, 0.0), 6) AS rr,
+       round(CASE WHEN i.idcg IS NOT NULL AND i.idcg > 0.0
+                  THEN coalesce(p.dcg, 0.0) / i.idcg ELSE 0.0 END, 6) AS ndcg
+FROM (VALUES {qids}) AS q(query_id)
+LEFT JOIN perq p ON p.query_id = q.query_id
+LEFT JOIN ideal i ON i.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
 _SUGGEST_PREFIX = "s"
 _SUGGEST_K = 4  # of 6 matching vocab terms — exercises the cut
 
@@ -4205,6 +4571,106 @@ FROM scored ORDER BY score_r DESC, doc_id LIMIT {_BOOL_K}
 """
 
 
+_MSM_SHOULD = ["merge sort", "hash", "join"]  # analyzes to 4 should terms
+_MSM_N = 2
+_MSM_K = 15
+
+
+def ft_bm25_msm(spark, sf_dir):
+    """minimum_should_match (ES/Lucene msm, term-level) on the scored
+    BooleanQuery: pure-should query whose docs must contain at least 2 of
+    the 4 analyzed should terms; score still sums ALL present should
+    partials. The oracle replays the distinct-should-count gate and the
+    scored aggregate."""
+    from .query.ranked import search_bm25_boolean
+
+    idx = _ft_index(spark, sf_dir)
+    res = search_bm25_boolean(
+        idx, should=_MSM_SHOULD, k=None, min_should_match=_MSM_N
+    )
+    return (
+        _as_long_doc_id(
+            res.select("doc_id", F.round("score", 4).alias("score_r"))
+        )
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(_MSM_K)
+    )
+
+
+def _ft_bm25_msm_sql() -> str:
+    from collections import Counter
+
+    s_terms = [t for e in _MSM_SHOULD for t in punctuation_tokenize(e)]
+    qtf = Counter(s_terms)
+    qrows = ", ".join(f"('{t}', {c})" for t, c in sorted(qtf.items()))
+    slist = ", ".join("'" + t + "'" for t in sorted(set(s_terms)))
+    part = (
+        f"qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)"
+        f" / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+        f" * d.dl / c.avgdl))"
+    )
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM (VALUES {qrows}) AS q(term, qtf)
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+sset AS (
+  SELECT doc_id FROM postings WHERE term IN ({slist})
+  GROUP BY doc_id HAVING count(DISTINCT term) >= {_MSM_N}
+),
+scored AS (
+  SELECT p.doc_id, sum({part}) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  WHERE p.doc_id IN (SELECT doc_id FROM sset)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY score_r DESC, doc_id LIMIT {_MSM_K}
+"""
+
+
+_TV_DOC_IDS = ["1", "2", "3"]
+
+
+def ft_term_vectors(spark, sf_dir):
+    """Per-document term vectors (index/engine.py::Index.term_vectors, the
+    ES ``_termvectors`` surface): (doc, term, tf, sorted positions) for a
+    fixed doc set, recomputed by re-analyzing the stored text through the
+    corpus point lookup — O(|doc_ids|), never a postings scan. The oracle
+    rebuilds the same rows from the independent tokenization CTEs."""
+    idx = _ft_index(spark, sf_dir)
+    tv = idx.term_vectors(_TV_DOC_IDS)
+    return _as_long_doc_id(
+        tv.select(
+            "doc_id",
+            "term",
+            "tf",
+            F.array_join(
+                F.transform("positions", lambda x: x.cast("string")), ","
+            ).alias("pos_str"),
+        )
+    ).orderBy("doc_id", "term")
+
+
+def _ft_term_vectors_sql() -> str:
+    ids = ", ".join(f"'{d}'" for d in _TV_DOC_IDS)
+    return f"""
+WITH {TOK_CTES}
+SELECT doc_id::BIGINT AS doc_id, term, count(*)::INT AS tf,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS pos_str
+FROM tok WHERE doc_id IN ({ids})
+GROUP BY doc_id, term
+ORDER BY doc_id, term
+"""
+
+
 def ft_bm25_explain(spark, sf_dir):
     """Lucene-explain-style BM25 breakdown (query/ranked.py::explain_bm25)
     for the top-3 docs of the standard BM25 query: one row per (doc,
@@ -4559,6 +5025,8 @@ QUERIES = {
     "ft_sig_terms": ft_sig_terms,
     "ft_bm25_explain": ft_bm25_explain,
     "ft_bm25_bool": ft_bm25_bool,
+    "ft_bm25_msm": ft_bm25_msm,
+    "ft_term_vectors": ft_term_vectors,
     "ft_suggest_next": ft_suggest_next,
     "ft_percolate": ft_percolate,
     "ft_doclen_profile": ft_doclen_profile,
@@ -4636,6 +5104,10 @@ QUERIES = {
     "tr_recency_top10": tr_recency_top10,
     "tr_fielded_top10": tr_fielded_top10,
     "tr_bm25f_top10": tr_bm25f_top10,
+    "tr_dismax_top10": tr_dismax_top10,
+    "tr_decay_top10": tr_decay_top10,
+    "tr_pack_sequences": tr_pack_sequences,
+    "tr_rank_eval": tr_rank_eval,
     "ft_suggest": ft_suggest,
     # media plumbing: oracled via a construction-derived VALUES table
     # (expected sha/bytes/decoded computed driver-side without Spark);
@@ -4672,6 +5144,8 @@ ORACLES = {
     "ft_sig_terms": _ft_sig_terms_sql(),
     "ft_bm25_explain": _ft_bm25_explain_sql(),
     "ft_bm25_bool": _ft_bm25_bool_sql(),
+    "ft_bm25_msm": _ft_bm25_msm_sql(),
+    "ft_term_vectors": _ft_term_vectors_sql(),
     "ft_suggest_next": _ft_suggest_next_sql(),
     "ft_percolate": _ft_percolate_sql(),
     "ft_doclen_profile": _ft_doclen_profile_sql(),
@@ -4745,6 +5219,10 @@ ORACLES = {
     "tr_recency_top10": _tr_recency_sql(),
     "tr_fielded_top10": _tr_fielded_sql(),
     "tr_bm25f_top10": _tr_bm25f_sql(),
+    "tr_dismax_top10": _tr_dismax_sql(),
+    "tr_decay_top10": _tr_decay_sql(),
+    "tr_pack_sequences": _tr_pack_sql(),
+    "tr_rank_eval": _tr_rank_eval_sql(),
     "ft_suggest": FT_SUGGEST_SQL,
     "media_features": _media_features_sql(),
 }

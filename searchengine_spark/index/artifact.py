@@ -115,6 +115,68 @@ def _commit_snapshot(path: str, snap: dict) -> None:
     os.replace(tmp, os.path.join(d, name))  # atomic commit point
 
 
+# --- named snapshot refs (Iceberg tags: pinned, human-named versions) -----
+
+
+def _refs_file(path: str) -> str:
+    return os.path.join(_snap_dir(path), "refs.json")
+
+
+def list_refs(path: str) -> dict:
+    """{tag_name: snapshot_id} for every named ref."""
+    f = _refs_file(path)
+    if not os.path.exists(f):
+        return {}
+    with open(f) as fh:
+        return {k: int(v) for k, v in json.load(fh).items()}
+
+
+def _write_refs(path: str, refs: dict) -> None:
+    f = _refs_file(path)
+    tmp = f + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh, indent=1, sort_keys=True)
+    os.replace(tmp, f)  # atomic, same discipline as snapshot commits
+
+
+def create_tag(
+    path: str, name: str, snapshot_id: int | None = None, replace: bool = False
+) -> int:
+    """Name a committed snapshot (Iceberg ``create_tag``): ``name`` resolves
+    to that snapshot in ``load_artifact(ref=...)`` and PINS it — tagged
+    snapshots (and the segment/tombstone files they list) survive
+    ``expire_snapshots`` until the tag is removed. Defaults to the latest
+    snapshot; raises on unknown snapshot ids and, without ``replace``, on
+    existing names. Returns the resolved snapshot id."""
+    if snapshot_id is None:
+        snap = latest_snapshot(path)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+        snapshot_id = int(snap["snapshot_id"])
+    else:
+        read_snapshot(path, snapshot_id)  # validate it exists
+    refs = list_refs(path)
+    if name in refs and not replace:
+        raise ValueError(
+            f"tag {name!r} already points at snapshot {refs[name]}; "
+            "pass replace=True to move it"
+        )
+    refs[name] = int(snapshot_id)
+    _write_refs(path, refs)
+    return int(snapshot_id)
+
+
+def remove_tag(path: str, name: str) -> int:
+    """Drop a named ref (the snapshot becomes expirable again). Returns the
+    snapshot id the tag pointed at; raises on unknown names."""
+    refs = list_refs(path)
+    if name not in refs:
+        raise KeyError(f"tag {name!r} does not exist at {path}")
+    sid = refs.pop(name)
+    _write_refs(path, refs)
+    return sid
+
+
 # ---------------------------------------------------------------------------
 # block packing (executor side)
 # ---------------------------------------------------------------------------
@@ -934,12 +996,24 @@ def docs_added_between(
 
 
 def load_artifact(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> ArtifactIndex:
     """Open the artifact at its latest snapshot, or — time travel — at any
-    earlier committed snapshot still on disk (``snapshot_id=...``): readers
+    earlier committed snapshot still on disk (``snapshot_id=...``), or at
+    a named tag (``ref=...``, Iceberg ``VERSION AS OF 'tag'``): readers
     see exactly the segments and tombstones that snapshot listed, because
-    superseded segment files are only removed by ``expire_snapshots``."""
+    superseded segment files are only removed by ``expire_snapshots``
+    (which keeps tagged snapshots alive)."""
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        refs = list_refs(path)
+        if ref not in refs:
+            raise KeyError(f"unknown ref {ref!r} at {path}")
+        snapshot_id = refs[ref]
     snap = (
         read_snapshot(path, snapshot_id)
         if snapshot_id is not None
@@ -1169,9 +1243,10 @@ def subcompact(
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Physical GC (Iceberg's ``expire_snapshots`` + orphan-file removal):
-    drop all but the newest ``keep_last`` snapshot files, then delete every
-    segment directory (blocks/docs/stats) and tombstone directory that no
-    surviving snapshot references. Until this runs, superseded files stay
+    drop all but the newest ``keep_last`` snapshot files — except snapshots
+    pinned by a named tag (``create_tag``), which survive with their files
+    until untagged — then delete every segment directory (blocks/docs/stats)
+    and tombstone directory that no surviving snapshot references. Until this runs, superseded files stay
     on disk so time-travel readers keep working; after it, travel to an
     expired snapshot raises. Pure driver-side filesystem work — no Spark
     job. Returns {'snapshots_removed', 'segments_removed',
@@ -1181,7 +1256,13 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     snaps = list_snapshots(path)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+    # tagged snapshots are pinned (Iceberg ref-retention): they and their
+    # files survive expiry regardless of keep_last, until the tag is removed
+    pinned = {f"snap-{sid:06d}.json" for sid in list_refs(path).values()}
+    kept = [n for n in snaps[-keep_last:]] + [
+        n for n in snaps[:-keep_last] if n in pinned
+    ]
+    expired = [n for n in snaps[:-keep_last] if n not in pinned]
     live_segs: set = set()
     live_ts: set = set()
     for name in kept:

@@ -477,6 +477,39 @@ class Index:
             corpus = corpus.withColumnRenamed(self.doc_id_col, "doc_id")
         return results.join(corpus, on="doc_id", how="inner")
 
+    def term_vectors(self, doc_ids: list) -> DataFrame:
+        """Per-document term vectors (the Elasticsearch ``_termvectors``
+        surface): one row per (doc, analyzed term) with its tf and sorted
+        position list, recomputed by RE-ANALYZING the stored text — the
+        doc-major access path. Going through the corpus point lookup +
+        the vectorized analyze UDF costs O(|doc_ids|) on any backend; the
+        term-major postings (artifact blocks) never support a cheap
+        doc_id probe, exactly why ES term vectors re-analyze stored
+        fields too. Tombstoned docs yield no rows. Returns
+        ``(doc_id, term, tf, positions array<int>)``."""
+        schema = "doc_id string, term string, tf int, positions array<int>"
+        if not doc_ids:
+            return self.spark.createDataFrame([], schema)
+        ids = self.spark.createDataFrame(
+            [(str(d),) for d in sorted(set(doc_ids))], "doc_id string"
+        )
+        docs = self.filter_deleted(self.hydrate(ids))
+        udf = make_doc_terms_udf(self.analyzer, positional=True)
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    _zip_terms(udf(F.col(self.text_col)), positional=True)
+                ).alias("e"),
+            )
+            .select(
+                "doc_id",
+                F.col("e.term").alias("term"),
+                F.size("e.positions").cast("int").alias("tf"),
+                F.array_sort("e.positions").alias("positions"),
+            )
+        )
+
 
 def make_term_counts_udf(analyzer: str = "composable"):
     """Column function: text -> array<struct<term, tf>> (non-positional

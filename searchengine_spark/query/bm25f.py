@@ -54,6 +54,35 @@ from ..index.engine import _zip_terms, make_doc_terms_udf
 from .ranked import bm25_idf
 
 
+def _analyzed_field_rows(
+    fields_df: DataFrame,
+    searched: list[str],
+    analyzer: str,
+    doc_id_col: str,
+    field_col: str,
+    text_col: str,
+) -> DataFrame:
+    """ONE vectorized analyze pass over the searched-field rows, persisted
+    (callers unpersist): (doc_id, field, tp=[(term, tf)...], dl). Shared by
+    BM25F and dis-max so the two scorers see byte-identical term frames."""
+    udf = make_doc_terms_udf(analyzer, positional=False)
+    return (
+        fields_df.where(F.col(field_col).isin(searched))
+        .select(
+            F.col(doc_id_col).cast("string").alias("doc_id"),
+            F.col(field_col).cast("string").alias("field"),
+            udf(F.col(text_col)).alias("r"),
+        )
+        .select(
+            "doc_id",
+            "field",
+            _zip_terms(F.col("r"), positional=False).alias("tp"),
+            F.col("r.dl").alias("dl"),
+        )
+        .persist()
+    )
+
+
 def search_bm25f(
     spark,
     fields_df: DataFrame,
@@ -85,21 +114,8 @@ def search_bm25f(
     qterms = sorted(qtf)
 
     searched = sorted(weights)
-    udf = make_doc_terms_udf(analyzer, positional=False)
-    rows = (
-        fields_df.where(F.col(field_col).isin(searched))
-        .select(
-            F.col(doc_id_col).cast("string").alias("doc_id"),
-            F.col(field_col).cast("string").alias("field"),
-            udf(F.col(text_col)).alias("r"),
-        )
-        .select(
-            "doc_id",
-            "field",
-            _zip_terms(F.col("r"), positional=False).alias("tp"),
-            F.col("r.dl").alias("dl"),
-        )
-        .persist()
+    rows = _analyzed_field_rows(
+        fields_df, searched, analyzer, doc_id_col, field_col, text_col
     )
     try:
         # per-(doc, field) length — corpus-wide (avgdl_f needs it), but a
@@ -190,6 +206,138 @@ def search_bm25f(
                 F.lit(0.0),
                 lambda acc, x: acc + x["s"],
             ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return scored.limit(k) if k is not None else scored
+
+
+def search_dismax(
+    spark,
+    fields_df: DataFrame,
+    query: str,
+    fields: list[str],
+    tie_breaker: float = 0.0,
+    k: int | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    doc_id_col: str = "doc_id",
+    field_col: str = "field",
+    text_col: str = "text",
+    analyzer: str = "composable",
+) -> DataFrame:
+    """Disjunction-max multi-field ranking (Elasticsearch ``dis_max`` /
+    ``multi_match type: best_fields``): score the query INDEPENDENTLY
+    against each field as its own BM25 collection, then per doc
+
+        score(d) = max_f s_f(d) + tie_breaker * (sum_f s_f(d) - max_f s_f(d))
+
+    — the best single field dominates (a doc matching all terms in ONE
+    field beats a doc scattering them across fields, the opposite trade
+    from BM25F's blended pseudo-frequency), with ``tie_breaker`` in
+    [0, 1] crediting the other fields fractionally.
+
+    Per-field collection statistics (the oracle replays them verbatim):
+    for field f, ``N_f`` counts docs with any text in f, ``df_f(t)``
+    counts docs containing t IN f, ``dl_f``/``avgdl_f`` are f's own
+    lengths — each field is scored exactly as if it were a standalone
+    single-field index (matching per-field Lucene index stats).
+
+    Plan shape: the shared ONE-pass analyze (``_analyzed_field_rows``),
+    per-(doc, field) aggregates, broadcast of the tiny (field, term)
+    parameter frame, then two deterministic sorted folds (terms within a
+    (doc, field), fields within a doc) for bit-identical scores. Returns
+    (doc_id, score) descending with doc_id tie-break; ``k`` truncates.
+    """
+    if not fields:
+        raise ValueError("dis_max needs at least one field")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    qtf = Counter(get_analyzer(analyzer)(query))
+    empty = spark.createDataFrame([], "doc_id string, score double")
+    if not qtf or k == 0:
+        return empty
+    qterms = sorted(qtf)
+    searched = sorted(set(fields))
+
+    rows = _analyzed_field_rows(
+        fields_df, searched, analyzer, doc_id_col, field_col, text_col
+    )
+    try:
+        dls = rows.groupBy("doc_id", "field").agg(F.sum("dl").alias("dl"))
+        qpost = (
+            rows.select("doc_id", "field", F.explode("tp").alias("e"))
+            .where(F.col("e.term").isin(qterms))
+            .groupBy("doc_id", "field", F.col("e.term").alias("term"))
+            .agg(F.sum("e.tf").alias("tf"))
+        )
+        md = qpost.join(dls, ["doc_id", "field"]).persist()
+        md.count()
+
+        # per-FIELD collection stats: N_f, avgdl_f (O(#fields) collect),
+        # df_f per query term (O(#fields x |q|))
+        fstats = {
+            r["field"]: (int(r["n"]), float(r["avgdl"]))
+            for r in dls.groupBy("field")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()
+        }
+        df_map = {
+            (r["field"], r["term"]): r["df"]
+            for r in md.groupBy("field", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        }
+    finally:
+        rows.unpersist()
+
+    prows = [
+        (f, t, int(c), bm25_idf(fstats[f][0], df_map[(f, t)]), fstats[f][1])
+        for f in searched
+        if f in fstats
+        for t, c in sorted(qtf.items())
+        if df_map.get((f, t), 0) > 0
+    ]
+    if not prows:
+        md.unpersist()
+        return empty
+    pdf = spark.createDataFrame(
+        prows, "field string, term string, qtf int, idf double, avgdl double"
+    )
+    k1f, bf = float(k1), float(b)
+    tf = F.col("tf").cast("double")
+    norm = tf + k1f * (1.0 - bf + bf * F.col("dl") / F.col("avgdl"))
+    partial = F.col("qtf") * F.col("idf") * tf * (k1f + 1.0) / norm
+    fscores = (
+        md.join(F.broadcast(pdf), ["field", "term"])
+        .select(
+            "doc_id",
+            "field",
+            F.struct("term", partial.alias("s")).alias("p"),
+        )
+        .groupBy("doc_id", "field")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("p")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ).alias("fscore")
+        )
+    )
+    # combine fields per doc: max + tie_breaker * (sum - max), folding the
+    # sum in sorted-field order (max is order-insensitive)
+    farr = F.array_sort(F.collect_list(F.struct("field", "fscore")))
+    fsum = F.aggregate(farr, F.lit(0.0), lambda acc, x: acc + x["fscore"])
+    fmax = F.array_max(F.transform(farr, lambda x: x["fscore"]))
+    scored = (
+        fscores.groupBy("doc_id")
+        .agg(fsum.alias("_sum"), fmax.alias("_max"))
+        .select(
+            "doc_id",
+            (
+                F.col("_max")
+                + F.lit(float(tie_breaker)) * (F.col("_sum") - F.col("_max"))
+            ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )

@@ -238,6 +238,7 @@ def search_bm25_boolean(
     should: list | None = None,
     must_not: list | None = None,
     k: int | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Lucene ``BooleanQuery`` with BM25 scoring: a document matches iff
     it contains ALL ``must`` terms, NO ``must_not`` term, and — when
@@ -259,6 +260,14 @@ def search_bm25_boolean(
     the score fold is the exact sorted-term fold of
     ``search_bm25_weighted`` (pure-should queries are bit-identical to
     ``search_bm25``, pinned by test).
+
+    ``min_should_match`` (ES/Lucene msm, term-level: entries analyze to
+    tokens first, so a multi-token entry contributes each token as its
+    own should "clause") additionally requires that many DISTINCT
+    should terms present; ``None`` keeps the default rule (1 for
+    pure-should — emergent, since a doc must match some scoring term to
+    appear at all — and 0 when ``must`` exists). A value above the
+    analyzed should-vocabulary size is unsatisfiable and returns empty.
     """
     def _an(clause):
         out = []
@@ -277,6 +286,9 @@ def search_bm25_boolean(
     stats = index.query_term_stats(sorted(scoring | set(n_terms)))
     if any(stats[t][0] == 0 for t in set(m_terms)):
         return _empty_scores(index)  # unsatisfiable must clause
+    msm = int(min_should_match) if min_should_match is not None else 0
+    if msm > len(set(s_terms)):
+        return _empty_scores(index)  # unsatisfiable should threshold
     n_must = len(set(m_terms))
     rows = []
     for term in sorted(scoring | set(n_terms)):
@@ -289,11 +301,14 @@ def search_bm25_boolean(
             bm25_idf(index.n_docs, df) if term in scoring else 0.0,
             term in set(m_terms),
             term in set(n_terms),
+            term in set(s_terms),
         ))
     if not rows:
         return _empty_scores(index)
     qdf = index.spark.createDataFrame(
-        rows, "term string, qtf int, idf double, is_must boolean, is_not boolean"
+        rows,
+        "term string, qtf int, idf double, is_must boolean, is_not boolean, "
+        "is_should boolean",
     )
     partial = _bm25_partial(index)
     post = index.postings_for_terms([r[0] for r in rows], positional=False)
@@ -308,6 +323,7 @@ def search_bm25_boolean(
             "doc_id",
             "is_not",
             F.when(F.col("is_must"), F.col("term")).alias("mt"),
+            F.when(F.col("is_should"), F.col("term")).alias("st"),
             F.when(F.col("qtf") > 0,
                    F.struct("term", partial.alias("partial"))).alias("p"),
         )
@@ -319,10 +335,15 @@ def search_bm25_boolean(
                 lambda acc, x: acc + x["partial"],
             ).alias("score"),
             F.size(F.array_distinct(F.collect_list("mt"))).alias("_mh"),
+            F.size(F.array_distinct(F.collect_list("st"))).alias("_sh"),
             F.max(F.when(F.col("is_not"), 1).otherwise(0)).alias("_nh"),
         )
     )
-    keep = (F.col("_mh") == n_must) & (F.col("_nh") == 0)
+    keep = (
+        (F.col("_mh") == n_must)
+        & (F.col("_nh") == 0)
+        & (F.col("_sh") >= msm)
+    )
     scored = (
         grouped.where(keep)
         .select("doc_id", "score")
@@ -494,6 +515,66 @@ def search_bm25_recency(
         "doc_id",
         F.round(decayed, decimals).alias("score_r"),
         age_s.cast("long").alias("age_s"),
+    )
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(k)
+
+
+def search_bm25_decay(
+    index,
+    meta: DataFrame,
+    query: str,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    kind: str = "gauss",
+    k: int | None = None,
+    value_col: str = "ts",
+    decimals: int = 4,
+) -> DataFrame:
+    """Function-score decay (the Elasticsearch ``function_score`` decay
+    family, generalizing ``search_bm25_recency``'s one-sided exponential):
+    multiply BM25 by a decay of the doc's distance from ``origin`` over a
+    numeric/epoch metadata column. With ``d = max(0, |x - origin| -
+    offset)``, the multiplier at distance ``scale`` is exactly ``decay``:
+
+      - ``gauss``:  exp(-d^2 / (2 sigma^2)),  sigma^2 = -scale^2 / (2 ln decay)
+      - ``exp``:    exp(ln(decay) / scale * d)
+      - ``linear``: max(0, (s - d) / s),      s = scale / (1 - decay)
+
+    Returns ``(doc_id, score_r, dist)``; decay applies BEFORE the top-k
+    cut (it genuinely re-ranks). Plan: the stock BM25 plan plus ONE
+    doc_id equi-join against the metadata frame — scored rows are only
+    the term-matched docs (same shape as ``search_bm25_recency``)."""
+    if kind not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay kind {kind!r}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    scored = search_bm25(index, query, None)
+    m = meta.select(
+        "doc_id", F.col(value_col).cast("double").alias("_x")
+    )
+    d = F.greatest(
+        F.abs(F.col("_x") - F.lit(float(origin))) - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    if kind == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * math.log(decay))
+        mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif kind == "exp":
+        lam = math.log(decay) / float(scale)
+        mult = F.exp(F.lit(lam) * d)
+    else:  # linear
+        s = float(scale) / (1.0 - decay)
+        mult = F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+    out = scored.join(m, "doc_id").select(
+        "doc_id",
+        F.round(F.col("score") * mult, decimals).alias("score_r"),
+        F.round(d, 6).alias("dist"),
     )
     if k is None:
         return out

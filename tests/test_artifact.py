@@ -876,6 +876,70 @@ def test_time_travel_and_expire_snapshots(spark, corpus, tmp_path):
         load_artifact(spark, path, snapshot_id=pre_snap_id)
 
 
+def test_snapshot_tags_pin_and_resolve(spark, corpus, tmp_path):
+    """Iceberg named refs: create_tag pins a snapshot against
+    expire_snapshots and resolves via load_artifact(ref=...); remove_tag
+    makes it expirable again."""
+    import os
+
+    from searchengine_spark.index.artifact import (
+        create_tag,
+        expire_snapshots,
+        list_refs,
+        remove_tag,
+        subcompact,
+    )
+
+    path = str(tmp_path / "tag_idx")
+    build_artifact(spark, corpus, path, n_segments=3)
+    pre = load_artifact(spark, path)
+    sid = create_tag(path, "v1")
+    assert sid == pre.snapshot["snapshot_id"]
+    assert list_refs(path) == {"v1": sid}
+    q = "spark shuffle error"
+    before = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in pre.search_bm25(q, 10).collect()
+    ]
+    subcompact(spark, path, [0, 1])
+
+    tagged = load_artifact(spark, path, ref="v1")
+    assert {s["segment_id"] for s in tagged.snapshot["segments"]} == {0, 1, 2}
+    got = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in tagged.search_bm25(q, 10).collect()
+    ]
+    assert got == before
+
+    with pytest.raises(ValueError, match="already points"):
+        create_tag(path, "v1")
+    with pytest.raises(FileNotFoundError):
+        create_tag(path, "v2", snapshot_id=999)
+    with pytest.raises(ValueError, match="not both"):
+        load_artifact(spark, path, snapshot_id=sid, ref="v1")
+    with pytest.raises(KeyError, match="unknown ref"):
+        load_artifact(spark, path, ref="nope")
+
+    # expiry keeps the tagged snapshot AND the segment files it lists
+    # (the two mid-build checkpoint snapshots are unpinned and do expire)
+    stats = expire_snapshots(path, keep_last=1)
+    assert stats["snapshots_removed"] == 2
+    assert stats["segments_removed"] == 0
+    assert os.path.isdir(os.path.join(path, "blocks", "seg=0"))
+    assert load_artifact(spark, path, ref="v1").search_bm25(q, 10).count() == 10
+
+    # untag -> the old snapshot becomes expirable, files GC'd
+    assert remove_tag(path, "v1") == sid
+    with pytest.raises(KeyError, match="does not exist"):
+        remove_tag(path, "v1")
+    stats = expire_snapshots(path, keep_last=1)
+    assert stats["snapshots_removed"] == 1
+    assert stats["segments_removed"] == 2
+    assert not os.path.isdir(os.path.join(path, "blocks", "seg=0"))
+    with pytest.raises(KeyError, match="unknown ref"):
+        load_artifact(spark, path, ref="v1")
+
+
 def test_subcompact_rejects_bad_input(spark, corpus, tmp_path):
     from searchengine_spark.index.artifact import subcompact
 

@@ -1,0 +1,432 @@
+"""Session-7 operators: rank evaluation (P@k/MRR/NDCG), dis-max
+multi-field ranking, function-score decay, and concat-and-chunk sequence
+packing — hand-computed semantics, invariants, and plan assertions."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark import BM25_B, BM25_K1
+from searchengine_spark.index import build_index
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def _frags(spark, counts, capacity, **kw):
+    from searchengine_spark.textops.packing import pack_sequences
+
+    df = spark.createDataFrame(counts, "doc_id string, n_tokens long")
+    out = pack_sequences(df, capacity, **kw)
+    rows = [
+        (r.seq_id, r.doc_id, r.doc_offset, r.seq_offset, r.frag_len)
+        for r in out.orderBy("seq_id", "doc_id").collect()
+    ]
+    out.unpersist()
+    return rows
+
+
+def test_pack_sequences_hand_computed(spark):
+    # a=5, b=3, c=10 at capacity 6: token intervals a=[0,5) b=[5,8) c=[8,18)
+    rows = _frags(
+        spark, [("a", 5), ("b", 3), ("c", 10)], 6
+    )
+    assert rows == [
+        (0, "a", 0, 0, 5),
+        (0, "b", 0, 5, 1),
+        (1, "b", 1, 0, 2),
+        (1, "c", 0, 2, 4),
+        (2, "c", 4, 0, 6),
+    ]
+
+
+def test_pack_sequences_edge_cases(spark):
+    from searchengine_spark.textops.packing import pack_sequences
+
+    # zero-token docs vanish; a doc longer than capacity spans many seqs
+    rows = _frags(spark, [("a", 0), ("b", 13)], 4)
+    assert rows == [
+        (0, "b", 0, 0, 4),
+        (1, "b", 4, 0, 4),
+        (2, "b", 8, 0, 4),
+        (3, "b", 12, 0, 1),
+    ]
+    df = spark.createDataFrame([("a", 1)], "doc_id string, n_tokens long")
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(df, 0)
+
+
+def test_pack_sequences_invariants_and_stats(spark, tiny_corpus):
+    from searchengine_spark.textops.packing import pack_sequences, packing_stats
+
+    cap = 64
+    counts = tiny_corpus.select(
+        "doc_id",
+        F.when(F.col("text") != "", F.size(F.split("text", " ")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    frags = pack_sequences(counts, cap)
+    # every doc's fragments partition its tokens exactly, in order
+    per_doc = {
+        r["doc_id"]: r["tot"]
+        for r in frags.groupBy("doc_id").agg(F.sum("frag_len").alias("tot")).collect()
+    }
+    expect = {
+        r["doc_id"]: r["n_tokens"]
+        for r in counts.where(F.col("n_tokens") > 0).collect()
+    }
+    assert per_doc == expect
+    # every sequence is exactly full except possibly the last
+    fills = {
+        r["seq_id"]: r["n_tokens"]
+        for r in packing_stats(frags, cap).collect()
+    }
+    last = max(fills)
+    assert set(fills) == set(range(last + 1))  # dense seq ids from 0
+    for sid, n in fills.items():
+        assert n == cap if sid < last else 0 < n <= cap
+    # fragment offsets within one multi-fragment doc are contiguous
+    multi = (
+        frags.groupBy("doc_id").count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if multi:
+        rs = sorted(
+            frags.where(F.col("doc_id") == multi[0]["doc_id"]).collect(),
+            key=lambda r: r.seq_id,
+        )
+        off = 0
+        for r in rs:
+            assert r.doc_offset == off
+            off += r.frag_len
+    plan = frags._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    frags.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# rank_eval
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def re_index(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple banana"),
+            ("d2", "apple"),
+            ("d3", "banana cherry"),
+            ("d4", "cherry"),
+        ],
+        "doc_id string, text string",
+    )
+    return build_index(spark, docs, cache=False)
+
+
+def test_rank_eval_hand_computed(spark, re_index):
+    from searchengine_spark.query.rankeval import rank_eval
+
+    # q1 "apple banana": BM25 order d1 (both terms) > d2 (dl 1) > d3 (dl 2)
+    # q2 "cherry": d4 (dl 1) > d3; no judgments at all
+    # q3 unknown term: no retrieval, but judged docs exist
+    queries = {"q1": "apple banana", "q2": "cherry", "q3": "zzznotaterm"}
+    j = spark.createDataFrame(
+        [("q1", "d1", 2), ("q1", "d3", 1), ("q1", "d4", 1), ("q3", "d1", 1)],
+        "query_id string, doc_id string, grade int",
+    )
+    out = {r.query_id: r for r in rank_eval(re_index, queries, j, k=3).collect()}
+    assert set(out) == {"q1", "q2", "q3"}
+
+    # q1 retrieved: d1(rank1, g2), d2(rank2, g0), d3(rank3, g1); d4 judged
+    # relevant but NOT retrieved (it has no query term)
+    dcg = 3.0 / math.log2(2.0) + 0.0 + 1.0 / math.log2(4.0)
+    idcg = 3.0 / math.log2(2.0) + 1.0 / math.log2(3.0) + 1.0 / math.log2(4.0)
+    r1 = out["q1"]
+    assert r1.n_judged == 3
+    assert r1.p_at_k == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert r1.rr == 1.0
+    assert r1.ndcg == pytest.approx(dcg / idcg, abs=1e-6)
+
+    # q2: retrieval happens but nothing judged -> all-zero metrics
+    r2 = out["q2"]
+    assert (r2.n_judged, r2.p_at_k, r2.rr, r2.ndcg) == (0, 0.0, 0.0, 0.0)
+    # q3: judged docs exist but nothing retrieved -> zeros, n_judged kept
+    r3 = out["q3"]
+    assert (r3.n_judged, r3.p_at_k, r3.rr, r3.ndcg) == (1, 0.0, 0.0, 0.0)
+
+
+def test_rank_eval_k_cut_and_validation(spark, re_index):
+    from searchengine_spark.query.rankeval import rank_eval
+
+    j = spark.createDataFrame(
+        [("q1", "d3", 1)], "query_id string, doc_id string, grade int"
+    )
+    # k=1: only d1 retrieved; the judged d3 falls outside the cut
+    out = rank_eval(re_index, {"q1": "apple banana"}, j, k=1).collect()[0]
+    assert out.p_at_k == 0.0 and out.rr == 0.0 and out.ndcg == 0.0
+    assert out.n_judged == 1
+    with pytest.raises(ValueError, match="k must be positive"):
+        rank_eval(re_index, {"q1": "apple"}, j, k=0)
+
+
+# ---------------------------------------------------------------------------
+# dis-max
+# ---------------------------------------------------------------------------
+
+
+def _bm25_part(tf, dl, avgdl, idf, qtf=1):
+    norm = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    return qtf * idf * tf * (BM25_K1 + 1.0) / norm
+
+
+def test_dismax_hand_computed(spark):
+    from searchengine_spark.query.bm25f import search_dismax
+    from searchengine_spark.query.ranked import bm25_idf
+
+    fields = spark.createDataFrame(
+        [
+            ("X", "a", "apple"),
+            ("X", "b", "apple banana"),
+            ("Y", "a", "apple banana"),
+        ],
+        "doc_id string, field string, text string",
+    )
+    got = {
+        r.doc_id: r.score
+        for r in search_dismax(
+            spark, fields, "apple banana", ["a", "b"], tie_breaker=0.5
+        ).collect()
+    }
+    # field a: N=2, df(appl)=2, df(banana)=1, dl X=1 Y=2, avgdl=1.5
+    sa_x = _bm25_part(1, 1, 1.5, bm25_idf(2, 2))
+    sa_y = _bm25_part(1, 2, 1.5, bm25_idf(2, 2)) + _bm25_part(
+        1, 2, 1.5, bm25_idf(2, 1)
+    )
+    # field b: N=1, df both 1, dl X=2, avgdl=2
+    sb_x = 2 * _bm25_part(1, 2, 2.0, bm25_idf(1, 1))
+    exp_x = max(sa_x, sb_x) + 0.5 * min(sa_x, sb_x)
+    assert got["X"] == pytest.approx(exp_x, rel=1e-12)
+    assert got["Y"] == pytest.approx(sa_y, rel=1e-12)
+
+    # tie_breaker=0 is pure best-field
+    got0 = {
+        r.doc_id: r.score
+        for r in search_dismax(
+            spark, fields, "apple banana", ["a", "b"], tie_breaker=0.0
+        ).collect()
+    }
+    assert got0["X"] == pytest.approx(max(sa_x, sb_x), rel=1e-12)
+
+
+def test_dismax_validation_and_empty(spark):
+    from searchengine_spark.query.bm25f import search_dismax
+
+    fields = spark.createDataFrame(
+        [("X", "a", "apple")], "doc_id string, field string, text string"
+    )
+    with pytest.raises(ValueError, match="at least one field"):
+        search_dismax(spark, fields, "apple", [])
+    with pytest.raises(ValueError, match="tie_breaker"):
+        search_dismax(spark, fields, "apple", ["a"], tie_breaker=1.5)
+    assert search_dismax(spark, fields, "zzznotaterm", ["a"]).count() == 0
+    assert search_dismax(spark, fields, "the of and", ["a"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# function-score decay
+# ---------------------------------------------------------------------------
+
+
+def test_decay_multipliers_hand_computed(spark):
+    from searchengine_spark.query.ranked import search_bm25_decay
+
+    docs = spark.createDataFrame(
+        [("d1", "apple"), ("d2", "apple"), ("d3", "apple")],
+        "doc_id string, text string",
+    )
+    idx = build_index(spark, docs, cache=False)
+    base = {r.doc_id: r.score for r in idx.search_bm25("apple", None).collect()}
+    # d1 at the origin (mult 1), d2 inside the offset plateau (mult 1),
+    # d3 at exactly offset+scale (mult == decay, by construction)
+    meta = spark.createDataFrame(
+        [("d1", 1000.0), ("d2", 1080.0), ("d3", 1000.0 + 100.0 + 400.0)],
+        "doc_id string, ts double",
+    )
+    for kind in ("gauss", "exp", "linear"):
+        got = {
+            r.doc_id: (r.score_r, r.dist)
+            for r in search_bm25_decay(
+                idx, meta, "apple", 1000.0, 400.0, offset=100.0,
+                decay=0.7, kind=kind,
+            ).collect()
+        }
+        assert got["d1"] == (round(base["d1"], 4), 0.0)
+        assert got["d2"] == (round(base["d2"], 4), 0.0)
+        assert got["d3"][1] == 400.0
+        assert got["d3"][0] == pytest.approx(
+            round(base["d3"] * 0.7, 4), abs=2e-4
+        ), kind
+
+
+def test_decay_validation(spark):
+    from searchengine_spark.query.ranked import search_bm25_decay
+
+    docs = spark.createDataFrame([("d1", "apple")], "doc_id string, text string")
+    idx = build_index(spark, docs, cache=False)
+    meta = spark.createDataFrame([("d1", 0.0)], "doc_id string, ts double")
+    with pytest.raises(ValueError, match="unknown decay kind"):
+        search_bm25_decay(idx, meta, "apple", 0, 1, kind="step")
+    with pytest.raises(ValueError, match="decay must be"):
+        search_bm25_decay(idx, meta, "apple", 0, 1, decay=1.0)
+    with pytest.raises(ValueError, match="scale must be"):
+        search_bm25_decay(idx, meta, "apple", 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def msm_index(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple banana cherry"),
+            ("d2", "apple banana"),
+            ("d3", "apple"),
+            ("d4", "cherry"),
+        ],
+        "doc_id string, text string",
+    )
+    return build_index(spark, docs, cache=False)
+
+
+def test_min_should_match_gates_docs(spark, msm_index):
+    from searchengine_spark.query.ranked import search_bm25_boolean
+
+    should = ["apple", "banana", "cherry"]
+    base = {
+        r.doc_id: r.score
+        for r in search_bm25_boolean(msm_index, should=should).collect()
+    }
+    assert set(base) == {"d1", "d2", "d3", "d4"}
+    got2 = {
+        r.doc_id: r.score
+        for r in search_bm25_boolean(
+            msm_index, should=should, min_should_match=2
+        ).collect()
+    }
+    # the gate filters docs but never changes surviving docs' scores
+    assert got2 == {d: base[d] for d in ("d1", "d2")}
+    got3 = {
+        r.doc_id
+        for r in search_bm25_boolean(
+            msm_index, should=should, min_should_match=3
+        ).collect()
+    }
+    assert got3 == {"d1"}
+    # unsatisfiable threshold -> empty; must+msm compose
+    assert (
+        search_bm25_boolean(
+            msm_index, should=should, min_should_match=4
+        ).count()
+        == 0
+    )
+    withmust = {
+        r.doc_id
+        for r in search_bm25_boolean(
+            msm_index,
+            must=["apple"],
+            should=["banana", "cherry"],
+            min_should_match=2,
+        ).collect()
+    }
+    assert withmust == {"d1"}
+
+
+def test_min_should_match_term_level_multi_token_entries(spark, msm_index):
+    from searchengine_spark.query.ranked import search_bm25_boolean
+
+    # one entry analyzing to two tokens contributes BOTH as should terms
+    got = {
+        r.doc_id
+        for r in search_bm25_boolean(
+            msm_index, should=["apple banana", "cherry"], min_should_match=2
+        ).collect()
+    }
+    assert got == {"d1", "d2"}
+
+
+# ---------------------------------------------------------------------------
+# term vectors
+# ---------------------------------------------------------------------------
+
+
+def test_term_vectors_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the happy Happy coding!"),
+            ("d2", "coding"),
+            ("d3", "zebra"),
+        ],
+        "doc_id string, text string",
+    )
+    idx = build_index(spark, docs, cache=False)
+    rows = {
+        (r.doc_id, r.term): (r.tf, list(r.positions))
+        for r in idx.term_vectors(["d1", "d2", "missing"]).collect()
+    }
+    # 'the' is a stop word: removed BEFORE positions are assigned
+    assert rows == {
+        ("d1", "happi"): (2, [0, 1]),
+        ("d1", "code"): (1, [2]),
+        ("d2", "code"): (1, [0]),
+    }
+    assert idx.term_vectors([]).count() == 0
+    # tombstoned docs yield no rows
+    idx.delete_documents("zebra")
+    assert idx.term_vectors(["d3"]).count() == 0
+    assert idx.term_vectors(["d1"]).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_session7_ops_plans_no_nested_loop(spark, re_index):
+    from searchengine_spark.query.bm25f import search_dismax
+    from searchengine_spark.query.ranked import search_bm25_decay
+    from searchengine_spark.query.rankeval import rank_eval
+
+    fields = spark.createDataFrame(
+        [("X", "a", "apple banana"), ("Y", "b", "apple")],
+        "doc_id string, field string, text string",
+    )
+    meta = spark.createDataFrame(
+        [("d1", 10.0), ("d2", 20.0)], "doc_id string, ts double"
+    )
+    j = spark.createDataFrame(
+        [("q1", "d1", 1)], "query_id string, doc_id string, grade int"
+    )
+    # NB: rank_eval with a SINGLE query is a degenerate plan — Catalyst
+    # constant-folds the lone query_id to a literal, the metric joins lose
+    # their equi-key, and a 1-row-build NLJ appears (harmless: the build
+    # side is the per-query metrics frame, <= |Q| rows). Assert the real
+    # multi-query shape, which is all hash joins.
+    frames = {
+        "dismax": search_dismax(spark, fields, "apple banana", ["a", "b"]),
+        "decay": search_bm25_decay(re_index, meta, "apple", 0.0, 100.0),
+        "rank_eval": rank_eval(
+            re_index, {"q1": "apple", "q2": "banana"}, j, k=5
+        ),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
