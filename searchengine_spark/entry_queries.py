@@ -3977,7 +3977,7 @@ def tr_pack_sequences(spark, sf_dir):
     return frags.orderBy("seq_id", "doc_id")
 
 
-def _tr_pack_sql() -> str:
+def _tr_pack_sequences_sql() -> str:
     from .fixtures import SIZES, doc_key, transcripts_pandas
 
     pdf = transcripts_pandas(SIZES["tiny"])
@@ -4636,6 +4636,187 @@ FROM scored ORDER BY score_r DESC, doc_id LIMIT {_MSM_K}
 """
 
 
+_BOOSTING_POS = "spark join hash"
+_BOOSTING_NEG = "checkpoint merge"
+_BOOSTING_NB = 0.4
+_BOOSTING_K = 20
+
+
+def ft_bm25_boosting(spark, sf_dir):
+    """ES boosting query (query/ranked.py::search_bm25_boosting): BM25 over
+    the positive query, docs also matching the negative query demoted by
+    x0.4 (soft must_not). One postings scan over the union vocabulary;
+    the oracle replays the negative-set membership and the multiplier."""
+    from .query.ranked import search_bm25_boosting
+
+    idx = _ft_index(spark, sf_dir)
+    res = search_bm25_boosting(
+        idx, _BOOSTING_POS, _BOOSTING_NEG, negative_boost=_BOOSTING_NB
+    )
+    return (
+        _as_long_doc_id(
+            res.select("doc_id", F.round("score", 4).alias("score_r"))
+        )
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(_BOOSTING_K)
+    )
+
+
+def _ft_bm25_boosting_sql() -> str:
+    neg = sorted(set(punctuation_tokenize(_BOOSTING_NEG)))
+    nlist = ", ".join(f"'{t}'" for t in neg)
+    part = (
+        f"qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)"
+        f" / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+        f" * d.dl / c.avgdl))"
+    )
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM {_qterms_values_sql(_BOOSTING_POS)}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+nset AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({nlist})),
+scored AS (
+  SELECT p.doc_id, sum({part}) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id,
+       round(s.score * CASE WHEN s.doc_id IN (SELECT doc_id FROM nset)
+                            THEN {_BOOSTING_NB} ELSE 1.0 END, 4) AS score_r
+FROM scored s
+ORDER BY score_r DESC, s.doc_id LIMIT {_BOOSTING_K}
+"""
+
+
+_RESCORE_QUERY = "merge sort"
+_RESCORE_WINDOW = 3
+_RESCORE_BOOST = 0.5
+_RESCORE_N = 40
+_RESCORE_K = 20
+
+
+def ft_bm25_rescore(spark, sf_dir):
+    """Proximity rescoring (query/proximity.py::search_bm25_rescore_near,
+    the ES rescore window): deterministic BM25 top-40 cut (rounded score
+    + STRING doc_id tie-break — the engine's internal order, which the
+    oracle replays before the numeric output cast), then docs whose terms
+    co-occur within 3 positions get x1.5; positional decode restricted to
+    the 40-doc window."""
+    from .query.proximity import search_bm25_rescore_near
+
+    idx = _ft_index(spark, sf_dir)
+    res = search_bm25_rescore_near(
+        idx,
+        _RESCORE_QUERY,
+        _RESCORE_WINDOW,
+        boost=_RESCORE_BOOST,
+        n_rescore=_RESCORE_N,
+    )
+    return (
+        _as_long_doc_id(res)
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(_RESCORE_K)
+    )
+
+
+def _ft_bm25_rescore_sql() -> str:
+    terms = sorted(set(punctuation_tokenize(_RESCORE_QUERY)))
+    clauses = "\n      AND ".join(
+        f"EXISTS (SELECT 1 FROM tok b{i} WHERE b{i}.doc_id = a.doc_id "
+        f"AND b{i}.term = '{t}' AND b{i}.pos BETWEEN a.pos "
+        f"AND a.pos + {_RESCORE_WINDOW})"
+        for i, t in enumerate(terms)
+    )
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    part = (
+        f"qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)"
+        f" / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+        f" * d.dl / c.avgdl))"
+    )
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM {_qterms_values_sql(_RESCORE_QUERY)}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT p.doc_id, sum({part}) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+topn AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM scored
+  ORDER BY round(score, 4) DESC, doc_id
+  LIMIT {_RESCORE_N}
+),
+near AS (
+  SELECT DISTINCT a.doc_id FROM tok a
+  WHERE a.doc_id IN (SELECT doc_id FROM topn)
+    AND a.term IN ({tlist})
+    AND {clauses}
+)
+SELECT t.doc_id::BIGINT AS doc_id,
+       round(t.score_r * (1.0 + {_RESCORE_BOOST}
+             * CASE WHEN n.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+         AS score_r,
+       (n.doc_id IS NOT NULL) AS near
+FROM topn t LEFT JOIN near n ON n.doc_id = t.doc_id
+ORDER BY score_r DESC, doc_id LIMIT {_RESCORE_K}
+"""
+
+
+def ft_facet_stats(spark, sf_dir):
+    """Per-facet stats/percentiles sub-aggregation
+    (query/morelike.py::facet_stats, the ES stats-under-terms shape):
+    exact count/min/max/mean/p50/p90 of analyzed doc length per lang
+    bucket over the docs matching 'spark'. One semi-join + one aggregate;
+    the oracle replays with quantile_cont (same interpolation as Spark's
+    exact percentile, pinned by ft_doclen_profile)."""
+    from .query.morelike import facet_stats
+
+    idx = _ft_index(spark, sf_dir)
+    hits = idx.search_keyword("spark")
+    dls = idx.postings.select("doc_id", "dl").distinct()
+    meta = _docs(spark, sf_dir).select("doc_id", "lang").join(dls, "doc_id")
+    out = facet_stats(hits, meta, "lang", "dl")
+    return (
+        out.withColumn("min_v", F.col("min_v").cast("long"))
+        .withColumn("max_v", F.col("max_v").cast("long"))
+        .orderBy("lang")
+    )
+
+
+FT_FACET_STATS_SQL = f"""
+WITH {TOK_CTES},
+hits AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'spark'),
+m AS (
+  SELECT d.doc_id, d.lang, l.dl FROM documents d
+  JOIN doclen l ON l.doc_id = d.doc_id
+  WHERE l.dl > 0 AND d.doc_id IN (SELECT doc_id FROM hits)
+)
+SELECT lang, count(*)::BIGINT AS n_docs, min(dl)::BIGINT AS min_v,
+       max(dl)::BIGINT AS max_v, round(avg(dl), 6) AS avg_v_r,
+       round(quantile_cont(dl, 0.5), 6) AS p50,
+       round(quantile_cont(dl, 0.9), 6) AS p90
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
 _TV_DOC_IDS = ["1", "2", "3"]
 
 
@@ -5026,6 +5207,9 @@ QUERIES = {
     "ft_bm25_explain": ft_bm25_explain,
     "ft_bm25_bool": ft_bm25_bool,
     "ft_bm25_msm": ft_bm25_msm,
+    "ft_bm25_boosting": ft_bm25_boosting,
+    "ft_facet_stats": ft_facet_stats,
+    "ft_bm25_rescore": ft_bm25_rescore,
     "ft_term_vectors": ft_term_vectors,
     "ft_suggest_next": ft_suggest_next,
     "ft_percolate": ft_percolate,
@@ -5145,6 +5329,9 @@ ORACLES = {
     "ft_bm25_explain": _ft_bm25_explain_sql(),
     "ft_bm25_bool": _ft_bm25_bool_sql(),
     "ft_bm25_msm": _ft_bm25_msm_sql(),
+    "ft_bm25_boosting": _ft_bm25_boosting_sql(),
+    "ft_facet_stats": FT_FACET_STATS_SQL,
+    "ft_bm25_rescore": _ft_bm25_rescore_sql(),
     "ft_term_vectors": _ft_term_vectors_sql(),
     "ft_suggest_next": _ft_suggest_next_sql(),
     "ft_percolate": _ft_percolate_sql(),
@@ -5221,7 +5408,7 @@ ORACLES = {
     "tr_bm25f_top10": _tr_bm25f_sql(),
     "tr_dismax_top10": _tr_dismax_sql(),
     "tr_decay_top10": _tr_decay_sql(),
-    "tr_pack_sequences": _tr_pack_sql(),
+    "tr_pack_sequences": _tr_pack_sequences_sql(),
     "tr_rank_eval": _tr_rank_eval_sql(),
     "ft_suggest": FT_SUGGEST_SQL,
     "media_features": _media_features_sql(),

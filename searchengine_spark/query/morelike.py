@@ -96,6 +96,44 @@ def facet_counts(
     )
 
 
+def facet_stats(
+    results: DataFrame,
+    meta: DataFrame,
+    facet_col: str,
+    value_col: str,
+    percentiles: tuple = (0.5, 0.9),
+) -> DataFrame:
+    """Per-facet numeric statistics over a search's match set (the ES
+    ``stats``/``percentiles`` sub-aggregation under a ``terms`` facet):
+    one row per facet value with count, min, max, mean, and EXACT
+    interpolated percentiles of ``value_col``. ``results`` is any doc_id
+    frame (a search result); ``meta`` carries (doc_id, facet, value).
+
+    Plan: one doc_id semi-join (match set into the metadata scan), one
+    group-by-facet aggregate. Exact ``percentile`` buffers each group's
+    values (the deterministic form the DuckDB ``quantile_cont`` twin can
+    replay); for huge facet groups at corpus scale swap in
+    ``approx_percentile`` — same plan shape, sketch-merged instead of
+    buffered."""
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+        F.round(F.avg(value_col), 6).alias("avg_v_r"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.round(F.expr(f"percentile({value_col}, {float(p)}D)"), 6).alias(
+                f"p{int(p * 100)}"
+            )
+        )
+    return (
+        meta.join(results.select("doc_id").distinct(), "doc_id", "left_semi")
+        .groupBy(facet_col)
+        .agg(*aggs)
+    )
+
+
 def facet_date_histogram(
     index,
     query: str,

@@ -31,11 +31,17 @@ from pyspark.sql import functions as F
 _TWO_PHASE_MIN_DF = 65536
 
 
-def position_maps(index, uniq: list[str]) -> DataFrame:
+def position_maps(
+    index, uniq: list[str], allowed: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, posmap: map<term, array<int>>) for docs containing EVERY
     term in ``uniq`` — the shared phase-1/phase-2 front of the positional
-    operators (phrase, proximity)."""
+    operators (phrase, proximity). ``allowed`` (a doc_id frame, e.g. a
+    top-N rescore window) semi-joins the postings BEFORE the posmap
+    shuffle, so position arrays of out-of-window docs never move."""
     post = index.postings_for_terms(uniq)
+    if allowed is not None:
+        post = post.join(allowed.select("doc_id"), "doc_id", "left_semi")
     # two-phase only when the term postings are big enough that shuffling
     # non-candidate position arrays dominates the second scan (same
     # small-query escape hatch shape as WAND's <=256-block fast path);
@@ -45,6 +51,8 @@ def position_maps(index, uniq: list[str]) -> DataFrame:
     if len(uniq) > 1 and total_df > _TWO_PHASE_MIN_DF:
         # artifact path: positions-free candidate scan (pos column pruned)
         nopos = index.postings_for_terms(uniq, positional=False)
+        if allowed is not None:
+            nopos = nopos.join(allowed.select("doc_id"), "doc_id", "left_semi")
         cand_docs = (
             nopos.groupBy("doc_id")
             .agg(F.count_distinct("term").alias("nt"))

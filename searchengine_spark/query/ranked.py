@@ -521,6 +521,96 @@ def search_bm25_recency(
     return out.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(k)
 
 
+def search_bm25_boosting(
+    index,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int | None = None,
+) -> DataFrame:
+    """Boosting query (Elasticsearch ``boosting``): rank by BM25 over the
+    ``positive`` query, but DEMOTE — not exclude — docs that also match
+    the ``negative`` query, multiplying their score by ``negative_boost``
+    in [0, 1)::
+
+        score(d) = bm25_positive(d) * (negative_boost if d matches any
+                                       negative term else 1)
+
+    The soft companion of ``search_bm25_boolean``'s hard ``must_not``
+    veto ("about pythons the snake, probably not python the language").
+
+    Plan: ONE postings scan over the union vocabulary — negative terms
+    ride along with qtf=0/idf=0 rows (they flag, never score) — and ONE
+    doc_id shuffle; the score fold is the exact sorted-term fold of
+    ``search_bm25_weighted`` restricted to positive partials, so
+    ``negative_boost`` semantics never perturb bit-identity of the
+    positive score."""
+    if not 0.0 <= negative_boost < 1.0:
+        raise ValueError(
+            f"negative_boost must be in [0, 1), got {negative_boost}"
+        )
+    p_terms = index.analyze_query(positive)
+    n_terms = set(index.analyze_query(negative))  # may overlap positive:
+    # the negative query is evaluated independently (ES semantics), so a
+    # shared term both scores AND flags the demotion
+    if not p_terms:
+        return _empty_scores(index)
+    qtf = Counter(p_terms)
+    stats = index.query_term_stats(sorted(set(p_terms) | n_terms))
+    rows = []
+    for term in sorted(set(p_terms) | n_terms):
+        df = stats[term][0]
+        if df == 0:
+            continue
+        is_pos = term in qtf
+        rows.append((
+            term,
+            int(qtf.get(term, 0)),
+            bm25_idf(index.n_docs, df) if is_pos else 0.0,
+            term in n_terms,
+        ))
+    if not any(r[1] > 0 for r in rows):
+        return _empty_scores(index)
+    qdf = index.spark.createDataFrame(
+        rows, "term string, qtf int, idf double, is_neg boolean"
+    )
+    partial = _bm25_partial(index)
+    post = index.postings_for_terms([r[0] for r in rows], positional=False)
+    grouped = (
+        post.join(F.broadcast(qdf), "term")
+        .select(
+            "doc_id",
+            "is_neg",
+            F.when(
+                F.col("qtf") > 0,
+                F.struct("term", partial.alias("partial")),
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.array_distinct(F.collect_list("p"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("score"),
+            F.max(F.when(F.col("is_neg"), 1).otherwise(0)).alias("_neg"),
+        )
+    )
+    scored = (
+        grouped.where(F.col("score").isNotNull() & (F.col("score") > 0.0))
+        .select(
+            "doc_id",
+            (
+                F.col("score")
+                * F.when(F.col("_neg") == 1, F.lit(float(negative_boost)))
+                .otherwise(F.lit(1.0))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return scored.limit(k) if k is not None else scored
+
+
 def search_bm25_decay(
     index,
     meta: DataFrame,

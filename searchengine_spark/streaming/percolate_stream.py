@@ -1,0 +1,84 @@
+"""Streaming percolation: stored queries continuously matched against the
+incoming turn stream (the Elasticsearch percolator run as an alerting
+pipeline — "tell me whenever a conversation mentions X").
+
+Composition, not new machinery: each micro-batch analyzes its documents
+once (the same Arrow analyzer chain as the index build) and runs
+:func:`~searchengine_spark.query.percolate.percolate` against the stored
+query table; matches land in a parquet sink partitioned by ``batch_id``.
+
+Exactly-once without an idempotent sink API: Structured Streaming replays
+a failed micro-batch under the SAME ``batch_id``, and each attempt
+OVERWRITES exactly its own ``batch_id=N`` partition with a
+deterministically recomputed match set — the same replay discipline as
+the streaming dedup store (``incremental.py``). Readers therefore never
+see duplicated matches across replays.
+
+At scale the stored-query table is the small side (thousands of alerts vs
+a turn firehose): ``percolate`` broadcasts the analyzed query terms, so a
+micro-batch costs one analyze pass + one broadcast join + one combinable
+count aggregate — no shuffle of the document stream beyond the per-batch
+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import make_analyze_udf
+from ..query.percolate import percolate
+
+
+def percolate_matches_path(out_path: str, batch_id: int) -> str:
+    return f"{out_path}/batch_id={batch_id}"
+
+
+def read_percolate_matches(spark: SparkSession, out_path: str) -> DataFrame:
+    """All matches the stream has committed so far:
+    ``(doc_id, query_id, batch_id)``."""
+    return spark.read.option("basePath", out_path).parquet(out_path)
+
+
+def start_percolate_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    queries_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "composable",
+    trigger: dict | None = None,
+):
+    """Launch the percolation stream: ``stream`` is a streaming DataFrame
+    of incoming documents (``doc_id``, ``text``); ``queries_df`` is the
+    static stored-query table (``query_id``, ``query``). Returns the
+    StreamingQuery. Matches for batch N are committed atomically as the
+    parquet partition ``batch_id=N`` (replay-safe overwrite)."""
+    analyze = make_analyze_udf(analyzer)
+    # analyze the stored queries EAGERLY so a vacuous stored query fails
+    # at launch, not inside the Nth micro-batch
+    percolate(
+        queries_df,
+        spark.createDataFrame([], f"{doc_id_col} string, tokens array<string>"),
+        doc_id_col=doc_id_col,
+        analyzer=analyzer,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(
+            F.col(doc_id_col).alias("doc_id"),
+            analyze(F.col(text_col)).alias("tokens"),
+        )
+        matches = percolate(queries_df, docs, analyzer=analyzer)
+        matches.write.mode("overwrite").parquet(
+            percolate_matches_path(out_path, batch_id)
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

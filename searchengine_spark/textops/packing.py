@@ -144,6 +144,21 @@ def pack_sequences(
     return frags
 
 
+def attach_loss_mask(
+    frags: DataFrame, meta: DataFrame, train_col: str = "train"
+) -> DataFrame:
+    """Per-fragment loss flags for SFT-style training export: join a
+    per-doc boolean (e.g. ``role == 'assistant'`` over transcripts) onto
+    ``pack_sequences`` fragments — a sequence writer then emits loss-mask
+    spans alongside each sequence's token fragments (train on assistant
+    tokens, mask user/tool context). Docs absent from ``meta`` mask to
+    False. One broadcast-able doc_id equi-join, nothing else."""
+    m = meta.select(
+        "doc_id", F.col(train_col).cast("boolean").alias("loss_mask")
+    )
+    return frags.join(m, "doc_id", "left").fillna({"loss_mask": False})
+
+
 def packing_stats(frags: DataFrame, capacity: int) -> DataFrame:
     """Per-sequence fill summary over ``pack_sequences`` output: fragment
     count, filled tokens, and fill ratio — the packing-efficiency report a

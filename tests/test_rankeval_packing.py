@@ -109,6 +109,27 @@ def test_pack_sequences_invariants_and_stats(spark, tiny_corpus):
     frags.unpersist()
 
 
+def test_attach_loss_mask(spark):
+    from searchengine_spark.textops.packing import attach_loss_mask, pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 10)], "doc_id string, n_tokens long"
+    )
+    frags = pack_sequences(df, 6)
+    meta = spark.createDataFrame(
+        [("a", True), ("b", False)], "doc_id string, train boolean"
+    )
+    rows = {
+        (r.doc_id, r.seq_id): r.loss_mask
+        for r in attach_loss_mask(frags, meta).collect()
+    }
+    assert rows[("a", 0)] is True
+    assert rows[("b", 0)] is False and rows[("b", 1)] is False
+    # doc absent from meta -> masked out
+    assert rows[("c", 1)] is False and rows[("c", 2)] is False
+    frags.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # rank_eval
 # ---------------------------------------------------------------------------
@@ -395,6 +416,90 @@ def test_term_vectors_hand_computed(spark):
 
 
 # ---------------------------------------------------------------------------
+# boosting query
+# ---------------------------------------------------------------------------
+
+
+def test_boosting_demotes_not_excludes(spark):
+    from searchengine_spark.query.ranked import search_bm25_boosting
+
+    docs = spark.createDataFrame(
+        [("d1", "apple"), ("d2", "apple snake"), ("d3", "snake")],
+        "doc_id string, text string",
+    )
+    idx = build_index(spark, docs, cache=False)
+    base = {r.doc_id: r.score for r in idx.search_bm25("apple", None).collect()}
+    got = {
+        r.doc_id: r.score
+        for r in search_bm25_boosting(idx, "apple", "snake", 0.5).collect()
+    }
+    # d3 matches only the negative query: not in the result set at all
+    assert set(got) == {"d1", "d2"}
+    assert got["d1"] == base["d1"]
+    assert got["d2"] == pytest.approx(base["d2"] * 0.5, rel=1e-12)
+    # a term shared by both queries scores AND demotes (ES independence)
+    both = {
+        r.doc_id: r.score
+        for r in search_bm25_boosting(idx, "apple", "apple", 0.5).collect()
+    }
+    assert both["d1"] == pytest.approx(base["d1"] * 0.5, rel=1e-12)
+    # unknown negative vocabulary is a no-op demotion
+    noop = {
+        r.doc_id: r.score
+        for r in search_bm25_boosting(idx, "apple", "zzznope", 0.5).collect()
+    }
+    assert noop == base
+    with pytest.raises(ValueError, match="negative_boost"):
+        search_bm25_boosting(idx, "apple", "snake", 1.0)
+    assert search_bm25_boosting(idx, "zzznope", "snake", 0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# proximity rescorer
+# ---------------------------------------------------------------------------
+
+
+def test_rescore_near_boosts_proximate_docs(spark):
+    from searchengine_spark.query.proximity import search_bm25_rescore_near
+
+    # d1 and d2 have identical tf/dl (equal BM25 base); only d2 has the
+    # terms adjacent, so the proximity boost must reorder them
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple zz yy xx ww banana"),
+            ("d2", "apple banana qq rr ss tt"),
+        ],
+        "doc_id string, text string",
+    )
+    idx = build_index(spark, docs, cache=False)
+    base_r = {
+        r.doc_id: round(r.score, 4)
+        for r in idx.search_bm25("apple banana", None).collect()
+    }
+    assert base_r["d1"] == base_r["d2"]  # fixture precondition
+    rows = search_bm25_rescore_near(
+        idx, "apple banana", window=1, boost=0.5, n_rescore=10
+    ).collect()
+    got = {r.doc_id: (r.score_r, r.near) for r in rows}
+    assert got["d2"] == (round(base_r["d2"] * 1.5, 6), True)
+    assert got["d1"] == (base_r["d1"], False)
+    assert [r.doc_id for r in rows] == ["d2", "d1"]
+    # n_rescore cuts the window BEFORE the feature: with window size 1,
+    # only the cheap-rank-best doc (tie -> lowest doc_id: d1) survives
+    only = search_bm25_rescore_near(
+        idx, "apple banana", window=1, boost=0.5, n_rescore=1
+    ).collect()
+    assert [(r.doc_id, r.near) for r in only] == [("d1", False)]
+    # single-term queries are trivially near
+    single = search_bm25_rescore_near(idx, "apple", 2, 0.5, 10).collect()
+    assert all(r.near for r in single)
+    with pytest.raises(ValueError, match="n_rescore"):
+        search_bm25_rescore_near(idx, "apple", 1, 0.5, 0)
+    with pytest.raises(ValueError, match="window"):
+        search_bm25_rescore_near(idx, "apple", -1)
+
+
+# ---------------------------------------------------------------------------
 # plan shapes
 # ---------------------------------------------------------------------------
 
@@ -419,11 +524,18 @@ def test_session7_ops_plans_no_nested_loop(spark, re_index):
     # their equi-key, and a 1-row-build NLJ appears (harmless: the build
     # side is the per-query metrics frame, <= |Q| rows). Assert the real
     # multi-query shape, which is all hash joins.
+    from searchengine_spark.query.proximity import search_bm25_rescore_near
+    from searchengine_spark.query.ranked import search_bm25_boosting
+
     frames = {
         "dismax": search_dismax(spark, fields, "apple banana", ["a", "b"]),
         "decay": search_bm25_decay(re_index, meta, "apple", 0.0, 100.0),
         "rank_eval": rank_eval(
             re_index, {"q1": "apple", "q2": "banana"}, j, k=5
+        ),
+        "boosting": search_bm25_boosting(re_index, "apple", "cherry", 0.5),
+        "rescore": search_bm25_rescore_near(
+            re_index, "apple banana", 2, 0.5, 10
         ),
     }
     for name, df in frames.items():

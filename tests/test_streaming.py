@@ -533,3 +533,64 @@ def test_streaming_dedup_replay_is_deterministic_noop(spark, corpus, tmp_path):
         .selectExpr("doc_id", "text_sha", "batch_id").collect()
     )
     assert store1 == store2
+
+
+def test_streaming_percolation_matches_batch_twin(spark, corpus, tmp_path):
+    """Streaming percolation over file-source micro-batches: the union of
+    per-batch match partitions equals one batch percolate over the whole
+    corpus; a vacuous stored query fails at launch."""
+    from searchengine_spark.analysis.analyzer import make_analyze_udf
+    from searchengine_spark.query.percolate import percolate
+    from searchengine_spark.streaming.percolate_stream import (
+        read_percolate_matches,
+        start_percolate_stream,
+    )
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "incoming")
+    out = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    a = corpus.where("conv_id < 'conv-00000010'").select("doc_id", "text")
+    b = corpus.where("conv_id >= 'conv-00000010'").select("doc_id", "text")
+    a.write.mode("append").parquet(src_dir)
+    b.write.mode("append").parquet(src_dir)
+
+    queries = spark.createDataFrame(
+        [
+            ("q-marker", "zqmarkeralpha"),
+            ("q-pair", "spark shuffle"),
+            ("q-phraseword", "merge sort"),
+        ],
+        "query_id string, query string",
+    )
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src_dir)
+    )
+    q = start_percolate_stream(
+        spark, stream, queries, out, ckpt, trigger={"availableNow": True}
+    )
+    assert q.awaitTermination(600), "percolate stream did not finish"
+
+    got = sorted(
+        (r.doc_id, r.query_id)
+        for r in read_percolate_matches(spark, out).collect()
+    )
+    twin_docs = corpus.select(
+        "doc_id", make_analyze_udf()(F.col("text")).alias("tokens")
+    )
+    want = sorted(
+        (r.doc_id, r.query_id) for r in percolate(queries, twin_docs).collect()
+    )
+    assert got == want and got, "stream matches must equal the batch twin"
+
+    # a vacuous stored query is rejected at launch, not mid-stream
+    bad = spark.createDataFrame(
+        [("q-bad", "the of and")], "query_id string, query string"
+    )
+    with pytest.raises(ValueError, match="no terms"):
+        start_percolate_stream(
+            spark, stream, bad, out + "2", ckpt + "2",
+            trigger={"availableNow": True},
+        )
