@@ -1530,16 +1530,110 @@ FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
-_MMR_DEPTH = 20
-_MMR_K = 5
-_MMR_LAM = 0.7
-
-# the cosine expression fragment shared by the MMR oracle's pairwise CTE
+# the cosine expression fragment shared by the embedding oracles (MMR pairwise, int8 rerank, hard negatives)
 _COS_SQL = (
     "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
     " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
     " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
 )
+
+
+_INT8_K = 10
+_INT8_FACTOR = 4
+
+
+def ann_int8_top10(spark, sf_dir):
+    """int8-quantized ANN with float rerank (textops/similarity.py::
+    int8_topk, the ES int8_hnsw / faiss SQ8 storage trade): per-vector
+    symmetric quantization, coarse top-40 by integer-dot cosine (exact
+    arithmetic — integer sums are order-free, so the coarse scores are
+    bit-identical across engines), exact float rerank to top-10. The
+    oracle replays quantization, the coarse cut, and the rerank."""
+    qv = _query_vec(spark, sf_dir)
+    base = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
+    res = sim.int8_topk(base, qv, _INT8_K, rerank_factor=_INT8_FACTOR)
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
+ANN_INT8_SQL = f"""
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
+qq AS (
+  SELECT list_transform(q, x -> round(x::DOUBLE /
+           greatest(list_max(list_transform(q, y -> abs(y::DOUBLE))) / 127.0,
+                    1e-12))::BIGINT) AS v
+  FROM qv
+),
+bq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(x::DOUBLE /
+           greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE)))
+                    / 127.0, 1e-12))::BIGINT) AS qvec
+  FROM embeddings WHERE vec_id <> {_ANN_QUERY_ID}
+),
+coarse AS (
+  SELECT vec_id,
+         round(list_sum(list_transform(list_zip(qvec, qq.v),
+                                       x -> x[1] * x[2]))::DOUBLE
+               / (sqrt(list_sum(list_transform(qvec, x -> x * x))::DOUBLE)
+                  * sqrt(list_sum(list_transform(qq.v, x -> x * x))::DOUBLE)),
+               6) AS qcos_r
+  FROM bq CROSS JOIN qq
+  WHERE list_sum(list_transform(qvec, x -> x * x)) > 0
+  ORDER BY qcos_r DESC, vec_id LIMIT {_INT8_K * _INT8_FACTOR}
+),
+rer AS (
+  SELECT e.vec_id,
+         {_COS_SQL.format(a="e.embedding", b="qv.q")} AS cos_sim
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id IN (SELECT vec_id FROM coarse)
+)
+SELECT vec_id, round(cos_sim, 4) AS cos_sim_r
+FROM rer ORDER BY cos_sim DESC, vec_id LIMIT {_INT8_K}
+"""
+
+
+_HARDNEG_ANCHORS = [1, 2, 3]
+_HARDNEG_K = 5
+
+
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (textops/similarity.py::hard_negatives): per anchor, the 5 most
+    cosine-similar vectors with a DIFFERENT label. Anchors are a driver
+    point lookup + literal-array explode over ONE corpus scan (a
+    projection, not a join); the oracle reads the same anchor rows from
+    the parquet and replays the per-anchor rounded window cut."""
+    res = sim.hard_negatives(
+        _emb(spark, sf_dir), _HARDNEG_ANCHORS, _HARDNEG_K
+    )
+    return res
+
+
+def _emb_hard_negatives_sql() -> str:
+    ids = ", ".join(str(i) for i in _HARDNEG_ANCHORS)
+    cos = _COS_SQL.format(a="a.avec", b="e.embedding")
+    return f"""
+WITH a AS (
+  SELECT vec_id AS aid, embedding AS avec, label AS alabel
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+s AS (
+  SELECT a.aid, e.vec_id, round({cos}, 6) AS cos_r
+  FROM embeddings e CROSS JOIN a
+  WHERE e.label <> a.alabel AND e.vec_id <> a.aid
+)
+SELECT aid AS anchor_id, vec_id, cos_r
+FROM s
+QUALIFY row_number() OVER (PARTITION BY aid ORDER BY cos_r DESC, vec_id)
+        <= {_HARDNEG_K}
+ORDER BY anchor_id, cos_r DESC, vec_id
+"""
+
+
+_MMR_DEPTH = 20
+_MMR_K = 5
+_MMR_LAM = 0.7
+
 
 
 def mmr_top5(spark, sf_dir):
@@ -5242,6 +5336,8 @@ QUERIES = {
     "bpe_merges": bpe_merges_q,
     "bpe_counts": bpe_counts_q,
     "ann_cosine_top10": ann_cosine_top10,
+    "ann_int8_top10": ann_int8_top10,
+    "emb_hard_negatives": emb_hard_negatives,
     "mmr_top5": mmr_top5,
     "emb_near_dup": emb_near_dup,
     "emb_norm_by_label": emb_norm_by_label,
@@ -5364,6 +5460,8 @@ ORACLES = {
     "bpe_merges": _bpe_merges_sql(),
     "bpe_counts": _bpe_counts_sql(),
     "ann_cosine_top10": ANN_COSINE_SQL,
+    "ann_int8_top10": ANN_INT8_SQL,
+    "emb_hard_negatives": _emb_hard_negatives_sql(),
     "mmr_top5": _mmr_sql(),
     "emb_near_dup": EMB_NEAR_DUP_SQL,
     "emb_norm_by_label": EMB_NORM_SQL,

@@ -373,3 +373,184 @@ def lsh_topk_indexed(
         F.col("bucket").isin(sorted(probe))
     )
     return brute_force_topk(cands, query, k, id_col, vec_col)
+
+
+# --- int8 quantization (memory-4x candidate scan) --------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the ES ``int8_hnsw`` /
+    faiss SQ8 storage trade): ``scale = max|x| / 127``, ``q_i =
+    round_half_away(x_i / scale)`` in [-127, 127]. Returns ``(id, qvec
+    array<int>, scale double)`` — 4x smaller than float32, which at
+    100 TB is the difference between a candidate scan that fits in page
+    cache and one that doesn't. Cosine over quantized vectors is
+    scale-free (the per-vector scales cancel), so ``scale`` is kept only
+    for value reconstruction. All JVM expressions; the zero vector gets
+    scale eps (quantizes to all zeros, excluded from cosine by the
+    qnorm > 0 guard in ``int8_topk``)."""
+    vec = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    # project scale behind a boundary first: the quantize lambda references
+    # it per element, and inlining the array_max re-runs it per element
+    return df.select(
+        F.col(id_col), scale.alias("scale"), vec.alias("_v")
+    ).select(
+        id_col,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+        ).alias("qvec"),
+        "scale",
+    )
+
+
+def _q8(vals) -> tuple[list[int], float]:
+    """Driver-side twin of the quantizer for query vectors (round half
+    AWAY from zero, matching Spark/DuckDB ``round`` — NOT Python's
+    banker's rounding)."""
+    import math
+
+    m = max((abs(float(v)) for v in vals), default=0.0)
+    scale = max(m / 127.0, 1e-12)
+    out = []
+    for v in vals:
+        r = float(v) / scale
+        out.append(int(math.floor(r + 0.5)) if r >= 0 else int(math.ceil(r - 0.5)))
+    return out, scale
+
+
+def int8_topk(
+    df: DataFrame,
+    query: list,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8-quantized ANN with exact float rerank: quantize the corpus
+    (inline here; persist ``quantize_embeddings`` output at scale),
+    coarse top ``k * rerank_factor`` by QUANTIZED cosine (integer dot /
+    integer norms — the scales cancel), then re-score only those
+    candidates against the float vectors and cut the exact top-k. Both
+    cuts are deterministic (rounded score + id tie-break) so an oracle
+    can replay them. Returns ``(id, cos_sim)`` with exact float scores."""
+    if k <= 0 or rerank_factor < 1:
+        raise ValueError("k must be positive and rerank_factor >= 1")
+    qq, _ = _q8(query)
+    quant = quantize_embeddings(df, id_col, vec_col)
+    qlit = F.lit(qq)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), qlit, lambda a, b: a.cast("long") * b.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qn = F.aggregate(
+        F.col("qvec"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long") * v.cast("long"),
+    )
+    qnq = float(sum(v * v for v in qq)) ** 0.5
+    coarse = (
+        quant.select(
+            id_col,
+            (
+                dot.cast("double") / (F.sqrt(qn.cast("double")) * F.lit(qnq))
+            ).alias("qcos"),
+        )
+        .where(F.col("qcos").isNotNull())
+        .select(id_col, F.round("qcos", 6).alias("qcos_r"))
+        .orderBy(F.desc("qcos_r"), F.asc(id_col))
+        .limit(k * rerank_factor)
+    )
+    rer = df.join(coarse.select(id_col), id_col, "left_semi")
+    return (
+        rer.select(
+            F.col(id_col),
+            cosine_col(F.col(vec_col), [float(x) for x in query]).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --- hard-negative mining (contrastive training prep) ----------------------
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchor_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` most cosine-similar vectors with a DIFFERENT label (the
+    near-misses a contrastive loss learns most from; same-label rows and
+    the anchor itself are excluded). Returns ``(anchor_id, id, cos_r)``,
+    per-anchor rank order.
+
+    Plan: anchors are an O(|A|) driver point lookup, then a LITERAL
+    array explode over ONE corpus scan — a projection, not a join (no
+    nested-loop node; |A| x N rows flow into one per-anchor window
+    top-k). At 10^9+ anchors you'd batch anchors through the bucketed
+    LSH index instead; this is the broadcast-anchor form."""
+    if not anchor_ids:
+        raise ValueError("need at least one anchor id")
+    rows = (
+        df.where(F.col(id_col).isin(list(anchor_ids)))
+        .select(id_col, vec_col, label_col)
+        .collect()
+    )
+    if len(rows) != len(set(anchor_ids)):
+        missing = set(anchor_ids) - {r[id_col] for r in rows}
+        raise ValueError(f"anchor ids not found: {sorted(missing)}")
+    anchors = F.array(
+        *[
+            F.struct(
+                F.lit(r[id_col]).alias("aid"),
+                F.lit([float(x) for x in r[vec_col]]).alias("avec"),
+                F.lit(r[label_col]).alias("alabel"),
+            )
+            for r in sorted(rows, key=lambda r: r[id_col])
+        ]
+    )
+    from pyspark.sql import Window
+
+    exploded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        F.explode(anchors).alias("a"),
+    )
+    cos = _dot(F.col("a.avec"), F.col(vec_col)) / (
+        _norm(F.col("a.avec")) * _norm(F.col(vec_col))
+    )
+    scored = exploded.where(
+        (F.col(label_col) != F.col("a.alabel"))
+        & (F.col(id_col) != F.col("a.aid"))
+    ).select(
+        F.col("a.aid").alias("anchor_id"),
+        F.col(id_col),
+        F.round(cos, 6).alias("cos_r"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_r"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("anchor_id", F.desc("cos_r"), F.asc(id_col))
+    )

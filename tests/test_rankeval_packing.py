@@ -542,3 +542,76 @@ def test_session7_ops_plans_no_nested_loop(spark, re_index):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized ANN + hard negatives
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_embeddings_hand_computed(spark):
+    from searchengine_spark.textops.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.27]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: (list(r.qvec), r.scale) for r in quantize_embeddings(df).collect()}
+    q, s = rows[1]
+    assert s == pytest.approx(1.0 / 127.0, rel=1e-9)
+    # round half AWAY from zero: -63.5 -> -64
+    assert q == [127, -64, 34]
+    qz, sz = rows[2]
+    assert qz == [0, 0, 0] and sz == 1e-12  # eps scale, all-zero quant
+
+
+def test_int8_topk_matches_exact_on_fixture(spark):
+    from searchengine_spark.fixtures import transcripts_df  # noqa: F401
+    from searchengine_spark.textops.similarity import brute_force_topk, int8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 0").collect()[0].embedding]
+    base = emb.where("vec_id <> 0")
+    exact = [r.vec_id for r in brute_force_topk(base, qv, 10).collect()]
+    got = [r.vec_id for r in int8_topk(base, qv, 10, rerank_factor=4).collect()]
+    # int8 coarse + exact rerank: high-overlap approximation, identical head
+    assert got[0] == exact[0]
+    assert len(set(got) & set(exact)) >= 8
+    # scores on the shared ids equal the exact scores (float rerank)
+    ex = {r.vec_id: r.cos_sim for r in brute_force_topk(base, qv, 10).collect()}
+    for r in int8_topk(base, qv, 10, rerank_factor=4).collect():
+        if r.vec_id in ex:
+            assert r.cos_sim == pytest.approx(ex[r.vec_id], rel=1e-12)
+    with pytest.raises(ValueError, match="rerank_factor"):
+        int8_topk(base, qv, 0)
+
+
+def test_hard_negatives_semantics(spark):
+    from searchengine_spark.textops.similarity import hard_negatives
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.1], 0),   # same label: excluded
+            (3, [0.9, 0.2], 1),    # different label: the hard negative
+            (4, [-1.0, 0.0], 1),   # different label, far
+            (5, [1.0, 0.01], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = [
+        (r.anchor_id, r.vec_id)
+        for r in hard_negatives(df, [1], k=2).collect()
+    ]
+    # nearest different-label first; same-label 2 and self 1 never appear
+    assert rows == [(1, 5), (1, 3)]
+    with pytest.raises(ValueError, match="not found"):
+        hard_negatives(df, [99])
+    with pytest.raises(ValueError, match="at least one"):
+        hard_negatives(df, [])
+    plan = (
+        hard_negatives(df, [1, 3], k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
