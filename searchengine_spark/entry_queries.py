@@ -1235,6 +1235,64 @@ FROM (SELECT lang, doc_id, substr(h, 1, 2) AS shard
 """
 
 
+_TEMP_TOTAL = 200
+_TEMP_ALPHA = 0.5
+
+
+def temperature_mix_q(spark, sf_dir):
+    """Temperature-scaled mixture sampling (textops/sampling.py::
+    temperature_quotas, the Conneau & Lample 2019 multilingual rule):
+    per-label quotas ∝ n^0.5 apportioned to 200 rows by deterministic
+    largest remainder, then the stratified hash sample. The oracle
+    recomputes the quota math (pow, largest remainder with lang
+    tie-break, cap at label count) and the sampling window in SQL."""
+    docs = _docs(spark, sf_dir)
+    quotas = smp.temperature_quotas(
+        docs, _TEMP_TOTAL, _TEMP_ALPHA, label_col="lang"
+    )
+    return smp.training_mix(docs, quotas, label_col="lang")
+
+
+def _temperature_mix_sql() -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+),
+wts AS (SELECT lang, n, pow(n::DOUBLE, {_TEMP_ALPHA}) AS w FROM counts),
+z AS (SELECT sum(w) AS z FROM wts),
+rawq AS (
+  SELECT lang, n, {_TEMP_TOTAL} * w / z.z AS raw FROM wts CROSS JOIN z
+),
+based AS (
+  SELECT lang, n, floor(raw)::BIGINT AS base, raw - floor(raw) AS rem
+  FROM rawq
+),
+apportion AS (
+  SELECT lang, n, base,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM based
+),
+quotas AS (
+  SELECT lang,
+         least(base + CASE WHEN rk <= {_TEMP_TOTAL}
+                                      - (SELECT sum(base) FROM based)
+                           THEN 1 ELSE 0 END, n) AS quota
+  FROM apportion
+),
+ranked AS (
+  SELECT d.lang, d.doc_id, md5(d.doc_id::VARCHAR) AS h, q.quota,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY md5(d.doc_id::VARCHAR), d.doc_id
+         ) AS rn
+  FROM documents d JOIN quotas q USING (lang)
+)
+SELECT lang, doc_id, shard,
+       (count(*) OVER (PARTITION BY lang))::BIGINT AS n_label
+FROM (SELECT lang, doc_id, substr(h, 1, 2) AS shard
+      FROM ranked WHERE rn <= quota)
+"""
+
+
 _BPE_N_MERGES = 10
 
 
@@ -4665,6 +4723,88 @@ FROM scored ORDER BY score_r DESC, doc_id LIMIT {_BOOL_K}
 """
 
 
+_DSL_FILTER_PRED = "lang = 'en' AND n_chars >= 200"
+_DSL_QUERY = {
+    "bool": {
+        "must": [{"match": {"query": "merge"}}],
+        "should": [{"match": {"query": "sort fast"}}],
+        "must_not": [{"match": {"query": "dup"}}],
+        "filter": [
+            {"term": {"lang": "en"}},
+            {"range": {"n_chars": {"gte": 200}}},
+        ],
+    }
+}
+
+
+def ft_dsl_search(spark, sf_dir):
+    """ES-style query DSL (query/dsl.py::search_dsl): a JSON bool tree —
+    must/should/must_not match clauses plus term+range filter context —
+    compiled onto the scored BooleanQuery with a metadata-frame allowed
+    set (restriction semantics: scores equal the unfiltered ones). The
+    oracle replays clause sets, the documents-table filter predicate,
+    and the scored aggregate."""
+    from .query.dsl import search_dsl
+
+    idx = _ft_index(spark, sf_dir)
+    res = search_dsl(idx, _DSL_QUERY, meta=_docs(spark, sf_dir))
+    return (
+        _as_long_doc_id(
+            res.select("doc_id", F.round("score", 4).alias("score_r"))
+        )
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(_BOOL_K)
+    )
+
+
+def _ft_dsl_search_sql() -> str:
+    from collections import Counter
+
+    m_terms = [t for e in _BOOL_MUST for t in punctuation_tokenize(e)]
+    s_terms = [t for e in _BOOL_SHOULD for t in punctuation_tokenize(e)]
+    n_terms = sorted(
+        {t for e in _BOOL_MUST_NOT for t in punctuation_tokenize(e)}
+    )
+    qtf = Counter(m_terms + s_terms)
+    qrows = ", ".join(f"('{t}', {c})" for t, c in sorted(qtf.items()))
+    mlist = ", ".join("'" + t + "'" for t in sorted(set(m_terms)))
+    nlist = ", ".join("'" + t + "'" for t in n_terms)
+    part = (
+        f"qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)"
+        f" / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+        f" * d.dl / c.avgdl))"
+    )
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM (VALUES {qrows}) AS q(term, qtf)
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+allowed AS (SELECT doc_id FROM documents WHERE {_DSL_FILTER_PRED}),
+mset AS (
+  SELECT doc_id FROM postings WHERE term IN ({mlist})
+  GROUP BY doc_id HAVING count(*) = {len(set(m_terms))}
+),
+nset AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({nlist})),
+scored AS (
+  SELECT p.doc_id, sum({part}) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  WHERE p.doc_id IN (SELECT doc_id FROM mset)
+    AND p.doc_id NOT IN (SELECT doc_id FROM nset)
+    AND p.doc_id IN (SELECT doc_id FROM allowed)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scored ORDER BY score_r DESC, doc_id LIMIT {_BOOL_K}
+"""
+
+
 _MSM_SHOULD = ["merge sort", "hash", "join"]  # analyzes to 4 should terms
 _MSM_N = 2
 _MSM_K = 15
@@ -5301,6 +5441,7 @@ QUERIES = {
     "ft_bm25_explain": ft_bm25_explain,
     "ft_bm25_bool": ft_bm25_bool,
     "ft_bm25_msm": ft_bm25_msm,
+    "ft_dsl_search": ft_dsl_search,
     "ft_bm25_boosting": ft_bm25_boosting,
     "ft_facet_stats": ft_facet_stats,
     "ft_bm25_rescore": ft_bm25_rescore,
@@ -5331,6 +5472,7 @@ QUERIES = {
     "lang_script": lang_script_q,
     "pii_scrub": pii_scrub_q,
     "training_mix": training_mix_q,
+    "temperature_mix": temperature_mix_q,
     "lm_perplexity": lm_perplexity_q,
     "doc_chunks": doc_chunks_q,
     "bpe_merges": bpe_merges_q,
@@ -5425,6 +5567,7 @@ ORACLES = {
     "ft_bm25_explain": _ft_bm25_explain_sql(),
     "ft_bm25_bool": _ft_bm25_bool_sql(),
     "ft_bm25_msm": _ft_bm25_msm_sql(),
+    "ft_dsl_search": _ft_dsl_search_sql(),
     "ft_bm25_boosting": _ft_bm25_boosting_sql(),
     "ft_facet_stats": FT_FACET_STATS_SQL,
     "ft_bm25_rescore": _ft_bm25_rescore_sql(),
@@ -5455,6 +5598,7 @@ ORACLES = {
     "lang_script": LANG_SCRIPT_SQL,
     "pii_scrub": _pii_sql(),
     "training_mix": _training_mix_sql(),
+    "temperature_mix": _temperature_mix_sql(),
     "lm_perplexity": _lm_perplexity_sql(),
     "doc_chunks": _doc_chunks_sql(),
     "bpe_merges": _bpe_merges_sql(),

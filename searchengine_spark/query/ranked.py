@@ -239,6 +239,7 @@ def search_bm25_boolean(
     must_not: list | None = None,
     k: int | None = None,
     min_should_match: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene ``BooleanQuery`` with BM25 scoring: a document matches iff
     it contains ALL ``must`` terms, NO ``must_not`` term, and — when
@@ -312,6 +313,12 @@ def search_bm25_boolean(
     )
     partial = _bm25_partial(index)
     post = index.postings_for_terms([r[0] for r in rows], positional=False)
+    if allowed is not None:
+        # doc-level restriction (filter context): lands on the postings
+        # BEFORE the per-doc aggregate, so clause presence counts and the
+        # veto are evaluated over allowed docs only; collection stats stay
+        # corpus-global (same restriction semantics as search_bm25)
+        post = post.join(allowed.select("doc_id"), "doc_id", "left_semi")
     # _mh counts DISTINCT must terms seen (a doc_id duplicated across
     # segments contributes duplicate posting rows — the same case the
     # array_distinct in the score fold tolerates); docs surviving
@@ -521,6 +528,33 @@ def search_bm25_recency(
     return out.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(k)
 
 
+def decay_columns(
+    x, origin: float, scale: float, offset: float, decay: float, kind: str
+):
+    """(distance, multiplier) Columns for the ES decay family over a
+    numeric column ``x`` — the arithmetic core shared by
+    ``search_bm25_decay`` and the query-DSL ``function_score`` node."""
+    if kind not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay kind {kind!r}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    d = F.greatest(
+        F.abs(x - F.lit(float(origin))) - F.lit(float(offset)), F.lit(0.0)
+    )
+    if kind == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * math.log(decay))
+        mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif kind == "exp":
+        lam = math.log(decay) / float(scale)
+        mult = F.exp(F.lit(lam) * d)
+    else:  # linear
+        s = float(scale) / (1.0 - decay)
+        mult = F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+    return d, mult
+
+
 def search_bm25_boosting(
     index,
     positive: str,
@@ -638,29 +672,11 @@ def search_bm25_decay(
     cut (it genuinely re-ranks). Plan: the stock BM25 plan plus ONE
     doc_id equi-join against the metadata frame — scored rows are only
     the term-matched docs (same shape as ``search_bm25_recency``)."""
-    if kind not in ("gauss", "exp", "linear"):
-        raise ValueError(f"unknown decay kind {kind!r}")
-    if not 0.0 < decay < 1.0:
-        raise ValueError(f"decay must be in (0, 1), got {decay}")
-    if scale <= 0:
-        raise ValueError(f"scale must be positive, got {scale}")
     scored = search_bm25(index, query, None)
     m = meta.select(
         "doc_id", F.col(value_col).cast("double").alias("_x")
     )
-    d = F.greatest(
-        F.abs(F.col("_x") - F.lit(float(origin))) - F.lit(float(offset)),
-        F.lit(0.0),
-    )
-    if kind == "gauss":
-        sigma2 = -(float(scale) ** 2) / (2.0 * math.log(decay))
-        mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
-    elif kind == "exp":
-        lam = math.log(decay) / float(scale)
-        mult = F.exp(F.lit(lam) * d)
-    else:  # linear
-        s = float(scale) / (1.0 - decay)
-        mult = F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+    d, mult = decay_columns(F.col("_x"), origin, scale, offset, decay, kind)
     out = scored.join(m, "doc_id").select(
         "doc_id",
         F.round(F.col("score") * mult, decimals).alias("score_r"),

@@ -105,3 +105,45 @@ def training_mix(
     picked = stratified_sample(df, quotas, label_col, id_col, salt_buckets)
     w = Window.partitionBy(label_col)
     return picked.withColumn("n_label", F.count("*").over(w).cast("long"))
+
+
+def temperature_quotas(
+    df: DataFrame,
+    total: int,
+    alpha: float = 0.5,
+    label_col: str = "lang",
+) -> dict:
+    """Temperature-scaled mixture quotas (the multilingual-sampling rule of
+    Conneau & Lample 2019 / the data-mixing knob DoReMi tunes around):
+    label weights ``w_l ∝ n_l^alpha`` normalized to ``total`` rows.
+    ``alpha = 1`` reproduces the corpus's natural proportions, ``alpha = 0``
+    is uniform over labels; in between, low-resource labels are UP-sampled
+    relative to their share. Integerization is deterministic largest-
+    remainder (Hamilton) apportionment with lexicographic label
+    tie-break, and each quota is capped at the label's actual count (the
+    sampler can't mint rows); leftover capacity from capped labels is NOT
+    redistributed — callers see the true achievable mix. One count
+    aggregate + O(labels) driver math; feed the result to
+    :func:`stratified_sample` / :func:`training_mix`."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[label_col]: r["n"]
+        for r in df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return {}
+    weights = {l: float(n) ** alpha for l, n in counts.items()}
+    # sum in sorted-label order: z must not depend on dict insertion order
+    # (float addition is order-sensitive; the SQL twin is a 5-term sum too)
+    z = sum(weights[l] for l in sorted(weights, key=str))
+    raw = {l: total * w / z for l, w in weights.items()}
+    base = {l: int(raw[l]) for l in raw}
+    short = total - sum(base.values())
+    # largest remainder, ties to the lexicographically smaller label
+    order = sorted(raw, key=lambda l: (-(raw[l] - base[l]), str(l)))
+    for l in order[:short]:
+        base[l] += 1
+    return {l: min(base[l], counts[l]) for l in sorted(base, key=str)}

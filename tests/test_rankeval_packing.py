@@ -615,3 +615,142 @@ def test_hard_negatives_semantics(spark):
     )
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_quotas(spark):
+    from searchengine_spark.textops.sampling import temperature_quotas
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "big") for i in range(90)]
+        + [(f"e{i}", "small") for i in range(10)],
+        "doc_id string, lang string",
+    )
+    # alpha=1: natural proportions
+    assert temperature_quotas(df, 50, 1.0) == {"big": 45, "small": 5}
+    # alpha=0: uniform over labels
+    assert temperature_quotas(df, 20, 0.0) == {"big": 10, "small": 10}
+    # alpha=0.5 up-samples the small label vs natural share — here so far
+    # past its population (raw 12.5 > 10) that the cap binds, and capped
+    # capacity is NOT redistributed (documented)
+    q = temperature_quotas(df, 50, 0.5)
+    assert q == {"big": 38, "small": 10}
+    # quotas never exceed the label population (capped, not redistributed)
+    q = temperature_quotas(df, 120, 0.0)
+    assert q == {"big": 60, "small": 10}
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_quotas(df, 10, -1.0)
+    with pytest.raises(ValueError, match="total"):
+        temperature_quotas(df, -1)
+
+
+# ---------------------------------------------------------------------------
+# query DSL compiler
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsl_setup(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple banana", "en", 10.0),
+            ("d2", "apple", "en", 20.0),
+            ("d3", "apple banana snake", "de", 30.0),
+            ("d4", "banana", "en", 40.0),
+        ],
+        "doc_id string, text string, lang string, ts double",
+    )
+    idx = build_index(spark, docs.select("doc_id", "text"), cache=False)
+    return idx, docs
+
+
+def test_dsl_match_equals_bm25(spark, dsl_setup):
+    from searchengine_spark.query.dsl import search_dsl
+
+    idx, _ = dsl_setup
+    got = [(r.doc_id, r.score) for r in
+           search_dsl(idx, {"match": {"query": "apple banana"}}).collect()]
+    want = [(r.doc_id, r.score) for r in
+            idx.search_bm25("apple banana", None).collect()]
+    assert got == want
+
+
+def test_dsl_bool_with_filters(spark, dsl_setup):
+    from searchengine_spark.query.dsl import search_dsl
+    from searchengine_spark.query.ranked import search_bm25_boolean
+
+    idx, docs = dsl_setup
+    dsl = {
+        "bool": {
+            "must": [{"match": {"query": "apple"}}],
+            "should": [{"match": {"query": "banana"}}],
+            "must_not": [{"match": {"query": "snake"}}],
+            "filter": [
+                {"term": {"lang": "en"}},
+                {"range": {"ts": {"gte": 5.0, "lt": 30.0}}},
+            ],
+        }
+    }
+    got = {r.doc_id: r.score for r in search_dsl(idx, dsl, meta=docs).collect()}
+    # d3 fails lang+must_not, d4 fails must; d1/d2 survive with scores
+    # equal to the UNfiltered boolean query (restriction semantics)
+    base = {
+        r.doc_id: r.score
+        for r in search_bm25_boolean(
+            idx, must=["apple"], should=["banana"], must_not=["snake"]
+        ).collect()
+    }
+    assert got == {d: base[d] for d in ("d1", "d2")}
+
+
+def test_dsl_boosting_and_function_score(spark, dsl_setup):
+    from searchengine_spark.query.dsl import search_dsl
+    from searchengine_spark.query.ranked import search_bm25_boosting
+
+    idx, docs = dsl_setup
+    dsl = {
+        "boosting": {
+            "positive": {"match": {"query": "apple"}},
+            "negative": {"match": {"query": "snake"}},
+            "negative_boost": 0.25,
+        }
+    }
+    got = {r.doc_id: r.score for r in search_dsl(idx, dsl).collect()}
+    want = {
+        r.doc_id: r.score
+        for r in search_bm25_boosting(idx, "apple", "snake", 0.25).collect()
+    }
+    assert got == want
+
+    fs = {
+        "function_score": {
+            "query": {"match": {"query": "apple"}},
+            "gauss": {"field": "ts", "origin": 10.0, "scale": 20.0,
+                      "decay": 0.5},
+        }
+    }
+    got = {r.doc_id: r.score for r in search_dsl(idx, fs, meta=docs).collect()}
+    base = {r.doc_id: r.score for r in idx.search_bm25("apple", None).collect()}
+    assert got["d1"] == pytest.approx(base["d1"], rel=1e-12)  # at origin
+    # d3 at distance 20 == scale: multiplier is exactly decay
+    assert got["d3"] == pytest.approx(base["d3"] * 0.5, rel=1e-9)
+
+
+def test_dsl_errors(spark, dsl_setup):
+    from searchengine_spark.query.dsl import DslError, search_dsl
+
+    idx, docs = dsl_setup
+    for bad in [
+        {"fuzzy": {"query": "x"}},
+        {"bool": {"mustt": []}},
+        {"bool": {"filter": [{"range": {"ts": {"between": 1}}}]}},
+        {"bool": {"filter": [{"bool": {}}]}},
+        {"function_score": {"query": {"match": {"query": "x"}}}},
+        {"function_score": {"query": {"match": {"query": "x"}},
+                            "gauss": {"origin": 0, "scale": 1}}},
+    ]:
+        with pytest.raises(DslError):
+            search_dsl(idx, bad, meta=docs)
+    # filter/function_score without meta
+    with pytest.raises(DslError, match="meta"):
+        search_dsl(idx, {"bool": {"must": [{"match": {"query": "apple"}}],
+                                  "filter": [{"term": {"lang": "en"}}]}})
