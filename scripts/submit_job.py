@@ -19,6 +19,12 @@ Package and submit::
         scripts/submit_job.py compact \
         --index s3://bucket/index_artifact --output s3://bucket/index_v2
 
+Lifecycle commands (same submission shape): ``append`` ingests one new
+parquet increment as a committed segment (idempotent per --batch-id —
+re-running a crashed ingestion job is a no-op), ``tag``/``expire``/
+``snapshots`` manage named versions and GC, ``changelog`` reads the docs
+added between two snapshots (the downstream process-only-new-data scan).
+
 The master/executor topology comes from spark-submit; this script only sets
 engine-relevant session conf (AQE, Arrow). Re-running a killed ``build``
 with the same arguments resumes from the last committed snapshot.
@@ -66,6 +72,33 @@ def main() -> None:
     c = sub.add_parser("compact")
     c.add_argument("--index", required=True)
     c.add_argument("--output", required=True)
+
+    a = sub.add_parser("append")
+    a.add_argument("--input", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--doc-id-col", default=None)
+    a.add_argument("--text-col", default="text")
+    a.add_argument("--batch-id", type=int, default=None,
+                   help="idempotency key: a re-run with the same id is a no-op")
+
+    t = sub.add_parser("tag")
+    t.add_argument("--index", required=True)
+    t.add_argument("--name", required=True)
+    t.add_argument("--snapshot-id", type=int, default=None)
+    t.add_argument("--remove", action="store_true")
+    t.add_argument("--replace", action="store_true")
+
+    e = sub.add_parser("expire")
+    e.add_argument("--index", required=True)
+    e.add_argument("--keep-last", type=int, default=1)
+
+    sn = sub.add_parser("snapshots")
+    sn.add_argument("--index", required=True)
+
+    ch = sub.add_parser("changelog")
+    ch.add_argument("--index", required=True)
+    ch.add_argument("--from-snapshot", type=int, required=True)
+    ch.add_argument("--to-snapshot", type=int, default=None)
 
     args = ap.parse_args()
     spark = _session(f"searchengine-{args.cmd}")
@@ -122,6 +155,78 @@ def main() -> None:
             "n_docs": idx.n_docs,
             "snapshot_id": idx.snapshot["snapshot_id"],
         }))
+    elif args.cmd == "append":
+        from pyspark.sql import functions as F
+
+        from searchengine_spark.index.artifact import append_segment
+
+        corpus = spark.read.parquet(args.input)
+        if args.doc_id_col is None:
+            corpus = corpus.withColumn(
+                "doc_id",
+                F.concat_ws(
+                    ":",
+                    F.col("conv_id"),
+                    F.lpad(F.col("turn_idx").cast("string"), 4, "0"),
+                ),
+            )
+        elif args.doc_id_col != "doc_id":
+            corpus = corpus.withColumnRenamed(args.doc_id_col, "doc_id")
+        if args.text_col != "text":
+            corpus = corpus.withColumnRenamed(args.text_col, "text")
+        idx = append_segment(
+            spark, corpus.select("doc_id", "text"), args.index,
+            source_desc=args.input, stream_batch_id=args.batch_id,
+        )
+        print(json.dumps({
+            "n_docs": idx.n_docs,
+            "snapshot_id": idx.snapshot["snapshot_id"],
+            "segments": len(idx.snapshot["segments"]),
+        }))
+    elif args.cmd == "tag":
+        from searchengine_spark.index.artifact import create_tag, remove_tag
+
+        if args.remove:
+            sid = remove_tag(args.index, args.name)
+        else:
+            sid = create_tag(
+                args.index, args.name, args.snapshot_id, replace=args.replace
+            )
+        print(json.dumps({"tag": args.name, "snapshot_id": sid,
+                          "removed": bool(args.remove)}))
+    elif args.cmd == "expire":
+        from searchengine_spark.index.artifact import expire_snapshots
+
+        print(json.dumps(expire_snapshots(args.index, args.keep_last)))
+    elif args.cmd == "snapshots":
+        from searchengine_spark.index.artifact import (
+            list_refs,
+            list_snapshots,
+            read_snapshot,
+        )
+
+        names = list_snapshots(args.index)
+        refs = list_refs(args.index)
+        out = []
+        for n in names:
+            sid = int(n[len("snap-"):-len(".json")])
+            snap = read_snapshot(args.index, sid)
+            out.append({
+                "snapshot_id": sid,
+                "segments": sorted(
+                    s["segment_id"] for s in snap["segments"]
+                ),
+                "n_docs": sum(s["n_docs"] for s in snap["segments"]),
+                "tags": sorted(k for k, v in refs.items() if v == sid),
+            })
+        print(json.dumps(out))
+    elif args.cmd == "changelog":
+        from searchengine_spark.index.artifact import docs_added_between
+
+        added = docs_added_between(
+            spark, args.index, args.from_snapshot, args.to_snapshot
+        )
+        print(json.dumps({"n_added": added.count()}))
     spark.stop()
     sys.exit(0)
 

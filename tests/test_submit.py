@@ -91,3 +91,82 @@ def test_spark_submit_build_then_query(spark, tmp_path):
         for r in lidx.search_bm25("spark shuffle error", 5).collect()
     ]
     assert got == want
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_lifecycle_commands(spark, tmp_path):
+    """append / snapshots / tag / changelog / expire through REAL
+    spark-submit: one ingestion increment lands as a committed segment
+    (idempotent per --batch-id), tags pin versions through expiry, and
+    the changelog counts exactly the appended docs."""
+    from searchengine_spark.fixtures import transcripts_df
+
+    src1 = str(tmp_path / "t1")
+    src2 = str(tmp_path / "t2")
+    out = str(tmp_path / "artifact")
+    corpus = transcripts_df(spark, "tiny")
+    first = corpus.where("conv_id < 'conv-00000015'")
+    second = corpus.where("conv_id >= 'conv-00000015'")
+    first.select("conv_id", "turn_idx", "text").write.parquet(src1)
+    second.select("conv_id", "turn_idx", "text").write.parquet(src2)
+
+    pkg_zip = shutil.make_archive(
+        str(tmp_path / "searchengine_spark_pyfiles"), "zip", REPO,
+        "searchengine_spark",
+    )
+
+    def submit(*argv) -> str:
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT, "--master", "local[2]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.ui.showConsoleProgress=false",
+                "--py-files", pkg_zip,
+                os.path.join(REPO, "scripts", "submit_job.py"), *argv,
+            ],
+            capture_output=True, text=True, timeout=600,
+            cwd=str(tmp_path),
+            env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return [
+            json.loads(l) for l in proc.stdout.splitlines()
+            if l.startswith(("{", "["))
+        ][-1]
+
+    built = submit("build", "--input", src1, "--output", out)
+    base_snap = built["snapshot_id"]
+    appended = submit(
+        "append", "--input", src2, "--index", out, "--batch-id", "7"
+    )
+    assert appended["n_docs"] == corpus.count()
+    assert appended["segments"] == 2
+    # replay with the same batch id is a no-op (idempotent ingestion)
+    replay = submit(
+        "append", "--input", src2, "--index", out, "--batch-id", "7"
+    )
+    assert replay["n_docs"] == corpus.count()
+    assert replay["segments"] == 2
+
+    tagged = submit("tag", "--index", out, "--name", "v1",
+                    "--snapshot-id", str(base_snap))
+    assert tagged["snapshot_id"] == base_snap
+    snaps = submit("snapshots", "--index", out)
+    assert [s["snapshot_id"] for s in snaps] == sorted(
+        s["snapshot_id"] for s in snaps
+    )
+    assert any(s["tags"] == ["v1"] for s in snaps)
+
+    change = submit("changelog", "--index", out,
+                    "--from-snapshot", str(base_snap))
+    assert change["n_added"] == second.count()
+
+    # expire keeps the tagged base snapshot; untag then expire drops it
+    gone = submit("expire", "--index", out, "--keep-last", "1")
+    assert gone["snapshots_removed"] == 0
+    submit("tag", "--index", out, "--name", "v1", "--remove")
+    gone = submit("expire", "--index", out, "--keep-last", "1")
+    assert gone["snapshots_removed"] == 1
