@@ -3450,6 +3450,57 @@ ORDER BY sum(contrib) DESC, doc_id LIMIT 10
 """
 
 
+def graph_components_q(spark, sf_dir):
+    """Connected components over the fixture link graph
+    (textops/dedup.py::connected_components treated as a first-class graph
+    operator): undirected min-label propagation with per-round
+    localCheckpoint and path-halving pointer jumping; the DISTRIBUTED
+    loop is forced (driver_max_pairs=0) so the graded path is the one
+    that runs at cluster scale. component = min node id reachable. The
+    oracle computes the same fixed point as a recursive-CTE reachability
+    closure over the inlined edge list."""
+    from .fixtures import graph_edges_df
+    from .textops.dedup import connected_components
+
+    # keep only intra-block edges (25-id blocks): the raw preferential
+    # graph is one giant component — a trivial all-min answer — while the
+    # blocked version yields one component per block with distinct labels
+    edges = graph_edges_df(spark, n_nodes=200).where(
+        (F.col("src") / 25).cast("long") == (F.col("dst") / 25).cast("long")
+    )
+    pairs = edges.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    out = connected_components(pairs, driver_max_pairs=0)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("node")
+
+
+def _graph_components_sql() -> str:
+    from .fixtures import graph_edges_pandas
+
+    pdf = graph_edges_pandas(200)
+    rows = ", ".join(
+        f"({int(s)}, {int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    return f"""
+WITH RECURSIVE raw0(src, dst) AS (VALUES {rows}),
+raw AS (SELECT src, dst FROM raw0 WHERE src // 25 = dst // 25),
+edges AS (
+  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node::BIGINT AS node, min(comp)::BIGINT AS component
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
 def hits_top20(spark, sf_dir):
     """HITS hubs & authorities over the deterministic synthetic link graph
     (graph/hits.py), pinned at exactly HITS_ITERS rounds so the DuckDB
@@ -5453,6 +5504,7 @@ QUERIES = {
     "tr_date_histogram": tr_date_histogram,
     "tr_clause_search": tr_clause_search,
     "hits_top20": hits_top20,
+    "graph_components": graph_components_q,
     "ft_bm25_wand": ft_bm25_wand,
     "ft_bm25_batch": ft_bm25_batch,
     "ft_delete_search": ft_delete_search,
@@ -5636,6 +5688,7 @@ ORACLES = {
     "wordbreak_en": _wordbreak_en_sql(),
     "wordbreak_cjk": _wordbreak_cjk_sql(),
     "pagerank_top20": _pagerank_sql(),
+    "graph_components": _graph_components_sql(),
     "ppr_top20": _ppr_sql(),
     "combined_rank_top20": _combined_rank_sql(),
     "tr_bm25_top10": _tr_bm25_sql(_TR_BM25_QUERY, 10),
