@@ -1487,8 +1487,12 @@ LEFT JOIN per_doc p USING (doc_id)
 
 
 _SUGGEST_PREV = "merge"
-_SUGGEST_PREFIX = "s"
-_SUGGEST_K = 10
+# NOTE: scoped names (_SUGGEST_NEXT_*) — a later ft_suggest block defines
+# its own _SUGGEST_PREFIX/_SUGGEST_K, and both this fn and its oracle read
+# module globals at CALL time, so sharing names silently rebinds (the
+# `_tr_pack_sql` lesson; the rebind once turned this entry's k=10 into 4)
+_SUGGEST_NEXT_PREFIX = "s"
+_SUGGEST_NEXT_K = 10
 
 
 def ft_suggest_next(spark, sf_dir):
@@ -1497,7 +1501,7 @@ def ft_suggest_next(spark, sf_dir):
     TRAINED bigram count table — train once, suggest per keystroke."""
     model, _ = lm.bigram_lm(_docs_tokens(spark, sf_dir))
     return lm.suggest_next_terms(
-        model, _SUGGEST_PREV, prefix=_SUGGEST_PREFIX, k=_SUGGEST_K
+        model, _SUGGEST_PREV, prefix=_SUGGEST_NEXT_PREFIX, k=_SUGGEST_NEXT_K
     )
 
 
@@ -1510,8 +1514,8 @@ bg AS (
 ),
 c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2)
 SELECT w2 AS term, c12 AS n FROM c12
-WHERE w1 = '{_SUGGEST_PREV}' AND w2 LIKE '{_SUGGEST_PREFIX}%'
-ORDER BY n DESC, term LIMIT {_SUGGEST_K}
+WHERE w1 = '{_SUGGEST_PREV}' AND w2 LIKE '{_SUGGEST_NEXT_PREFIX}%'
+ORDER BY n DESC, term LIMIT {_SUGGEST_NEXT_K}
 """
 
 

@@ -114,6 +114,9 @@ def pack_sequences(
     spanned = ranged.mapInPandas(add_offset, schema=schema)
     cap = F.lit(int(capacity)).cast("long")
     s, e = F.col("_tok0"), F.col("_tok0") + F.col("_ntok")
+    # integer DIV, not `/`: Spark's `/` on longs is DOUBLE division, exact
+    # only while offsets stay under 2^53 tokens — `div` keeps the sequence
+    # ids exact over the full int64 offset range
     frags = (
         spanned.select(
             id_col,
@@ -121,7 +124,8 @@ def pack_sequences(
             "_ntok",
             F.explode(
                 F.sequence(
-                    (s / cap).cast("long"), ((e - 1) / cap).cast("long")
+                    F.expr(f"_tok0 DIV {int(capacity)}"),
+                    F.expr(f"(_tok0 + _ntok - 1) DIV {int(capacity)}"),
                 )
             ).alias("seq_id"),
         )

@@ -76,3 +76,28 @@ def test_rows_only_entries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_no_module_global_name_collisions():
+    """entry_queries.py resolves oracle constants/helpers at module scope;
+    a later same-name def/assign silently rebinds an earlier entry's oracle
+    (the `_tr_pack_sql` and `_SUGGEST_K` incidents). Fail on ANY duplicate
+    top-level name so the collision can't recur."""
+    import ast
+    from collections import Counter
+
+    import searchengine_spark.entry_queries as eq
+
+    tree = ast.parse(open(eq.__file__).read())
+    names = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names.append(node.name)
+        elif isinstance(node, ast.Assign):
+            names.extend(
+                t.id for t in node.targets if isinstance(t, ast.Name)
+            )
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            names.append(node.target.id)
+    dups = sorted(n for n, c in Counter(names).items() if c > 1)
+    assert not dups, f"duplicate module-global names in entry_queries: {dups}"
