@@ -31,6 +31,39 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+def _calib_work(k: int) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    for _ in range(k):
+        h.update(b"x" * 64)
+    return h.hexdigest()
+
+
+def host_calibration(procs: int = 8, n: int = 2_000_000) -> dict:
+    """In-window host-health marker (~1 s): a fixed CPU-bound kernel run
+    single-process and ``procs``-way. On a quiet host the parallel wall
+    time equals the single time (each worker does the SAME work); tenancy
+    throttling shows up as ratio > 1. Recorded in extras so every bench
+    JSON carries the window quality it was measured under — the same
+    interpretation rule as scripts/scaling_run.py's per-trial calibration
+    (BENCH.md '±20% host variance')."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    _calib_work(n)
+    single = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as pool:
+        pool.map(_calib_work, [n] * procs)
+    par = time.perf_counter() - t0
+    return {
+        "calib_single_s": round(single, 3),
+        "calib_par8_s": round(par, 3),
+        "calib_throttle_ratio": round(par / single, 3) if single > 0 else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -48,6 +81,7 @@ def main() -> None:
     from searchengine_spark.textops import dedup as dd
     from searchengine_spark.textops import similarity as sim
 
+    calib_start = host_calibration()
     spark = get_spark("searchengine-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -382,6 +416,7 @@ def main() -> None:
 
     idx.postings.unpersist()
     idx.term_stats.unpersist()
+    calib_end = host_calibration()
     total = sum(q.values())
     print(
         json.dumps(
@@ -397,6 +432,10 @@ def main() -> None:
                     "bench_turns": n_turns,
                     "bench_postings": n_postings,
                     "build_turns_per_sec": round(turns_per_sec, 1),
+                    "host_calibration": {
+                        "start": calib_start,
+                        "end": calib_end,
+                    },
                     "newop_sec": {
                         k: round(v, 3) for k, v in extras_times.items()
                     },
