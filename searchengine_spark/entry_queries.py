@@ -1586,6 +1586,9 @@ scored AS (
            AS cos_sim
   FROM embeddings e CROSS JOIN qv
   WHERE e.vec_id <> {_ANN_QUERY_ID}
+    -- zero-norm rows can't rank: cosine undefined (Spark twin NULL-guards
+    -- the ANSI divide and filters isNotNull — same predicate)
+    AND list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
 )
 SELECT vec_id, round(cos_sim, 4) AS cos_sim_r
 FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
@@ -1683,6 +1686,9 @@ s AS (
   SELECT a.aid, e.vec_id, round({cos}, 6) AS cos_r
   FROM embeddings e CROSS JOIN a
   WHERE e.label <> a.alabel AND e.vec_id <> a.aid
+    -- zero-norm corpus rows: cosine undefined, excluded (Spark twin
+    -- NULL-guards the divide and filters, matching this predicate)
+    AND list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
 )
 SELECT aid AS anchor_id, vec_id, cos_r
 FROM s

@@ -153,6 +153,9 @@ def _compile(index, node, meta, k) -> DataFrame:
             allowed=allowed,
         )
     if kind == "boosting":
+        for req in ("positive", "negative"):
+            if req not in body:
+                raise DslError(f"boosting missing {req!r}")
         return search_bm25_boosting(
             index,
             _match_text(body["positive"], "boosting.positive"),

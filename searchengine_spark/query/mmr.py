@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..textops.similarity import _dot, _norm
+from ..textops.similarity import _guarded_cos
 
 
 def mmr_rerank(
@@ -76,7 +76,10 @@ def mmr_rerank(
 
     a = cv.select(F.col("_id").alias("ia"), F.col("_v").alias("va"))
     b = cv.select(F.col("_id").alias("ib"), F.col("_v").alias("vb"))
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    # _guarded_cos: NULL (not an ANSI DIVIDE_BY_ZERO crash) on zero-norm
+    # vectors; treat "undefined similarity" as 0 redundancy in the MMR
+    # trade-off so a padding embedding neither crashes nor blocks a pick
+    sim = _guarded_cos(F.col("va"), F.col("vb"))
     pairs = (
         a.join(b, F.col("ia") < F.col("ib"))
         .select("ia", "ib", F.round(sim, decimals).alias("sim_r"))
@@ -84,7 +87,7 @@ def mmr_rerank(
     )
     sims: dict[tuple[str, str], float] = {}
     for r in pairs:
-        s = float(r["sim_r"])
+        s = 0.0 if r["sim_r"] is None else float(r["sim_r"])
         sims[(r["ia"], r["ib"])] = s
         sims[(r["ib"], r["ia"])] = s
 

@@ -122,9 +122,10 @@ def facet_stats(
         F.round(F.avg(value_col), 6).alias("avg_v_r"),
     ]
     for p in percentiles:
+        # round, not int-truncate: int(0.29 * 100) == 28 mislabels the column
         aggs.append(
             F.round(F.expr(f"percentile({value_col}, {float(p)}D)"), 6).alias(
-                f"p{int(p * 100)}"
+                f"p{int(round(p * 100))}"
             )
         )
     return (

@@ -30,6 +30,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def analyze_queries(
+    queries_df: DataFrame,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    analyzer: str = "composable",
+) -> DataFrame:
+    """Analyze + validate the stored-query table once: returns
+    ``(query_id, qts)`` with the vacuous-query check already run. Callers
+    that percolate REPEATEDLY against the same queries (the streaming
+    alerting loop) should persist the result and pass it to
+    :func:`percolate` as ``prepared_queries`` — one analyze pass and one
+    validation job total, instead of one per micro-batch (and no cache
+    entry accumulating per call, which a per-call persist leaked)."""
+    from ..analysis.analyzer import make_analyze_udf
+
+    analyze = make_analyze_udf(analyzer)
+    qterms = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.array_distinct(analyze(F.col(query_col))).alias("qts"),
+    )
+    vacuous = qterms.where(F.size("qts") == 0).limit(1).collect()
+    if vacuous:
+        raise ValueError(
+            f"stored query {vacuous[0]['query_id']!r} analyzes to no terms "
+            "(stop words only); filter vacuous queries before percolating"
+        )
+    return qterms
+
+
 def percolate(
     queries_df: DataFrame,
     docs_df: DataFrame,
@@ -39,6 +68,7 @@ def percolate(
     tokens_col: str = "tokens",
     analyzer: str = "composable",
     broadcast_queries: bool = True,
+    prepared_queries: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, query_id) for every stored query whose analyzed terms ALL
     appear in the document's token array — ordered by (doc_id, query_id).
@@ -47,21 +77,19 @@ def percolate(
     them anyway); ``queries_df`` carries raw query strings, analyzed here
     with the same chain. Set ``broadcast_queries=False`` when the stored
     query table is too large to broadcast (the join degrades gracefully
-    to a shuffle hash join on term).
-    """
-    from ..analysis.analyzer import make_analyze_udf
+    to a shuffle hash join on term). ``prepared_queries`` (from
+    :func:`analyze_queries`) skips the per-call analyze + vacuous check —
+    the repeated-percolation fast path; ``queries_df`` is ignored then.
 
-    analyze = make_analyze_udf(analyzer)
-    qterms = queries_df.select(
-        F.col(query_id_col).alias("query_id"),
-        F.array_distinct(analyze(F.col(query_col))).alias("qts"),
-    ).persist()  # analyzed once: the vacuous check and the join share it
-    vacuous = qterms.where(F.size("qts") == 0).limit(1).collect()
-    if vacuous:
-        raise ValueError(
-            f"stored query {vacuous[0]['query_id']!r} analyzes to no terms "
-            "(stop words only); filter vacuous queries before percolating"
-        )
+    The one-shot path analyzes the (tiny) queries frame twice — once for
+    the vacuous check, once lazily in the join — rather than persisting:
+    a persist here would register one never-released cache entry per
+    percolate() call in long-running processes.
+    """
+    if prepared_queries is not None:
+        qterms = prepared_queries
+    else:
+        qterms = analyze_queries(queries_df, query_id_col, query_col, analyzer)
     qt = qterms.select(
         "query_id",
         F.size("qts").alias("n_terms"),

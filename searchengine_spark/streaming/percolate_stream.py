@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis.analyzer import make_analyze_udf
-from ..query.percolate import percolate
+from ..query.percolate import analyze_queries, percolate
 
 
 def percolate_matches_path(out_path: str, batch_id: int) -> str:
@@ -57,21 +57,23 @@ def start_percolate_stream(
     StreamingQuery. Matches for batch N are committed atomically as the
     parquet partition ``batch_id=N`` (replay-safe overwrite)."""
     analyze = make_analyze_udf(analyzer)
-    # analyze the stored queries EAGERLY so a vacuous stored query fails
-    # at launch, not inside the Nth micro-batch
-    percolate(
-        queries_df,
-        spark.createDataFrame([], f"{doc_id_col} string, tokens array<string>"),
-        doc_id_col=doc_id_col,
-        analyzer=analyzer,
-    )
+    # analyze + validate the stored queries ONCE at launch (a vacuous
+    # stored query fails here, not inside the Nth micro-batch) and persist
+    # the prepared frame: every micro-batch reuses the single cached
+    # (query_id, qts) table instead of re-analyzing and re-persisting —
+    # the per-batch percolate() persist leaked one CacheManager entry and
+    # one vacuous-check collect() job per batch, forever, on long streams
+    qprep = analyze_queries(queries_df, analyzer=analyzer).persist()
+    qprep.count()  # materialize at launch
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select(
             F.col(doc_id_col).alias("doc_id"),
             analyze(F.col(text_col)).alias("tokens"),
         )
-        matches = percolate(queries_df, docs, analyzer=analyzer)
+        matches = percolate(
+            queries_df, docs, analyzer=analyzer, prepared_queries=qprep
+        )
         matches.write.mode("overwrite").parquet(
             percolate_matches_path(out_path, batch_id)
         )

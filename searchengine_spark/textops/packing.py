@@ -70,14 +70,25 @@ def pack_sequences(
     order_col = order_col or id_col
     spark = df.sparkSession
     parts = num_partitions or 2 * spark.sparkContext.defaultParallelism
-    src = df.select(
-        F.col(id_col).alias(id_col),
-        F.col(order_col).alias("_ord"),
-        F.col(n_tokens_col).cast("long").alias("_ntok"),
-    ).where(F.col("_ntok") > 0)
+    # persist BEFORE repartitionByRange: boundary sampling executes the
+    # child twice (CLAUDE.md invariant), and src may sit on an expensive
+    # upstream plan (a real tokenizer's count). The id tie-break in BOTH
+    # the range keys and the partition sort makes the concatenation order
+    # total even when order_col has duplicates (e.g. equal timestamps) —
+    # without it, duplicate-key rows land in shuffle-arrival order and the
+    # cumulative offsets (hence every fragment) differ run to run.
+    src = (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.col(order_col).alias("_ord"),
+            F.col(n_tokens_col).cast("long").alias("_ntok"),
+        )
+        .where(F.col("_ntok") > 0)
+        .persist()
+    )
     ranged = (
-        src.repartitionByRange(parts, F.col("_ord"))
-        .sortWithinPartitions("_ord")
+        src.repartitionByRange(parts, F.col("_ord"), F.col(id_col))
+        .sortWithinPartitions("_ord", id_col)
         .persist()
     )
     # two-job prefix sum (ordinals.py pattern): per-partition token totals,
@@ -143,8 +154,9 @@ def pack_sequences(
         )
     )
     frags = frags.persist()
-    frags.count()  # pin before releasing the ranged intermediate
+    frags.count()  # pin before releasing the intermediates
     ranged.unpersist()
+    src.unpersist()
     return frags
 
 

@@ -35,9 +35,24 @@ def _norm(a):
     )
 
 
+def _guarded_cos(a_col, b_col):
+    """Cosine that is NULL (not an ANSI DIVIDE_BY_ZERO crash) when either
+    vector has zero norm. Spark 4 defaults to ANSI mode, where double
+    division by zero THROWS — one zero/padding embedding anywhere in a
+    100 TB corpus must not kill the job. CASE WHEN short-circuits, so the
+    division never evaluates for the guarded rows; NULLs then fall out of
+    every ``>= threshold`` filter and ``isNotNull`` cut downstream."""
+    na, nb = _norm(a_col), _norm(b_col)
+    return F.when((na > 0) & (nb > 0), _dot(a_col, b_col) / (na * nb))
+
+
 def cosine_col(vec_col, query: list[float]):
-    q = F.lit([float(x) for x in query])
-    return _dot(vec_col, q) / (_norm(vec_col) * _norm(q))
+    q = [float(x) for x in query]
+    if sum(x * x for x in q) == 0.0:
+        raise ValueError("zero-norm query vector: cosine is undefined")
+    qv = F.lit(q)
+    n = _norm(vec_col)
+    return F.when(n > 0, _dot(vec_col, qv) / (n * _norm(qv)))
 
 
 def brute_force_topk(
@@ -51,6 +66,7 @@ def brute_force_topk(
     TakeOrdered — no full sort, no shuffle of the scan."""
     return (
         df.select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("cos_sim"))
+        .where(F.col("cos_sim").isNotNull())  # zero-norm rows can't rank
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -175,9 +191,7 @@ def embedding_near_dup_pairs(
             cand.join(a, "id_a")
             .join(b, "id_b")
         )
-    sim = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    sim = _guarded_cos(F.col("va"), F.col("vb"))
     return (
         pairs.select(
             F.col("id_a").alias("doc_a"),
@@ -300,7 +314,7 @@ def semantic_dedup(
     b = assigned.select(
         F.col(id_col).alias("id_b"), F.col("cell"), F.col(vec_col).alias("vb")
     )
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    sim = _guarded_cos(F.col("va"), F.col("vb"))
     removed = (
         a.join(b, ["cell"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -444,6 +458,9 @@ def int8_topk(
     if k <= 0 or rerank_factor < 1:
         raise ValueError("k must be positive and rerank_factor >= 1")
     qq, _ = _q8(query)
+    qnq = float(sum(v * v for v in qq)) ** 0.5
+    if qnq == 0.0:
+        raise ValueError("zero-norm query vector: cosine is undefined")
     quant = quantize_embeddings(df, id_col, vec_col)
     qlit = F.lit(qq)
     dot = F.aggregate(
@@ -458,12 +475,16 @@ def int8_topk(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v.cast("long") * v.cast("long"),
     )
-    qnq = float(sum(v * v for v in qq)) ** 0.5
     coarse = (
         quant.select(
             id_col,
-            (
-                dot.cast("double") / (F.sqrt(qn.cast("double")) * F.lit(qnq))
+            # qn > 0 guard: a zero corpus embedding quantizes to all-zero
+            # ints; under ANSI-default Spark the unguarded divide would
+            # throw DIVIDE_BY_ZERO and kill the job (the DuckDB oracle has
+            # the matching `WHERE ... > 0` predicate)
+            F.when(
+                qn > 0,
+                dot.cast("double") / (F.sqrt(qn.cast("double")) * F.lit(qnq)),
             ).alias("qcos"),
         )
         .where(F.col("qcos").isNotNull())
@@ -516,6 +537,13 @@ def hard_negatives(
     if len(rows) != len(set(anchor_ids)):
         missing = set(anchor_ids) - {r[id_col] for r in rows}
         raise ValueError(f"anchor ids not found: {sorted(missing)}")
+    zero = [
+        r[id_col]
+        for r in rows
+        if sum(float(x) * float(x) for x in r[vec_col]) == 0.0
+    ]
+    if zero:
+        raise ValueError(f"zero-norm anchor embeddings: {sorted(zero)}")
     anchors = F.array(
         *[
             F.struct(
@@ -534,16 +562,20 @@ def hard_negatives(
         F.col(label_col),
         F.explode(anchors).alias("a"),
     )
-    cos = _dot(F.col("a.avec"), F.col(vec_col)) / (
-        _norm(F.col("a.avec")) * _norm(F.col(vec_col))
-    )
-    scored = exploded.where(
-        (F.col(label_col) != F.col("a.alabel"))
-        & (F.col(id_col) != F.col("a.aid"))
-    ).select(
-        F.col("a.aid").alias("anchor_id"),
-        F.col(id_col),
-        F.round(cos, 6).alias("cos_r"),
+    cos = _guarded_cos(F.col("a.avec"), F.col(vec_col))
+    scored = (
+        exploded.where(
+            (F.col(label_col) != F.col("a.alabel"))
+            & (F.col(id_col) != F.col("a.aid"))
+        )
+        .select(
+            F.col("a.aid").alias("anchor_id"),
+            F.col(id_col),
+            F.round(cos, 6).alias("cos_r"),
+        )
+        # zero-norm corpus rows have NULL cos (undefined) — they must not
+        # occupy top-k slots (and anchors are checked non-zero above)
+        .where(F.col("cos_r").isNotNull())
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cos_r"), F.asc(id_col)

@@ -1434,3 +1434,52 @@ def test_percolate_hand_computed(spark):
     )
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_percolate_prepared_queries_and_no_cache_leak(spark):
+    from searchengine_spark.query.percolate import analyze_queries, percolate
+
+    docs = spark.createDataFrame(
+        [("d1", ["zebra", "data"]), ("d2", ["zebra"])],
+        "doc_id string, tokens array<string>",
+    )
+    queries = spark.createDataFrame(
+        [("q-zebra", "zebra"), ("q-both", "zebra data")],
+        "query_id string, query string",
+    )
+    base = [(r.doc_id, r.query_id) for r in percolate(queries, docs).collect()]
+    # the one-shot path must not persist (a per-call persist leaked one
+    # CacheManager entry per percolate() in long-running processes)
+    plan = percolate(queries, docs)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemory" not in plan
+    # prepared path: analyze once, reuse across calls — same results
+    prep = analyze_queries(queries).persist()
+    try:
+        got = [
+            (r.doc_id, r.query_id)
+            for r in percolate(None, docs, prepared_queries=prep).collect()
+        ]
+        assert got == base
+    finally:
+        prep.unpersist()
+    # vacuous validation lives in analyze_queries too
+    bad = spark.createDataFrame(
+        [("q-vac", "the of and")], "query_id string, query string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no terms"):
+        analyze_queries(bad)
+
+
+def test_facet_stats_percentile_labels_rounded(spark):
+    # int(0.29 * 100) == 28: labels must round, not truncate
+    from searchengine_spark.query.morelike import facet_stats
+
+    meta = spark.createDataFrame(
+        [("d1", "en", 10.0), ("d2", "en", 20.0), ("d3", "fr", 30.0)],
+        "doc_id string, lang string, dl double",
+    )
+    res = spark.createDataFrame([("d1",), ("d2",), ("d3",)], "doc_id string")
+    out = facet_stats(res, meta, "lang", "dl", percentiles=(0.29, 0.58))
+    assert "p29" in out.columns and "p58" in out.columns

@@ -747,6 +747,7 @@ def test_dsl_errors(spark, dsl_setup):
         {"function_score": {"query": {"match": {"query": "x"}}}},
         {"function_score": {"query": {"match": {"query": "x"}},
                             "gauss": {"origin": 0, "scale": 1}}},
+        {"boosting": {"positive": {"match": {"query": "x"}}}},  # no negative
     ]:
         with pytest.raises(DslError):
             search_dsl(idx, bad, meta=docs)
@@ -754,3 +755,61 @@ def test_dsl_errors(spark, dsl_setup):
     with pytest.raises(DslError, match="meta"):
         search_dsl(idx, {"bool": {"must": [{"match": {"query": "apple"}}],
                                   "filter": [{"term": {"lang": "en"}}]}})
+
+
+def test_pack_sequences_duplicate_order_col_is_total(spark):
+    # duplicate order_col values (equal timestamps): the id tie-break in
+    # the range keys + partition sort makes concatenation order TOTAL, so
+    # offsets are reproducible run to run (without it, same-ts rows landed
+    # in shuffle-arrival order and every downstream fragment moved)
+    from searchengine_spark.textops.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("b", 1, 3), ("a", 1, 2), ("c", 0, 2)],
+        "doc_id string, ts int, n_tokens long",
+    )
+    out = pack_sequences(df, 4, order_col="ts")
+    rows = [
+        (r.seq_id, r.doc_id, r.doc_offset, r.seq_offset, r.frag_len)
+        for r in out.orderBy("seq_id", "doc_id").collect()
+    ]
+    out.unpersist()
+    # total order: c (ts=0), then a, b (ts=1 tie -> doc_id order)
+    # intervals: c=[0,2) a=[2,4) b=[4,7); capacity 4
+    assert rows == [
+        (0, "a", 0, 2, 2),
+        (0, "c", 0, 0, 2),
+        (1, "b", 0, 0, 3),
+    ]
+
+
+def test_zero_norm_embeddings_excluded_not_crash(spark):
+    # Spark 4 defaults to ANSI mode, where double division by zero THROWS:
+    # one zero/padding embedding anywhere in the corpus must be excluded
+    # from every cosine ranking, not abort the whole job
+    from searchengine_spark.textops.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+        hard_negatives,
+        int8_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 1), (3, [0.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb = df.select("vec_id", "embedding")
+    assert [r.vec_id for r in brute_force_topk(emb, [1.0, 0.0], 3).collect()] == [1, 2]
+    assert [r.vec_id for r in int8_topk(emb, [1.0, 0.0], 3).collect()] == [1, 2]
+    assert [
+        (r.anchor_id, r.vec_id) for r in hard_negatives(df, [1], k=5).collect()
+    ] == [(1, 2)]
+    pairs = embedding_near_dup_pairs(emb, threshold=0.5, exact=True).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    # zero-norm on the QUERY side is a caller error, reported loudly
+    with pytest.raises(ValueError, match="zero-norm"):
+        brute_force_topk(emb, [0.0, 0.0], 3)
+    with pytest.raises(ValueError, match="zero-norm"):
+        int8_topk(emb, [0.0, 0.0], 3)
+    with pytest.raises(ValueError, match="zero-norm anchor"):
+        hard_negatives(df, [3], k=1)
