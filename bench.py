@@ -352,6 +352,14 @@ def main() -> None:
             idx, {"q0": "spark join hash", "q1": "merge sort"}, _re_j, 10
         ).collect()
     )
+    from searchengine_spark.query.ltr import ltr_features
+
+    extras_times["ft_ltr_features"], _ = timed(
+        lambda: ltr_features(
+            idx, {"q0": "spark join hash", "q1": "merge sort"}, k=20,
+            judgments=_re_j,
+        ).collect()
+    )
 
     # --- relational surface ---
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

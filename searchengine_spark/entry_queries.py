@@ -4363,6 +4363,83 @@ ORDER BY q.query_id
 """
 
 
+_LTR_QUERIES = {
+    # varied coverage: one 3-term, one 2-term query over the documents vocab
+    "q_sjh": "spark join hash",
+    "q_vs": "vector stream",
+}
+_LTR_K = 10
+
+
+def ft_ltr_features(spark, sf_dir):
+    """Learning-to-rank feature logging (query/ltr.py::ltr_features): per
+    (query, BM25-top-10-candidate) lexical feature vectors — BM25, cosine
+    TF-IDF, tf/idf sums, query coverage, doc length — from ONE shared
+    postings scan with sorted-term float folds. The oracle replays every
+    feature expression and the rounded-bm25 candidate cut."""
+    from .query.ltr import ltr_features
+
+    idx = _ft_index(spark, sf_dir)
+    return ltr_features(idx, _LTR_QUERIES, k=_LTR_K, id_cast="long")
+
+
+def _ft_ltr_features_sql() -> str:
+    from collections import Counter
+
+    qrows = []
+    for qid, text in sorted(_LTR_QUERIES.items()):
+        for term, qtf in sorted(Counter(punctuation_tokenize(text)).items()):
+            qrows.append(f"('{qid}', '{term}', {qtf})")
+    values = ", ".join(qrows)
+    return f"""
+WITH {TOK_CTES},
+qraw(query_id, term, qtf) AS (VALUES {values}),
+nq AS (
+  SELECT query_id, count(DISTINCT term)::DOUBLE AS n_q
+  FROM qraw GROUP BY query_id
+),
+qw AS (
+  SELECT q.query_id, q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf,
+         log10(c.n_docs::DOUBLE / s.df + 1.0) AS idf_t
+  FROM qraw q
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+feat AS (
+  SELECT qw.query_id, p.doc_id::BIGINT AS doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS bm25,
+         sum(p.tf::DOUBLE * qw.idf_t * qw.idf_t * qw.qtf) AS dot,
+         sum(p.tf::DOUBLE * qw.idf_t * p.tf::DOUBLE * qw.idf_t) AS len2,
+         sum(p.tf)::BIGINT AS tf_sum,
+         sum(qw.idf) AS idf_sum,
+         count(*)::DOUBLE AS matched,
+         max(d.dl)::BIGINT AS dl,
+         max(c.avgdl) AS avgdl
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY qw.query_id, p.doc_id
+)
+SELECT f.query_id, f.doc_id,
+       round(f.bm25, 4) AS bm25_r,
+       round(f.dot / sqrt(f.len2), 4) AS tfidf_r,
+       f.tf_sum,
+       round(f.idf_sum, 4) AS idf_sum_r,
+       round(f.matched / nq.n_q, 4) AS coverage_r,
+       f.dl,
+       round(f.dl / f.avgdl, 4) AS dl_ratio_r
+FROM feat f JOIN nq ON nq.query_id = f.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY f.query_id ORDER BY round(f.bm25, 4) DESC, f.doc_id
+) <= {_LTR_K}
+ORDER BY f.query_id, round(f.bm25, 4) DESC, f.doc_id
+"""
+
+
 _SUGGEST_PREFIX = "s"
 _SUGGEST_K = 4  # of 6 matching vocab terms — exercises the cut
 
@@ -5592,6 +5669,7 @@ QUERIES = {
     "tr_decay_top10": tr_decay_top10,
     "tr_pack_sequences": tr_pack_sequences,
     "tr_rank_eval": tr_rank_eval,
+    "ft_ltr_features": ft_ltr_features,
     "ft_suggest": ft_suggest,
     # media plumbing: oracled via a construction-derived VALUES table
     # (expected sha/bytes/decoded computed driver-side without Spark);
@@ -5715,6 +5793,7 @@ ORACLES = {
     "tr_decay_top10": _tr_decay_sql(),
     "tr_pack_sequences": _tr_pack_sequences_sql(),
     "tr_rank_eval": _tr_rank_eval_sql(),
+    "ft_ltr_features": _ft_ltr_features_sql(),
     "ft_suggest": FT_SUGGEST_SQL,
     "media_features": _media_features_sql(),
 }

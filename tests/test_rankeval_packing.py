@@ -813,3 +813,54 @@ def test_zero_norm_embeddings_excluded_not_crash(spark):
         int8_topk(emb, [0.0, 0.0], 3)
     with pytest.raises(ValueError, match="zero-norm anchor"):
         hard_negatives(df, [3], k=1)
+
+
+def test_ltr_features_hand_computed(spark):
+    # features over a 4-doc corpus, checked against the engine's own
+    # single-query rankers plus hand arithmetic
+    from searchengine_spark.index import build_index
+    from searchengine_spark.query.ltr import ltr_features
+
+    docs = spark.createDataFrame(
+        [("1", "spark join hash table"), ("2", "spark spark merge"),
+         ("3", "vector stream data"), ("4", "join hash join")],
+        "doc_id string, text string",
+    )
+    idx = build_index(spark, docs, analyzer="punctuation")
+    out = ltr_features(idx, {"qa": "spark join", "qb": "vector"}, k=3,
+                       id_cast="long")
+    rows = {(r.query_id, r.doc_id): r for r in out.collect()}
+    # bm25_r identical to the single-query ranker's rounded scores
+    ref = {r.doc_id: round(r.score, 4)
+           for r in idx.search_bm25("spark join", None).collect()}
+    for (qid, d), r in rows.items():
+        if qid == "qa":
+            assert r.bm25_r == ref[str(d)]
+    # doc 1 matches both qa terms; docs 2/4 match one of two
+    assert rows[("qa", 1)].coverage_r == 1.0
+    assert rows[("qa", 2)].coverage_r == 0.5
+    assert rows[("qa", 4)].tf_sum == 2  # 'join' twice
+    assert rows[("qa", 1)].dl == 4
+    # tfidf_r identical to the single-query TF-IDF ranker
+    tref = {r.doc_id: round(r.score, 4)
+            for r in idx.search_tfidf("spark join", None).collect()}
+    for (qid, d), r in rows.items():
+        if qid == "qa":
+            assert r.tfidf_r == tref[str(d)]
+    # judgments attach as label, unjudged candidates at 0
+    j = spark.createDataFrame([("qa", 1, 2)],
+                              "query_id string, doc_id long, grade int")
+    lab = {r.doc_id: r.label
+           for r in ltr_features(idx, {"qa": "spark join"}, k=3,
+                                 id_cast="long", judgments=j).collect()}
+    assert lab[1] == 2 and lab[2] == 0
+    # empty inputs and no-match queries degrade to empty, k honored
+    assert ltr_features(idx, {}, k=3).count() == 0
+    assert ltr_features(idx, {"qz": "zzz"}, k=3).count() == 0
+    assert ltr_features(idx, {"qa": "join"}, k=1).count() == 1
+    # plan: broadcast joins only, never a nested loop over the postings
+    plan = (
+        ltr_features(idx, {"qa": "spark join", "qb": "vector"}, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
