@@ -360,6 +360,11 @@ def main() -> None:
             judgments=_re_j,
         ).collect()
     )
+    from searchengine_spark.query.morelike import doc_vectors
+
+    extras_times["ft_doc_vectors"], _ = timed(
+        lambda: doc_vectors(idx, n_terms=5).count()
+    )
 
     # --- relational surface ---
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

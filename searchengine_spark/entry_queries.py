@@ -4440,6 +4440,48 @@ ORDER BY f.query_id, round(f.bm25, 4) DESC, f.doc_id
 """
 
 
+_DOCVEC_N = 5
+
+
+def ft_doc_vectors(spark, sf_dir):
+    """Corpus-wide sparse TF-IDF doc vectors (query/morelike.py::
+    doc_vectors): every doc's top-5 terms by tf x log10(N/df+1) — the
+    mlt_terms selection score computed for ALL docs in one postings-join
+    job instead of a driver round-trip per doc. The oracle replays the
+    weighting and the per-doc rounded-weight/term-asc window cut."""
+    from .query.morelike import doc_vectors
+
+    idx = _ft_index(spark, sf_dir)
+    out = doc_vectors(idx, n_terms=_DOCVEC_N)
+    return _as_long_doc_id(out).select(
+        "doc_id", "term", "weight_r", F.col("rank").cast("long").alias("rank")
+    ).orderBy("doc_id", "rank")
+
+
+def _ft_doc_vectors_sql() -> str:
+    return f"""
+WITH {TOK_CTES},
+scored AS (
+  SELECT p.doc_id::BIGINT AS doc_id, p.term,
+         round(p.tf::DOUBLE * log10(c.n_docs::DOUBLE / s.df + 1.0), 6)
+           AS weight_r
+  FROM postings p
+  JOIN stats s ON s.term = p.term
+  CROSS JOIN corpus c
+),
+ranked AS (
+  SELECT doc_id, term, weight_r,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY weight_r DESC, term
+         )::BIGINT AS rank
+  FROM scored
+)
+SELECT doc_id, term, weight_r, rank
+FROM ranked WHERE rank <= {_DOCVEC_N}
+ORDER BY doc_id, rank
+"""
+
+
 _SUGGEST_PREFIX = "s"
 _SUGGEST_K = 4  # of 6 matching vocab terms — exercises the cut
 
@@ -5670,6 +5712,7 @@ QUERIES = {
     "tr_pack_sequences": tr_pack_sequences,
     "tr_rank_eval": tr_rank_eval,
     "ft_ltr_features": ft_ltr_features,
+    "ft_doc_vectors": ft_doc_vectors,
     "ft_suggest": ft_suggest,
     # media plumbing: oracled via a construction-derived VALUES table
     # (expected sha/bytes/decoded computed driver-side without Spark);
@@ -5794,6 +5837,7 @@ ORACLES = {
     "tr_pack_sequences": _tr_pack_sequences_sql(),
     "tr_rank_eval": _tr_rank_eval_sql(),
     "ft_ltr_features": _ft_ltr_features_sql(),
+    "ft_doc_vectors": _ft_doc_vectors_sql(),
     "ft_suggest": FT_SUGGEST_SQL,
     "media_features": _media_features_sql(),
 }

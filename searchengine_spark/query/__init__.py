@@ -7,7 +7,8 @@ from .fuzzy import (
     search_fuzzy,
     search_prefix,
 )
-from .morelike import facet_counts, mlt_terms, more_like_this
+from .ltr import ltr_features
+from .morelike import doc_vectors, facet_counts, mlt_terms, more_like_this
 from .phrase import search_phrase
 from .snippets import search_snippets
 from .ranked import bm25_idf, search_bm25, search_tfidf, tfidf_idf
@@ -23,6 +24,8 @@ __all__ = [
     "search_bm25_corrected",
     "more_like_this",
     "mlt_terms",
+    "doc_vectors",
+    "ltr_features",
     "facet_counts",
     "search_and",
     "search_or",

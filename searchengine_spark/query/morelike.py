@@ -52,6 +52,42 @@ def mlt_terms(index, doc_id: str, n_terms: int = 10) -> list[str]:
     return [t for _, t in scored[:n_terms]]
 
 
+def doc_vectors(index, n_terms: int = 10, decimals: int = 6) -> DataFrame:
+    """Sparse TF-IDF vectors for EVERY corpus document: each doc's top
+    ``n_terms`` terms by tf × log10(N/df+1) — the same selection score as
+    :func:`mlt_terms` (rounded, term-asc tie-broken, so the cut is
+    deterministic and SQL-replayable), computed corpus-wide in ONE job
+    instead of one driver round-trip per doc. Returns
+    ``(doc_id, term, weight_r, rank)`` — the sparse-vector export a
+    clustering / topic-model / embedding-distillation pipeline consumes.
+
+    Plan: the index's postings ARE the tf table (no corpus rescan, no
+    re-analyze); one term-keyed equi-join against the term-stats frame
+    for df, one per-doc window cut. The window shuffle is keyed on doc_id
+    — evenly spread by construction, and the partitioning the downstream
+    per-doc export wants anyway."""
+    from pyspark.sql import Window
+
+    if n_terms <= 0:
+        raise ValueError(f"n_terms must be positive, got {n_terms}")
+    idf = F.log10(
+        F.lit(float(index.n_docs)) / F.col("df").cast("double") + F.lit(1.0)
+    )
+    scored = index.filter_deleted(index.postings).join(
+        index.term_stats.select("term", "df"), "term"
+    ).select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf").cast("double") * idf, decimals).alias("weight_r"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight_r"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n_terms)
+        .orderBy("doc_id", "rank")
+    )
+
+
 def more_like_this(
     index, doc_id: str, n_terms: int = 10, k: int | None = 10
 ) -> DataFrame:

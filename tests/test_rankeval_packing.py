@@ -864,3 +864,35 @@ def test_ltr_features_hand_computed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_doc_vectors_hand_computed(spark):
+    # corpus-wide sparse TF-IDF vectors agree with the per-doc mlt_terms
+    # selection (same score, same tie-break), respect n_terms and deletes
+    from searchengine_spark.index import build_index
+    from searchengine_spark.query.morelike import doc_vectors, mlt_terms
+
+    docs = spark.createDataFrame(
+        [("1", "apple banana apple"), ("2", "banana cherry"), ("3", "cherry")],
+        "doc_id string, text string",
+    )
+    idx = build_index(spark, docs, analyzer="punctuation")
+    out = doc_vectors(idx, n_terms=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.weight_r))
+    # per-doc term order matches the driver-side mlt_terms selection
+    for d in ("1", "2", "3"):
+        assert [t for _, t, _ in sorted(got[d])] == mlt_terms(idx, d, 2)
+    # doc 1: apple tf=2 beats banana tf=1 (same idf class ordering)
+    assert got["1"][0][1] == "apple"
+    import math
+    # apple: tf=2 in doc 1, df=1 across 3 docs -> 2 * log10(3/1 + 1)
+    w_apple = round(2 * math.log10(3 / 1 + 1), 6)
+    assert got["1"][0][2] == w_apple
+    with __import__("pytest").raises(ValueError, match="n_terms"):
+        doc_vectors(idx, 0)
+    # tombstoned docs drop out
+    idx.delete_documents("cherry")
+    left = {r.doc_id for r in doc_vectors(idx, 2).collect()}
+    assert left == {"1"}
