@@ -1698,6 +1698,54 @@ ORDER BY anchor_id, cos_r DESC, vec_id
 """
 
 
+_TRIPLET_K = 3
+
+
+def emb_training_triplets(spark, sf_dir):
+    """Contrastive triplet mining (textops/similarity.py::
+    training_triplets): per anchor, the hardest same-label positive
+    (lowest cosine) paired with the 3 hardest different-label negatives
+    (highest cosine) — the (anchor, pos, neg) table a triplet/InfoNCE
+    loss trains on. One anchor-literal corpus scan feeds both window
+    cuts; the oracle replays both cuts and the join."""
+    return sim.training_triplets(
+        _emb(spark, sf_dir), _HARDNEG_ANCHORS, _TRIPLET_K
+    )
+
+
+def _emb_training_triplets_sql() -> str:
+    ids = ", ".join(str(i) for i in _HARDNEG_ANCHORS)
+    cos = _COS_SQL.format(a="a.avec", b="e.embedding")
+    return f"""
+WITH a AS (
+  SELECT vec_id AS aid, embedding AS avec, label AS alabel
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+s AS (
+  SELECT a.aid, a.alabel, e.vec_id, e.label, round({cos}, 6) AS cos_r
+  FROM embeddings e CROSS JOIN a
+  WHERE e.vec_id <> a.aid
+    -- zero-norm corpus rows: cosine undefined, excluded (Spark twin
+    -- NULL-guards the divide and filters, matching this predicate)
+    AND list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
+),
+pos AS (
+  SELECT aid, vec_id AS pos_id, cos_r AS pos_cos_r
+  FROM s WHERE label = alabel
+  QUALIFY row_number() OVER (PARTITION BY aid ORDER BY cos_r ASC, vec_id) = 1
+),
+neg AS (
+  SELECT aid, vec_id AS neg_id, cos_r AS neg_cos_r
+  FROM s WHERE label <> alabel
+  QUALIFY row_number() OVER (PARTITION BY aid ORDER BY cos_r DESC, vec_id)
+          <= {_TRIPLET_K}
+)
+SELECT p.aid AS anchor_id, p.pos_id, n.neg_id, p.pos_cos_r, n.neg_cos_r
+FROM pos p JOIN neg n ON n.aid = p.aid
+ORDER BY anchor_id, neg_cos_r DESC, neg_id
+"""
+
+
 _MMR_DEPTH = 20
 _MMR_K = 5
 _MMR_LAM = 0.7
@@ -5661,6 +5709,7 @@ QUERIES = {
     "ann_cosine_top10": ann_cosine_top10,
     "ann_int8_top10": ann_int8_top10,
     "emb_hard_negatives": emb_hard_negatives,
+    "emb_training_triplets": emb_training_triplets,
     "mmr_top5": mmr_top5,
     "emb_near_dup": emb_near_dup,
     "emb_norm_by_label": emb_norm_by_label,
@@ -5789,6 +5838,7 @@ ORACLES = {
     "ann_cosine_top10": ANN_COSINE_SQL,
     "ann_int8_top10": ANN_INT8_SQL,
     "emb_hard_negatives": _emb_hard_negatives_sql(),
+    "emb_training_triplets": _emb_training_triplets_sql(),
     "mmr_top5": _mmr_sql(),
     "emb_near_dup": EMB_NEAR_DUP_SQL,
     "emb_norm_by_label": EMB_NORM_SQL,

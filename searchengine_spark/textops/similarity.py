@@ -508,25 +508,21 @@ def int8_topk(
 # --- hard-negative mining (contrastive training prep) ----------------------
 
 
-def hard_negatives(
+def _anchor_scored(
     df: DataFrame,
     anchor_ids: list,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    label_col: str = "label",
+    id_col: str,
+    vec_col: str,
+    label_col: str,
 ) -> DataFrame:
-    """Hard-negative mining for contrastive training: for each anchor,
-    the ``k`` most cosine-similar vectors with a DIFFERENT label (the
-    near-misses a contrastive loss learns most from; same-label rows and
-    the anchor itself are excluded). Returns ``(anchor_id, id, cos_r)``,
-    per-anchor rank order.
-
-    Plan: anchors are an O(|A|) driver point lookup, then a LITERAL
-    array explode over ONE corpus scan — a projection, not a join (no
-    nested-loop node; |A| x N rows flow into one per-anchor window
-    top-k). At 10^9+ anchors you'd batch anchors through the bucketed
-    LSH index instead; this is the broadcast-anchor form."""
+    """Shared anchor-vs-corpus cosine frame for the contrastive miners
+    (:func:`hard_negatives`, :func:`training_triplets`): validate anchors
+    (present, non-zero-norm), then a LITERAL array explode over ONE corpus
+    scan — a projection, not a join (no nested-loop node). Returns
+    ``(anchor_id, alabel, <id>, <label>, cos_r)`` with self rows and
+    undefined (zero-norm corpus) rows excluded. At 10^9+ anchors you'd
+    batch anchors through the bucketed LSH index instead; this is the
+    broadcast-anchor form."""
     if not anchor_ids:
         raise ValueError("need at least one anchor id")
     rows = (
@@ -554,8 +550,6 @@ def hard_negatives(
             for r in sorted(rows, key=lambda r: r[id_col])
         ]
     )
-    from pyspark.sql import Window
-
     exploded = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -563,20 +557,40 @@ def hard_negatives(
         F.explode(anchors).alias("a"),
     )
     cos = _guarded_cos(F.col("a.avec"), F.col(vec_col))
-    scored = (
-        exploded.where(
-            (F.col(label_col) != F.col("a.alabel"))
-            & (F.col(id_col) != F.col("a.aid"))
-        )
+    return (
+        exploded.where(F.col(id_col) != F.col("a.aid"))
         .select(
             F.col("a.aid").alias("anchor_id"),
+            F.col("a.alabel").alias("alabel"),
             F.col(id_col),
+            F.col(label_col),
             F.round(cos, 6).alias("cos_r"),
         )
         # zero-norm corpus rows have NULL cos (undefined) — they must not
-        # occupy top-k slots (and anchors are checked non-zero above)
+        # occupy ranking slots (anchors are checked non-zero above)
         .where(F.col("cos_r").isNotNull())
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchor_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` most cosine-similar vectors with a DIFFERENT label (the
+    near-misses a contrastive loss learns most from; same-label rows and
+    the anchor itself are excluded). Returns ``(anchor_id, id, cos_r)``,
+    per-anchor rank order. Plan: see :func:`_anchor_scored` — one corpus
+    scan, one per-anchor window top-k."""
+    from pyspark.sql import Window
+
+    scored = _anchor_scored(df, anchor_ids, id_col, vec_col, label_col).where(
+        F.col(label_col) != F.col("alabel")
+    ).select("anchor_id", id_col, "cos_r")
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cos_r"), F.asc(id_col)
     )
@@ -585,4 +599,60 @@ def hard_negatives(
         .where(F.col("_rn") <= k)
         .drop("_rn")
         .orderBy("anchor_id", F.desc("cos_r"), F.asc(id_col))
+    )
+
+
+def training_triplets(
+    df: DataFrame,
+    anchor_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Triplet mining for contrastive training (anchor, positive,
+    negative): for each anchor, the hardest POSITIVE — the same-label
+    vector with the LOWEST cosine to the anchor, i.e. the in-class example
+    the loss most needs to pull in (ties break id-asc) — paired with each
+    of the ``k`` hardest NEGATIVES (different label, highest cosine, the
+    :func:`hard_negatives` set). Returns ``(anchor_id, pos_id, neg_id,
+    pos_cos_r, neg_cos_r)`` in per-anchor negative-rank order; anchors
+    with no same-label partner or no different-label row yield no rows.
+
+    Plan: ONE :func:`_anchor_scored` corpus scan feeds both per-anchor
+    window cuts (positive argmin, negative top-k), joined on anchor_id —
+    the join sides are O(|A|) and O(|A|·k)."""
+    from pyspark.sql import Window
+
+    scored = _anchor_scored(df, anchor_ids, id_col, vec_col, label_col)
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.asc("cos_r"), F.asc(id_col)
+    )
+    pos = (
+        scored.where(F.col(label_col) == F.col("alabel"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") == 1)
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("pos_id"),
+            F.col("cos_r").alias("pos_cos_r"),
+        )
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_r"), F.asc(id_col)
+    )
+    neg = (
+        scored.where(F.col(label_col) != F.col("alabel"))
+        .withColumn("_rn", F.row_number().over(wn))
+        .where(F.col("_rn") <= k)
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("neg_id"),
+            F.col("cos_r").alias("neg_cos_r"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select("anchor_id", "pos_id", "neg_id", "pos_cos_r", "neg_cos_r")
+        .orderBy("anchor_id", F.desc("neg_cos_r"), F.asc("neg_id"))
     )

@@ -896,3 +896,33 @@ def test_doc_vectors_hand_computed(spark):
     idx.delete_documents("cherry")
     left = {r.doc_id for r in doc_vectors(idx, 2).collect()}
     assert left == {"1"}
+
+
+def test_training_triplets_hand_computed(spark):
+    from searchengine_spark.textops.similarity import training_triplets
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),    # same label, very close
+            (3, [0.0, 1.0], 0),    # same label, orthogonal -> hardest pos
+            (4, [0.95, 0.05], 1),  # diff label, closest -> hardest neg
+            (5, [-1.0, 0.0], 1),   # diff label, far
+            (6, [0.0, 0.0], 1),    # zero vector: excluded everywhere
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = [
+        (r.anchor_id, r.pos_id, r.neg_id)
+        for r in training_triplets(df, [1], k=2).collect()
+    ]
+    # pos = 3 (lowest same-label cosine); negs = 4 then 5; 6 never appears
+    assert rows == [(1, 3, 4), (1, 3, 5)]
+    # anchor with no same-label partner yields nothing
+    only = spark.createDataFrame(
+        [(7, [1.0, 0.0], 9), (8, [0.5, 0.5], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert training_triplets(only, [7], k=2).count() == 0
+    with pytest.raises(ValueError, match="not found"):
+        training_triplets(df, [99])
