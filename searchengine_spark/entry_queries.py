@@ -3491,6 +3491,9 @@ ascored AS (
            AS score
   FROM embeddings e CROSS JOIN qv
   WHERE e.vec_id <> {_ANN_QUERY_ID}
+    -- zero-norm rows can't occupy candidate slots (Spark twin NULL-guards
+    -- the ANSI divide and filters isNotNull — same predicate)
+    AND list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
 ),
 anncut AS (SELECT doc_id, score FROM ascored
            ORDER BY round(score, 4) DESC, doc_id LIMIT {_HYBRID_DEPTH}),

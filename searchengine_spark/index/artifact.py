@@ -669,6 +669,25 @@ class ArtifactIndex(Index):
             )
         return self._decode(blocks)
 
+    def all_postings(self, positional: bool = True) -> DataFrame:
+        """Full decode for corpus-wide exports. ``positional=False``
+        projects the ``pos`` parquet column out of the block scan — a
+        tf-only export (``doc_vectors``) must not decode and ship the
+        dominant position payload through the mapInPandas barrier.
+        Ordinal-space delete filtering happens here (same rule as
+        ``postings_for_terms``); the doc_id-level ``filter_deleted``
+        callers may add on top is a harmless no-op then."""
+        if positional and self.positional:
+            return self.postings
+        nopos = self.blocks.select(
+            "term", "first_ord", "docs", "tfs", "dls"
+        ).mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA)
+        return (
+            self.filter_deleted_ords(nopos)
+            .join(self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord")
+            .select("doc_id", "term", "tf", "positions", "dl")
+        )
+
     def docs_for_ordinals(self, ords) -> DataFrame:
         """Point-lookup hydration: ``(doc_ord, doc_id)`` for the given
         ordinals. The ``seg`` partition filter (segment id is ``doc_ord >>

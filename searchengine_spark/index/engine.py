@@ -258,6 +258,15 @@ class Index:
             self.postings.where(F.col("term").isin(list(terms)))
         )
 
+    def all_postings(self, positional: bool = True) -> DataFrame:
+        """The FULL postings frame (no term filter) for corpus-wide
+        exports (``doc_vectors``). ``positional=False`` tells a backend
+        the caller won't read ``positions`` — the artifact then projects
+        the dominant position bytes out of the block scan entirely; here
+        positions live inline, nothing to save. NOT delete-filtered:
+        callers compose with :meth:`filter_deleted`."""
+        return self.postings
+
     def filter_deleted(self, df: DataFrame) -> DataFrame:
         """Anti-join tombstoned docs out of any doc_id-keyed frame — the
         reference's query-time tombstone filter (``InvertedIndex.java:

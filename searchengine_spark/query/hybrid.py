@@ -122,6 +122,9 @@ def hybrid_search(
             F.col(id_col).cast(doc_id_type).alias("doc_id"),
             cosine_col(F.col(vec_col), query_vec).alias("score"),
         )
+        # zero-norm embeddings have NULL cosine (undefined): they must not
+        # occupy candidate slots and collect RRF mass on small corpora
+        .where(F.col("score").isNotNull())
         .orderBy(F.desc(F.round("score", round_to)), F.asc("doc_id"))
         .limit(depth)
     )

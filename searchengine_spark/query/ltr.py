@@ -119,6 +119,7 @@ def ltr_features(
         (tfidf * F.col("idf_t") * F.col("qtf")).alias("dp"),
         (tfidf * tfidf).alias("lp"),
         F.col("idf").alias("ip"),
+        F.col("tf").cast("long").alias("tfp"),
     )
     acc0 = F.struct(
         F.lit(0.0).alias("b"),
@@ -126,17 +127,27 @@ def ltr_features(
         F.lit(0.0).alias("l"),
         F.lit(0.0).alias("i"),
     )
+    # EVERY feature derives from the same array_distinct'ed sorted struct
+    # list: the float folds get bit-identity across partitionings, and
+    # tf_sum / matched stay consistent with them when a doc_id's postings
+    # are duplicated across artifact segments (twin rows drop ONCE for all
+    # features — summing tf outside the array would double tf_sum and push
+    # coverage above 1.0 on exactly those docs)
     agg = (
         index.postings_for_terms(sorted({t for _, t, *_ in rows}), positional=False)
         .join(F.broadcast(qdf), "term")
         .select("query_id", "doc_id", "tf", "dl", p.alias("p"))
         .groupBy("query_id", "doc_id")
         .agg(
-            # sorted-term fold: float features bit-identical across
-            # partitionings (array_distinct drops cross-segment twin
-            # partials, as in search_bm25_weighted)
+            F.array_sort(F.array_distinct(F.collect_list("p"))).alias("ps"),
+            F.max("dl").cast("long").alias("dl"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "dl",
             F.aggregate(
-                F.array_sort(F.array_distinct(F.collect_list("p"))),
+                "ps",
                 acc0,
                 lambda a, x: F.struct(
                     (a["b"] + x["bp"]).alias("b"),
@@ -145,9 +156,10 @@ def ltr_features(
                     (a["i"] + x["ip"]).alias("i"),
                 ),
             ).alias("acc"),
-            F.sum("tf").cast("long").alias("tf_sum"),
-            F.count(F.lit(1)).cast("int").alias("matched"),
-            F.max("dl").cast("long").alias("dl"),
+            F.aggregate(
+                "ps", F.lit(0).cast("long"), lambda a, x: a + x["tfp"]
+            ).alias("tf_sum"),
+            F.size("ps").alias("matched"),
         )
     )
     avgdl = float(index.avgdl) or 1.0

@@ -73,7 +73,7 @@ def doc_vectors(index, n_terms: int = 10, decimals: int = 6) -> DataFrame:
     idf = F.log10(
         F.lit(float(index.n_docs)) / F.col("df").cast("double") + F.lit(1.0)
     )
-    scored = index.filter_deleted(index.postings).join(
+    scored = index.filter_deleted(index.all_postings(positional=False)).join(
         index.term_stats.select("term", "df"), "term"
     ).select(
         "doc_id",

@@ -83,4 +83,33 @@ def start_percolate_stream(
     )
     if trigger:
         writer = writer.trigger(**trigger)
-    return writer.start()
+    query = writer.start()
+
+    # release the cached prepared-queries frame when THIS query terminates
+    # — without it every stream launch leaks one CacheManager entry (the
+    # per-stream version of the per-batch leak the prepared path fixed)
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _ReleaseOnStop(StreamingQueryListener):
+        def __init__(self, qid: str):
+            self._qid = qid
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) == self._qid:
+                try:
+                    qprep.unpersist()
+                finally:
+                    spark.streams.removeListener(listener)
+
+    listener = _ReleaseOnStop(str(query.id))
+    spark.streams.addListener(listener)
+    return query

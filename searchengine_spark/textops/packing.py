@@ -99,6 +99,11 @@ def pack_sequences(
         .agg(F.sum("_ntok").alias("n"))
         .collect()
     }
+    # the counts collect materialized ranged's cache (all partitions), so
+    # src's persist — needed only for repartitionByRange's double
+    # execution — can release NOW instead of holding a second corpus-sized
+    # copy in executor memory through the whole fragment job
+    src.unpersist()
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -154,9 +159,8 @@ def pack_sequences(
         )
     )
     frags = frags.persist()
-    frags.count()  # pin before releasing the intermediates
+    frags.count()  # pin before releasing the ranged intermediate
     ranged.unpersist()
-    src.unpersist()
     return frags
 
 

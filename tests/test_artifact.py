@@ -1080,3 +1080,27 @@ def test_describe_artifact_metadata_only(spark, corpus, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         describe_artifact(str(tmp_path / "nope"))
+
+
+def test_all_postings_nonpositional_prunes_pos_and_doc_vectors_runs(
+    spark, aidx, lidx
+):
+    """all_postings(positional=False) — the corpus-wide export hook — must
+    scan block files WITHOUT the pos column, and doc_vectors must return
+    identical rows on both backends (artifact ordinal delete-filtering and
+    logical doc_id filtering included)."""
+    from searchengine_spark.query.morelike import doc_vectors
+
+    nopos = aidx.all_postings(positional=False)
+    plan = _plan_of(nopos)
+    assert "/blocks" in plan
+    assert "pos:binary" not in plan, "position bytes leak into export scan"
+    a = sorted(
+        (r.doc_id, r.term, r.weight_r, r.rank)
+        for r in doc_vectors(aidx, n_terms=3).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.term, r.weight_r, r.rank)
+        for r in doc_vectors(lidx, n_terms=3).collect()
+    )
+    assert a == b and len(a) > 0

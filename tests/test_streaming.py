@@ -585,6 +585,28 @@ def test_streaming_percolation_matches_batch_twin(spark, corpus, tmp_path):
     )
     assert got == want and got, "stream matches must equal the batch twin"
 
+    # the prepared-queries cache is released when the query terminates
+    # (one leaked entry per stream launch otherwise). Other fixtures keep
+    # session-scoped caches, so compare the persistent-RDD count to a
+    # fresh launch+stop rather than asserting emptiness; the listener bus
+    # is async, so poll briefly
+    import time as _time
+
+    def _n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = _n_cached()
+    q2 = start_percolate_stream(
+        spark, stream, queries, out + "_r", ckpt + "_r",
+        trigger={"availableNow": True},
+    )
+    assert q2.awaitTermination(600)
+    for _ in range(20):
+        if _n_cached() <= base:
+            break
+        _time.sleep(0.5)
+    assert _n_cached() <= base, "prepared-queries cache not released on stop"
+
     # a vacuous stored query is rejected at launch, not mid-stream
     bad = spark.createDataFrame(
         [("q-bad", "the of and")], "query_id string, query string"
