@@ -100,6 +100,30 @@ def main() -> None:
     ch.add_argument("--from-snapshot", type=int, required=True)
     ch.add_argument("--to-snapshot", type=int, default=None)
 
+    dv = sub.add_parser(
+        "doc-vectors",
+        help="corpus-wide sparse TF-IDF vectors (top-n terms per doc) to parquet",
+    )
+    dv.add_argument("--index", required=True)
+    dv.add_argument("--output", required=True, help="parquet output path")
+    dv.add_argument("--n-terms", type=int, default=10)
+
+    lt = sub.add_parser(
+        "ltr-features",
+        help="per (query, BM25-top-k candidate) feature vectors to parquet",
+    )
+    lt.add_argument("--index", required=True)
+    lt.add_argument("--output", required=True, help="parquet output path")
+    lt.add_argument(
+        "--queries", required=True,
+        help='JSON object {"query_id": "query text", ...} or a path to one',
+    )
+    lt.add_argument("--k", type=int, default=20)
+    lt.add_argument(
+        "--judgments", default=None,
+        help="optional parquet of (query_id, doc_id, grade) label joins",
+    )
+
     args = ap.parse_args()
     spark = _session(f"searchengine-{args.cmd}")
 
@@ -227,6 +251,39 @@ def main() -> None:
             spark, args.index, args.from_snapshot, args.to_snapshot
         )
         print(json.dumps({"n_added": added.count()}))
+    elif args.cmd == "doc-vectors":
+        from searchengine_spark.index.artifact import load_artifact
+        from searchengine_spark.query.morelike import doc_vectors
+
+        idx = load_artifact(spark, args.index)
+        vecs = doc_vectors(idx, n_terms=args.n_terms)
+        vecs.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "rows": spark.read.parquet(args.output).count(),
+            "n_terms": args.n_terms,
+        }))
+    elif args.cmd == "ltr-features":
+        import os
+
+        from searchengine_spark.index.artifact import load_artifact
+        from searchengine_spark.query.ltr import ltr_features
+
+        spec = args.queries
+        if os.path.exists(spec):
+            with open(spec) as fh:
+                spec = fh.read()
+        queries = json.loads(spec)
+        idx = load_artifact(spark, args.index)
+        judgments = (
+            spark.read.parquet(args.judgments) if args.judgments else None
+        )
+        feats = ltr_features(idx, queries, k=args.k, judgments=judgments)
+        feats.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "rows": spark.read.parquet(args.output).count(),
+            "queries": len(queries),
+            "k": args.k,
+        }))
     spark.stop()
     sys.exit(0)
 

@@ -170,3 +170,77 @@ def test_spark_submit_lifecycle_commands(spark, tmp_path):
     submit("tag", "--index", out, "--name", "v1", "--remove")
     gone = submit("expire", "--index", out, "--keep-last", "1")
     assert gone["snapshots_removed"] == 1
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_export_commands(spark, tmp_path):
+    """doc-vectors / ltr-features through REAL spark-submit: the training
+    exports land as parquet and agree with the in-process operators."""
+    from searchengine_spark.fixtures import doc_key_col, transcripts_df
+    from searchengine_spark.index import build_index
+    from searchengine_spark.query.ltr import ltr_features
+    from searchengine_spark.query.morelike import doc_vectors
+
+    src = str(tmp_path / "transcripts")
+    out = str(tmp_path / "artifact")
+    corpus = transcripts_df(spark, "tiny")
+    corpus.select("conv_id", "turn_idx", "text").write.parquet(src)
+
+    pkg_zip = shutil.make_archive(
+        str(tmp_path / "searchengine_spark_pyfiles"), "zip", REPO,
+        "searchengine_spark",
+    )
+
+    def submit(*argv) -> dict:
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT, "--master", "local[2]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.ui.showConsoleProgress=false",
+                "--py-files", pkg_zip,
+                os.path.join(REPO, "scripts", "submit_job.py"), *argv,
+            ],
+            capture_output=True, text=True, timeout=600,
+            cwd=str(tmp_path),
+            env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return [
+            json.loads(l) for l in proc.stdout.splitlines()
+            if l.startswith("{")
+        ][-1]
+
+    submit("build", "--input", src, "--output", out)
+
+    dv_out = str(tmp_path / "doc_vectors")
+    dv = submit("doc-vectors", "--index", out, "--output", dv_out,
+                "--n-terms", "3")
+    # twin: the in-process logical index over the same corpus
+    lidx = build_index(
+        spark, corpus.withColumn("doc_id", doc_key_col()), cache=False
+    )
+    want = sorted(
+        (r.doc_id, r.term, r.weight_r, r.rank)
+        for r in doc_vectors(lidx, n_terms=3).collect()
+    )
+    got = sorted(
+        (r.doc_id, r.term, r.weight_r, r.rank)
+        for r in spark.read.parquet(dv_out).collect()
+    )
+    assert dv["rows"] == len(want) and got == want
+
+    lt_out = str(tmp_path / "ltr")
+    qjson = json.dumps({"q0": "spark shuffle error", "q1": "merge sort"})
+    lt = submit("ltr-features", "--index", out, "--output", lt_out,
+                "--queries", qjson, "--k", "5")
+    want_lt = sorted(
+        tuple(r)
+        for r in ltr_features(
+            lidx, {"q0": "spark shuffle error", "q1": "merge sort"}, k=5
+        ).collect()
+    )
+    got_lt = sorted(tuple(r) for r in spark.read.parquet(lt_out).collect())
+    assert lt["rows"] == len(want_lt) and got_lt == want_lt
