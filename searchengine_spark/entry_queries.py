@@ -3707,6 +3707,118 @@ scored AS (
 )"""
 
 
+_CONVDEDUP_EST_THRESHOLD = 0.5
+
+
+def tr_conv_dedup(spark, sf_dir):
+    """Conversation-level dedup (transcripts.conversation_dedup): the tiny
+    transcripts corpus plus deterministic re-logged clones — exact clones
+    of convs ending in 0/5, first-turn-dropped clones of convs ending in
+    3/8 — classified novel/exact_dup/near_dup with the smallest matching
+    partner. The oracle replays canon assembly (ordered string_agg),
+    sha256 identity, the frozen MinHash-LSH banding, and the 16-component
+    signature-estimated Jaccard."""
+    from .fixtures import transcripts_df
+    from .transcripts import conversation_dedup
+
+    base = transcripts_df(spark, "tiny").select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    exact_clone = base.where(
+        F.substring("conv_id", -1, 1).isin("0", "5")
+    ).withColumn("conv_id", F.concat(F.lit("dupx-"), F.col("conv_id")))
+    near_clone = (
+        base.where(F.substring("conv_id", -1, 1).isin("3", "8"))
+        .where(F.col("turn_idx") > 0)
+        .withColumn("conv_id", F.concat(F.lit("dupn-"), F.col("conv_id")))
+    )
+    corpus = base.unionByName(exact_clone).unionByName(near_clone)
+    return conversation_dedup(
+        corpus, est_threshold=_CONVDEDUP_EST_THRESHOLD
+    ).orderBy("conv_id")
+
+
+def _tr_conv_dedup_sql() -> str:
+    from .fixtures import SIZES, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["tiny"])
+    rows = []
+    for cid, ti, role, txt in zip(
+        pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
+    ):
+        esc = txt.replace("'", "''")
+        rows.append(f"('{cid}', {int(ti)}, '{role}', '{esc}')")
+        if cid[-1] in "05":
+            rows.append(f"('dupx-{cid}', {int(ti)}, '{role}', '{esc}')")
+        if cid[-1] in "38" and int(ti) > 0:
+            rows.append(f"('dupn-{cid}', {int(ti)}, '{role}', '{esc}')")
+    values = ", ".join(rows)
+    est = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(dd.N_HASHES)
+    )
+    return f"""
+WITH tturns(conv_id, turn_idx, role, text) AS (VALUES {values}),
+cconv AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS canon
+  FROM tturns GROUP BY conv_id
+),
+cshas AS (
+  SELECT conv_id, sha256(canon) AS sha,
+         min(conv_id) OVER (PARTITION BY sha256(canon)) AS exact_of
+  FROM cconv
+),
+clists AS (
+  SELECT conv_id AS doc_id,
+         list_filter(
+           string_split_regex(lower(regexp_replace(canon, '[,.;?!]', ' ', 'g')),
+                              '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> '' AND x NOT IN ({_STOP_SQL})
+         ) AS toks
+  FROM cconv
+),
+ctok AS (
+  SELECT doc_id, e['term'] AS term, e['pos'] AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(toks, (x, i) -> {{'term': x, 'pos': i - 1}})) AS e
+    FROM clists
+  )
+),
+cshing AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term) OVER w || ' ' || lead(term, 2) OVER w AS sh
+    FROM ctok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE sh IS NOT NULL
+),
+{_minhash_band_ctes("cshing")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS conv_id, b.doc_id AS partner
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND b.doc_id < a.doc_id
+),
+near AS (
+  SELECT c.conv_id, min(c.partner) AS near_of
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.conv_id
+  JOIN sig sb ON sb.doc_id = c.partner
+  WHERE ({est}) / {float(dd.N_HASHES)} >= {_CONVDEDUP_EST_THRESHOLD}
+  GROUP BY c.conv_id
+)
+SELECT s.conv_id,
+       CASE WHEN s.exact_of < s.conv_id THEN 'exact_dup'
+            WHEN n.near_of IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS status,
+       CASE WHEN s.exact_of < s.conv_id THEN s.exact_of
+            ELSE n.near_of END AS dup_of
+FROM cshas s
+LEFT JOIN near n ON n.conv_id = s.conv_id
+ORDER BY s.conv_id
+"""
+
+
 _TR_CONV_K = 10
 
 
@@ -4488,6 +4600,82 @@ QUALIFY row_number() OVER (
   PARTITION BY f.query_id ORDER BY round(f.bm25, 4) DESC, f.doc_id
 ) <= {_LTR_K}
 ORDER BY f.query_id, round(f.bm25, 4) DESC, f.doc_id
+"""
+
+
+def ft_ltr_prox(spark, sf_dir):
+    """LTR features with the candidate-restricted proximity feature
+    (query/ltr.py::_with_min_pair_dist): min token distance between
+    occurrences of two DIFFERENT query terms per candidate doc, positions
+    decoded ONLY for the top-k cut (the rescorer pattern), NULL when the
+    doc matches fewer than two distinct terms. The oracle replays the
+    candidate cut and takes the pairwise min over the tok positions."""
+    from .query.ltr import ltr_features
+
+    idx = _ft_index(spark, sf_dir)
+    return ltr_features(
+        idx, _LTR_QUERIES, k=_LTR_K, id_cast="long", proximity=True
+    ).select("query_id", "doc_id", "bm25_r", "coverage_r", "min_pair_dist")
+
+
+def _ft_ltr_prox_sql() -> str:
+    from collections import Counter
+
+    qrows = []
+    for qid, text in sorted(_LTR_QUERIES.items()):
+        for term, qtf in sorted(Counter(punctuation_tokenize(text)).items()):
+            qrows.append(f"('{qid}', '{term}', {qtf})")
+    values = ", ".join(qrows)
+    return f"""
+WITH {TOK_CTES},
+qraw(query_id, term, qtf) AS (VALUES {values}),
+nq AS (
+  SELECT query_id, count(DISTINCT term)::DOUBLE AS n_q
+  FROM qraw GROUP BY query_id
+),
+qw AS (
+  SELECT q.query_id, q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM qraw q
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+feat AS (
+  SELECT qw.query_id, p.doc_id::BIGINT AS doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS bm25,
+         count(*)::DOUBLE AS matched
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY qw.query_id, p.doc_id
+),
+cand AS (
+  SELECT f.query_id, f.doc_id,
+         round(f.bm25, 4) AS bm25_r,
+         round(f.matched / nq.n_q, 4) AS coverage_r
+  FROM feat f JOIN nq ON nq.query_id = f.query_id
+  QUALIFY row_number() OVER (
+    PARTITION BY f.query_id ORDER BY round(f.bm25, 4) DESC, f.doc_id
+  ) <= {_LTR_K}
+),
+prox AS (
+  SELECT c.query_id, c.doc_id,
+         min(t2.pos - t1.pos)::BIGINT AS min_pair_dist
+  FROM cand c
+  JOIN qraw q1 ON q1.query_id = c.query_id
+  JOIN tok t1 ON t1.doc_id::BIGINT = c.doc_id AND t1.term = q1.term
+  JOIN qraw q2 ON q2.query_id = c.query_id AND q2.term <> q1.term
+  JOIN tok t2 ON t2.doc_id::BIGINT = c.doc_id AND t2.term = q2.term
+   AND t2.pos > t1.pos
+  GROUP BY c.query_id, c.doc_id
+)
+SELECT c.query_id, c.doc_id, c.bm25_r, c.coverage_r, p.min_pair_dist
+FROM cand c LEFT JOIN prox p
+  ON p.query_id = c.query_id AND p.doc_id = c.doc_id
+ORDER BY c.query_id, c.bm25_r DESC, c.doc_id
 """
 
 
@@ -5754,6 +5942,7 @@ QUERIES = {
     "tr_conversation_pack": tr_conversation_pack,
     "tr_conv_stats": tr_conv_stats,
     "tr_conv_search": tr_conv_search,
+    "tr_conv_dedup": tr_conv_dedup,
     "tr_context": tr_context,
     "tr_tool_paths": tr_tool_paths,
     "tr_recency_top10": tr_recency_top10,
@@ -5764,6 +5953,7 @@ QUERIES = {
     "tr_pack_sequences": tr_pack_sequences,
     "tr_rank_eval": tr_rank_eval,
     "ft_ltr_features": ft_ltr_features,
+    "ft_ltr_prox": ft_ltr_prox,
     "ft_doc_vectors": ft_doc_vectors,
     "ft_suggest": ft_suggest,
     # media plumbing: oracled via a construction-derived VALUES table
@@ -5880,6 +6070,7 @@ ORACLES = {
     "tr_conversation_pack": _tr_pack_sql(),
     "tr_conv_stats": _tr_conv_stats_sql(),
     "tr_conv_search": _tr_conv_search_sql(),
+    "tr_conv_dedup": _tr_conv_dedup_sql(),
     "tr_context": _tr_context_sql(),
     "tr_tool_paths": _tr_tool_paths_sql(),
     "tr_recency_top10": _tr_recency_sql(),
@@ -5890,6 +6081,7 @@ ORACLES = {
     "tr_pack_sequences": _tr_pack_sequences_sql(),
     "tr_rank_eval": _tr_rank_eval_sql(),
     "ft_ltr_features": _ft_ltr_features_sql(),
+    "ft_ltr_prox": _ft_ltr_prox_sql(),
     "ft_doc_vectors": _ft_doc_vectors_sql(),
     "ft_suggest": FT_SUGGEST_SQL,
     "media_features": _media_features_sql(),

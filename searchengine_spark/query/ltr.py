@@ -21,6 +21,19 @@ index alone — no second corpus scan, no per-row Python:
   - ``dl``          document length in tokens
   - ``dl_ratio_r``  dl / corpus avgdl
 
+With ``proximity=True`` each row additionally carries
+
+  - ``min_pair_dist``  minimum token distance between occurrences of two
+                       DIFFERENT matched query terms in the doc (the
+                       classic LTR "min pair proximity" feature; NULL when
+                       fewer than two distinct terms matched)
+
+computed by a candidate-restricted positional decode — the rescorer
+pattern (``proximity.search_bm25_rescore_near``): positions are read only
+for the k·|Q| docs that survived the candidate cut, never the full match
+set, so the feature costs O(k·|Q|) position arrays regardless of corpus
+size.
+
 Plan shape: one broadcast (query_id, term, qtf, idf, idf_t) frame joined
 into a SINGLE ``postings_for_terms`` scan of the union vocabulary (term
 filter pushed below the decode barrier on the artifact backend), one
@@ -48,6 +61,72 @@ _FEATURE_SCHEMA = (
 )
 
 
+def _with_min_pair_dist(index, out, qdf, terms, id_cast):
+    """Append ``min_pair_dist`` to the candidate frame ``out``: the minimum
+    token distance between occurrences of two DIFFERENT query terms in the
+    doc, NULL when fewer than two distinct terms matched.
+
+    The positional decode is restricted to ``out``'s (query_id, doc_id)
+    candidates BEFORE the per-doc aggregate (broadcast semi-join below the
+    posmap shuffle — ``phrase.position_maps(allowed=...)``'s shape), so
+    out-of-window position arrays never move. The per-doc test is one JVM
+    fold over the merged position-sorted occurrence list: the closest
+    different-term pair is always ADJACENT there (any occurrence strictly
+    between a candidate pair forms a strictly closer pair with whichever
+    endpoint its term differs from), so one linear pass is exact."""
+    post = index.postings_for_terms(terms)
+    doc_dt = dict(post.dtypes)["doc_id"]
+    cand = out.select("query_id", F.col("doc_id").cast(doc_dt).alias("doc_id"))
+    # merged occurrence list (pos, term), position-sorted; array_distinct
+    # drops segment-duplicate (term, positions) twins (position_maps's
+    # transient-duplication rule) so a twin can't fake a 0-distance pair
+    occ = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.array_distinct(F.collect_list(F.struct("term", "positions"))),
+                lambda e: F.transform(
+                    e["positions"],
+                    lambda p: F.struct(
+                        p.cast("long").alias("pos"), e["term"].alias("term")
+                    ),
+                ),
+            )
+        )
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("prev_pos"),
+        F.lit(None).cast("string").alias("prev_term"),
+        F.lit(None).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        # F.least skips NULLs, so the first cross-term gap seeds `best`
+        better = F.when(
+            acc["prev_term"].isNotNull() & (acc["prev_term"] != x["term"]),
+            F.least(acc["best"], x["pos"] - acc["prev_pos"]),
+        ).otherwise(acc["best"])
+        return F.struct(
+            x["pos"].alias("prev_pos"),
+            x["term"].alias("prev_term"),
+            better.alias("best"),
+        )
+
+    prox = (
+        post.join(F.broadcast(qdf.select("query_id", "term")), "term")
+        .join(F.broadcast(cand), ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id", "doc_id")
+        .agg(F.aggregate(occ, init, step)["best"].alias("min_pair_dist"))
+        .select(
+            "query_id",
+            (
+                F.col("doc_id").cast(id_cast) if id_cast else F.col("doc_id")
+            ).alias("doc_id"),
+            "min_pair_dist",
+        )
+    )
+    return out.join(F.broadcast(prox), ["query_id", "doc_id"], "left")
+
+
 def ltr_features(
     index,
     queries: dict | list,
@@ -55,6 +134,7 @@ def ltr_features(
     decimals: int = 4,
     id_cast: str | None = None,
     judgments: DataFrame | None = None,
+    proximity: bool = False,
 ) -> DataFrame:
     """Feature vectors for the per-query BM25 top-``k`` candidates of every
     query in ``queries`` (``{query_id: text}``; a plain list is auto-keyed
@@ -66,7 +146,9 @@ def ltr_features(
     ties break in the corpus's native id order (same contract as
     ``hybrid_search``). ``judgments`` (query_id, doc_id, grade) appends a
     ``label`` column — the training target — with unjudged candidates at
-    grade 0 (the pooling convention ``rank_eval`` uses).
+    grade 0 (the pooling convention ``rank_eval`` uses). ``proximity=True``
+    appends ``min_pair_dist`` via a candidate-restricted positional decode
+    (see module docstring).
     """
     if not isinstance(queries, dict):
         queries = {f"q{i}": q for i, q in enumerate(queries)}
@@ -74,6 +156,8 @@ def ltr_features(
     schema = _FEATURE_SCHEMA
     if id_cast is not None:
         schema = schema.replace("doc_id string", f"doc_id {id_cast}")
+    if proximity:
+        schema += ", min_pair_dist long"
     if judgments is not None:
         schema += ", label long"
     if not queries or k <= 0:
@@ -192,6 +276,14 @@ def ltr_features(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+    if proximity:
+        # the cut frame feeds BOTH the output and the candidate restriction;
+        # persist so the LTR aggregate doesn't execute twice (the rescorer
+        # pattern — proximity.search_bm25_rescore_near persists its window)
+        out = out.persist()
+        out = _with_min_pair_dist(
+            index, out, qdf, sorted({t for _, t, *_ in rows}), id_cast
+        )
     if judgments is not None:
         j = judgments.select(
             F.col("query_id"),

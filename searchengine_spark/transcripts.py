@@ -338,3 +338,129 @@ def conversation_clause_search(
         c = F.col(f"hits_{i}") > 0
         keep = c if keep is None else (keep & c)
     return agg.where(keep).orderBy("conv_id")
+
+
+def conversation_dedup(
+    df: DataFrame,
+    est_threshold: float = 0.5,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level dedup for transcript logs: the same conversation
+    re-logged under a different conv_id (retries, pipeline replays, export
+    overlaps) is the transcript-corpus analogue of document duplication.
+    Returns one row per conversation::
+
+        (conv_id, status in {'exact_dup', 'near_dup', 'novel'},
+         dup_of = smallest matching partner conv_id, NULL for novel)
+
+    Exact identity is the sha256 of the canonical rendering — "role: text"
+    lines joined by newline IN TURN ORDER — so turn permutations of the
+    same multiset do NOT collide. Near-duplication (a turn dropped or
+    edited) reuses the document-dedup machinery at conversation granularity:
+    trigram shingles of the canonical text -> MinHash signatures -> banded
+    LSH candidates -> signature-estimated Jaccard >= ``est_threshold``
+    (``textops.dedup`` constants, so the DuckDB twin replays bit-for-bit).
+
+    One-pass drop rule (same as :func:`textops.dedup.incremental_dedup`):
+    a conversation is a dup if it matches any SMALLER-id conversation,
+    even one that is itself a dup — deterministic and SQL-replayable
+    without recursion; use :func:`textops.dedup.dedup_pipeline` over the
+    canonical frame when full transitive components are needed.
+
+    Scale shape: one conv_id shuffle (assembly), one sha window, one
+    MinHash groupBy, band-key equi-joins — candidate-then-verify, no
+    all-pairs stage. Hot-bucket skew (boilerplate conversations) is
+    bounded upstream by the exact stage exactly as in the document
+    pipeline.
+    """
+    from .analysis.stopwords import STOP_WORDS
+    from .textops.dedup import band_keys, estimated_jaccard, minhash_signatures
+
+    line = F.concat(F.col(role_col), F.lit(": "), F.col(text_col))
+    convs = df.groupBy(conv_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(order_col).alias("i"), line.alias("l"))
+                    )
+                ),
+                lambda e: e["l"],
+            ),
+        ).alias("canon")
+    )
+    # expression twin of punctuation_tokenize (analyzer parity, no stem)
+    stop_arr = F.lit(sorted(STOP_WORDS))
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("canon"), "[,.;?!]", " ")),
+            "[ \t\n\x0b\f\r]+",
+        ),
+        lambda x: (x != "") & ~F.array_contains(stop_arr, x),
+    )
+    # the per-conv signature frame feeds the exact window, both sides of
+    # the candidate join, and the final spine — persist so assembly and
+    # the 16-hash MinHash aggregate run once (conv-count-sized rows only)
+    sigd = convs.select(
+        F.col(conv_col),
+        F.sha2(F.col("canon"), 256).alias("conv_sha"),
+        toks.alias("tokens"),
+    ).persist()
+
+    exact = (
+        sigd.select(
+            conv_col,
+            F.min(conv_col).over(Window.partitionBy("conv_sha")).alias("__exact_of"),
+        )
+        .where(F.col("__exact_of") < F.col(conv_col))
+    )
+
+    sigs = minhash_signatures(
+        sigd.select(conv_col, "tokens"), "tokens", conv_col
+    ).persist()
+    bands = band_keys(sigs, conv_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"b.{conv_col}") < F.col(f"a.{conv_col}")),
+        )
+        .select(
+            F.col(f"a.{conv_col}").alias(conv_col),
+            F.col(f"b.{conv_col}").alias("__partner"),
+        )
+        .distinct()
+    )
+    near = (
+        cand.join(
+            sigs.select(F.col(conv_col), F.col("sig").alias("__sig_l")), conv_col
+        )
+        .join(
+            sigs.select(
+                F.col(conv_col).alias("__partner"), F.col("sig").alias("__sig_r")
+            ),
+            "__partner",
+        )
+        .where(estimated_jaccard(F.col("__sig_l"), F.col("__sig_r")) >= est_threshold)
+        .groupBy(conv_col)
+        .agg(F.min("__partner").alias("__near_of"))
+    )
+    return (
+        sigd.select(conv_col)
+        .join(exact, conv_col, "left")
+        .join(near, conv_col, "left")
+        .select(
+            conv_col,
+            F.when(F.col("__exact_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__near_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("__exact_of", "__near_of").alias("dup_of"),
+        )
+    )

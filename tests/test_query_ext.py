@@ -1483,3 +1483,40 @@ def test_facet_stats_percentile_labels_rounded(spark):
     res = spark.createDataFrame([("d1",), ("d2",), ("d3",)], "doc_id string")
     out = facet_stats(res, meta, "lang", "dl", percentiles=(0.29, 0.58))
     assert "p29" in out.columns and "p58" in out.columns
+
+
+def test_conversation_dedup_hand_checked(spark):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.transcripts import conversation_dedup
+
+    turns = []
+    base = [
+        (0, "user", "how do i merge two sorted runs in spark"),
+        (1, "assistant", "use a sort merge join over the bucketed runs"),
+        (2, "user", "what about skewed keys in the merge"),
+        (3, "assistant", "salt the hot keys before the shuffle"),
+    ]
+    for i, (ti, role, text) in enumerate(base):
+        turns.append(("c-a", ti, role, text))       # original
+        turns.append(("c-b", ti, role, text))       # exact re-log
+        if ti > 0:
+            turns.append(("c-c", ti, role, text))   # first turn dropped
+    turns.append(("c-d", 0, "user", "completely unrelated zebra pancakes"))
+    df = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r.conv_id: (r.status, r.dup_of)
+           for r in conversation_dedup(df, est_threshold=0.3).collect()}
+    assert out["c-a"] == ("novel", None)
+    assert out["c-b"] == ("exact_dup", "c-a")
+    assert out["c-c"][0] == "near_dup" and out["c-c"][1] in ("c-a", "c-b")
+    assert out["c-d"] == ("novel", None)
+    # turn ORDER matters for exact identity: permuted turns != same conv
+    perm = spark.createDataFrame(
+        [("p-a", 0, "u", "alpha beta"), ("p-a", 1, "u", "gamma delta"),
+         ("p-b", 0, "u", "gamma delta"), ("p-b", 1, "u", "alpha beta")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    pout = {r.conv_id: r.status for r in conversation_dedup(perm).collect()}
+    assert pout == {"p-a": "novel", "p-b": "novel"}

@@ -858,12 +858,36 @@ def test_ltr_features_hand_computed(spark):
     assert ltr_features(idx, {}, k=3).count() == 0
     assert ltr_features(idx, {"qz": "zzz"}, k=3).count() == 0
     assert ltr_features(idx, {"qa": "join"}, k=1).count() == 1
+    # proximity feature: min distance between DIFFERENT-term occurrences,
+    # NULL when < 2 distinct terms matched; other columns unchanged
+    prox = {(r.query_id, r.doc_id): r for r in ltr_features(
+        idx, {"qa": "spark join hash", "qb": "vector"}, k=3,
+        id_cast="long", proximity=True).collect()}
+    assert prox[("qa", 1)].min_pair_dist == 1   # spark@0 join@1 hash@2
+    assert prox[("qa", 4)].min_pair_dist == 1   # join@0 hash@1 join@2
+    assert prox[("qa", 2)].min_pair_dist is None  # only 'spark' matched
+    assert prox[("qb", 3)].min_pair_dist is None  # single-term query
+    # non-adjacent closest pair: 'spark ... hash' via doc 1 terms spark/hash
+    sh = {(r.query_id, r.doc_id): r.min_pair_dist for r in ltr_features(
+        idx, {"qs": "spark hash"}, k=3, id_cast="long",
+        proximity=True).collect()}
+    assert sh[("qs", 1)] == 2                   # spark@0 .. hash@2
     # plan: broadcast joins only, never a nested loop over the postings
     plan = (
         ltr_features(idx, {"qa": "spark join", "qb": "vector"}, k=3)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+    # proximity variant: still no cartesian, and the candidate restriction
+    # reaches the positional branch as a broadcast semi-join (positions of
+    # non-candidate docs never shuffle — the rescorer invariant)
+    pplan = (
+        ltr_features(idx, {"qa": "spark join", "qb": "vector"}, k=3,
+                     proximity=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in pplan
+    assert "LeftSemi, BuildRight" in pplan
 
 
 def test_doc_vectors_hand_computed(spark):
