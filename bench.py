@@ -360,6 +360,12 @@ def main() -> None:
             judgments=_re_j,
         ).collect()
     )
+    extras_times["ft_ltr_prox"], _ = timed(
+        lambda: ltr_features(
+            idx, {"q0": "spark join hash", "q1": "merge sort"}, k=20,
+            proximity=True,
+        ).collect()
+    )
     from searchengine_spark.query.morelike import doc_vectors
 
     extras_times["ft_doc_vectors"], _ = timed(
@@ -426,6 +432,16 @@ def main() -> None:
         return n
 
     extras_times["tr_pack_sequences"], _ = timed(_pack)
+
+    # conversation-level dedup over the full bench transcripts corpus
+    # (assembly + MinHash banding IS the operator — no index reuse)
+    from searchengine_spark.transcripts import conversation_dedup
+
+    extras_times["tr_conv_dedup"], _ = timed(
+        lambda: conversation_dedup(
+            tr.select("conv_id", "turn_idx", "role", "text")
+        ).count()
+    )
 
     idx.postings.unpersist()
     idx.term_stats.unpersist()

@@ -123,6 +123,19 @@ def main() -> None:
         "--judgments", default=None,
         help="optional parquet of (query_id, doc_id, grade) label joins",
     )
+    lt.add_argument(
+        "--proximity", action="store_true",
+        help="append min_pair_dist via candidate-restricted positional decode",
+    )
+
+    cd = sub.add_parser(
+        "conv-dedup",
+        help="conversation-level dedup report (novel/exact_dup/near_dup) to parquet",
+    )
+    cd.add_argument("--input", required=True, help="transcripts parquet/table path")
+    cd.add_argument("--output", required=True, help="parquet output path")
+    cd.add_argument("--est-threshold", type=float, default=0.5,
+                    help="signature-estimated Jaccard cut for near-dups")
 
     args = ap.parse_args()
     spark = _session(f"searchengine-{args.cmd}")
@@ -277,12 +290,31 @@ def main() -> None:
         judgments = (
             spark.read.parquet(args.judgments) if args.judgments else None
         )
-        feats = ltr_features(idx, queries, k=args.k, judgments=judgments)
+        feats = ltr_features(
+            idx, queries, k=args.k, judgments=judgments,
+            proximity=args.proximity,
+        )
         feats.write.mode("overwrite").parquet(args.output)
         print(json.dumps({
             "rows": spark.read.parquet(args.output).count(),
             "queries": len(queries),
             "k": args.k,
+        }))
+    elif args.cmd == "conv-dedup":
+        from searchengine_spark.transcripts import conversation_dedup
+
+        tr = spark.read.parquet(args.input)
+        out = conversation_dedup(tr, est_threshold=args.est_threshold)
+        out.write.mode("overwrite").parquet(args.output)
+        persisted = spark.read.parquet(args.output)
+        counts = {
+            r["status"]: r["count"]
+            for r in persisted.groupBy("status").count().collect()
+        }
+        print(json.dumps({
+            "convs": persisted.count(),
+            "by_status": counts,
+            "est_threshold": args.est_threshold,
         }))
     spark.stop()
     sys.exit(0)

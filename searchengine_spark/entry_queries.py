@@ -38,6 +38,7 @@ from .textops import dedup as dd
 from .textops import bpe
 from .textops import chunking as chk
 from .textops import lm
+from .textops import markup as mk
 from .textops import pii
 from .textops import quality as q
 from .textops import sampling as smp
@@ -1142,6 +1143,80 @@ SELECT doc_id,
             ELSE 'latin' END AS script_guess
 FROM documents
 """
+
+
+_MARKUP_PRE = (
+    '<html><head><STYLE type="text/css">p{color:red}</STYLE>'
+    '<script src="a.js">var x = 1 < 2;</script></head><body><p class="main">'
+)
+_MARKUP_POST = " 1 &lt; 2 &amp;amp; x&nbsp;&#39;y&#39; a < b </body></html>"
+_MARKUP_COMMENT = "<!-- hidden\ncomment -->"
+
+
+def markup_strip_q(spark, sf_dir):
+    """HTML/markup stripping (textops/markup.py::markup_summary) over
+    documents wrapped in deterministic markup — script/style blocks with
+    tag-like content, an every-third-doc multi-line comment, uppercase
+    tags, escaped entities (incl. a double-escaped ``&amp;amp;``), and a
+    bare ``a < b`` that must survive. The synthetic corpus has no natural
+    markup, so both sides plant the same wrapper; the cleaned text is
+    hash-compared byte-for-byte (as md5) across engines."""
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit(_MARKUP_PRE),
+            F.col("text"),
+            F.lit("</p><BR/>"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_MARKUP_COMMENT)).otherwise(
+                F.lit("")
+            ),
+            F.lit(_MARKUP_POST),
+        ).alias("text"),
+    )
+    return mk.markup_summary(planted)
+
+
+def _markup_strip_sql() -> str:
+    """DuckDB twin of markup.markup_summary over the same planted wrapper,
+    generated from the SAME markup.MARKUP_STEPS / ENTITY_STEPS tuples the
+    Spark operator cleans with (Java-regex ∩ RE2 subset — markup.py
+    docstring)."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    steps = [
+        f"""m0 AS (
+  SELECT doc_id,
+         {lit(_MARKUP_PRE)} || text || '</p><BR/>'
+           || CASE WHEN doc_id % 3 = 0 THEN {lit(_MARKUP_COMMENT)}
+              ELSE '' END
+           || {lit(_MARKUP_POST)} AS t
+  FROM documents
+)"""
+    ]
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(mk.MARKUP_STEPS):
+        prev = carried and (", ".join(carried) + ",") or ""
+        steps.append(
+            f"""m{i + 1} AS (
+  SELECT doc_id, {prev}
+         len(regexp_extract_all(t, {lit(pat)}))::BIGINT AS n_{name},
+         regexp_replace(t, {lit(pat)}, {lit(repl)}, 'g') AS t
+  FROM m{i}
+)"""
+        )
+        carried.append(f"n_{name}")
+    ent = "t"
+    for e, r in mk.ENTITY_STEPS:
+        ent = f"replace({ent}, {lit(e)}, {lit(r)})"
+    final = f"trim(regexp_replace({ent}, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"\nSELECT doc_id, {', '.join(carried)}, md5({final}) AS clean_md5"
+        + f" FROM m{len(mk.MARKUP_STEPS)}"
+    )
 
 
 def pii_scrub_q(spark, sf_dir):
@@ -5891,6 +5966,7 @@ QUERIES = {
     "token_counts": token_counts_q,
     "lang_script": lang_script_q,
     "pii_scrub": pii_scrub_q,
+    "markup_strip": markup_strip_q,
     "training_mix": training_mix_q,
     "temperature_mix": temperature_mix_q,
     "lm_perplexity": lm_perplexity_q,
@@ -6022,6 +6098,7 @@ ORACLES = {
     "token_counts": TOKEN_COUNTS_SQL,
     "lang_script": LANG_SCRIPT_SQL,
     "pii_scrub": _pii_sql(),
+    "markup_strip": _markup_strip_sql(),
     "training_mix": _training_mix_sql(),
     "temperature_mix": _temperature_mix_sql(),
     "lm_perplexity": _lm_perplexity_sql(),

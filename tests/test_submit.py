@@ -244,3 +244,40 @@ def test_spark_submit_export_commands(spark, tmp_path):
     )
     got_lt = sorted(tuple(r) for r in spark.read.parquet(lt_out).collect())
     assert lt["rows"] == len(want_lt) and got_lt == want_lt
+
+    # proximity flag: the exported feature table carries min_pair_dist and
+    # agrees with the in-process operator
+    ltp_out = str(tmp_path / "ltr_prox")
+    ltp = submit("ltr-features", "--index", out, "--output", ltp_out,
+                 "--queries", qjson, "--k", "5", "--proximity")
+    want_ltp = sorted(
+        tuple(r)
+        for r in ltr_features(
+            lidx, {"q0": "spark shuffle error", "q1": "merge sort"}, k=5,
+            proximity=True,
+        ).collect()
+    )
+    got_ltp_df = spark.read.parquet(ltp_out)
+    assert "min_pair_dist" in got_ltp_df.columns
+    got_ltp = sorted(tuple(r) for r in got_ltp_df.collect())
+    assert ltp["rows"] == len(want_ltp) and got_ltp == want_ltp
+
+    # conv-dedup: exact re-logs classified through the CLI surface
+    from pyspark.sql import functions as F
+
+    cd_src = str(tmp_path / "transcripts_dup")
+    base4 = corpus.select("conv_id", "turn_idx", "role", "text")
+    base4.unionByName(
+        base4.where(F.substring("conv_id", -1, 1) == "1").withColumn(
+            "conv_id", F.concat(F.lit("re-"), F.col("conv_id"))
+        )
+    ).write.parquet(cd_src)
+    cd_out = str(tmp_path / "conv_dedup")
+    cd = submit("conv-dedup", "--input", cd_src, "--output", cd_out)
+    assert cd["by_status"].get("exact_dup", 0) == 2  # conv ids ending in 1
+    assert cd["convs"] == 22
+    got_cd = {
+        r.conv_id: (r.status, r.dup_of)
+        for r in spark.read.parquet(cd_out).collect()
+    }
+    assert got_cd["re-conv-00000001"] == ("exact_dup", "conv-00000001")

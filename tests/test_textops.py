@@ -1077,3 +1077,33 @@ def test_suggest_next_terms_hand_computed(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         suggest_next_terms(model, "merge", k=0)
+
+
+def test_strip_markup_hand_checked(spark):
+    from searchengine_spark.textops.markup import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            # script/style CONTENT vanishes (incl. tag-like text inside),
+            # uppercase tags drop, whitespace collapses
+            ("1", '<HTML><script a=b>if (1 < 2) alert("<p>")</script>'
+                  "<style>p{}</style><P>hello   world</P></HTML>"),
+            # entities unescape AFTER tag removal; &amp; last so the
+            # double-escaped &amp;lt; yields a literal '&lt;', never '<'
+            ("2", "<b>1 &lt; 2</b> &amp;amp; x&nbsp;&#39;y&#39; &amp;lt;"),
+            # bare comparisons survive: '<' not followed by a tag name
+            ("3", "a < b and x <= y"),
+            # multi-line comment removed even with tags inside
+            ("4", "keep <!-- drop\n<p>me</p>\n--> this"),
+            ("5", None),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in strip_markup(df).collect()}
+    assert out["1"].clean == "hello world"
+    assert out["1"].n_script == 1 and out["1"].n_style == 1
+    assert out["1"].n_tag == 4  # <HTML> <P> </P> </HTML>
+    assert out["2"].clean == "1 < 2 &amp; x 'y' &lt;"
+    assert out["3"].clean == "a < b and x <= y" and out["3"].n_tag == 0
+    assert out["4"].clean == "keep this" and out["4"].n_comment == 1
+    assert out["5"].clean is None
