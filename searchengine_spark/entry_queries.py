@@ -1521,6 +1521,63 @@ FROM starts
 """
 
 
+_SENT_BUDGET = 24
+
+
+def sent_chunks_q(spark, sf_dir):
+    """Sentence-aware chunking over documents (textops/chunking.py::
+    sentence_chunks): sentences never split, consecutive sentences packed
+    to ~24 whitespace tokens by the prefix-sum rule (chunk = floor
+    (tokens_before / budget), exact integer DIV). The oracle replays the
+    sentence regex, edge-trim, token counts, running sum, and ordered
+    reassembly."""
+    return chk.sentence_chunks(_docs(spark, sf_dir), _SENT_BUDGET).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _sent_chunks_sql() -> str:
+    ws = "[ \\t\\n\\x0b\\f\\r]+"
+    edge = "^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$"
+    return f"""
+WITH sraw AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(text, '{chk.SENTENCE_RE}'),
+             s -> regexp_replace(s, '{edge}', '', 'g')
+           ),
+           s -> s <> ''
+         ) AS sents
+  FROM documents
+),
+persent AS (
+  SELECT doc_id, e['i'] - 1 AS sent_idx, e['s'] AS sentence,
+         len(list_filter(string_split_regex(e['s'], '{ws}'),
+                         x -> x <> ''))::BIGINT AS nt
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(sents, (s, i) -> {{'s': s, 'i': i}})) AS e
+    FROM sraw
+  )
+),
+assigned AS (
+  SELECT doc_id, sent_idx, sentence, nt,
+         coalesce(sum(nt) OVER (
+           PARTITION BY doc_id ORDER BY sent_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {_SENT_BUDGET} AS chunk_idx
+  FROM persent
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, count(*)::BIGINT AS n_sents,
+       sum(nt)::BIGINT AS n_tokens,
+       string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk
+FROM assigned
+GROUP BY doc_id, chunk_idx
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def lm_perplexity_q(spark, sf_dir):
     """Self-trained bigram LM perplexity over documents (CCNet-style
     quality signal). The DuckDB twin replays training (pair counts,
@@ -5971,6 +6028,7 @@ QUERIES = {
     "temperature_mix": temperature_mix_q,
     "lm_perplexity": lm_perplexity_q,
     "doc_chunks": doc_chunks_q,
+    "sent_chunks": sent_chunks_q,
     "bpe_merges": bpe_merges_q,
     "bpe_counts": bpe_counts_q,
     "ann_cosine_top10": ann_cosine_top10,
@@ -6103,6 +6161,7 @@ ORACLES = {
     "temperature_mix": _temperature_mix_sql(),
     "lm_perplexity": _lm_perplexity_sql(),
     "doc_chunks": _doc_chunks_sql(),
+    "sent_chunks": _sent_chunks_sql(),
     "bpe_merges": _bpe_merges_sql(),
     "bpe_counts": _bpe_counts_sql(),
     "ann_cosine_top10": ANN_COSINE_SQL,

@@ -1107,3 +1107,34 @@ def test_strip_markup_hand_checked(spark):
     assert out["3"].clean == "a < b and x <= y" and out["3"].n_tag == 0
     assert out["4"].clean == "keep this" and out["4"].n_comment == 1
     assert out["5"].clean is None
+
+
+def test_sentence_chunks_hand_checked(spark):
+    from searchengine_spark.textops.chunking import sentence_chunks
+
+    df = spark.createDataFrame(
+        [
+            # 3 sentences of 4/4/3 tokens; budget 8 -> prefix-sum rule puts
+            # s0 (tb=0) and s1 (tb=4) in chunk 0, s2 (tb=8) in chunk 1
+            ("1", "one two three four. five six seven eight! nine ten eleven?"),
+            # a single long sentence never splits, whatever the budget
+            ("2", "a b c d e f g h i j k l."),
+            # terminator runs and edge whitespace: "Wait..." is one sentence
+            ("3", "  Wait... what?  "),
+            ("4", ""),
+            ("5", None),
+        ],
+        "doc_id string, text string",
+    )
+    rows = sentence_chunks(df, budget=8).collect()
+    got = {(r.doc_id, r.chunk_idx): r for r in rows}
+    assert got[("1", 0)].chunk == "one two three four. five six seven eight!"
+    assert got[("1", 0)].n_sents == 2 and got[("1", 0)].n_tokens == 8
+    assert got[("1", 1)].chunk == "nine ten eleven?"
+    assert got[("2", 0)].n_sents == 1 and got[("2", 0)].n_tokens == 12
+    assert got[("3", 0)].chunk == "Wait... what?"
+    assert got[("3", 0)].n_sents == 2
+    # empty/null docs yield no chunks
+    assert {r.doc_id for r in rows} == {"1", "2", "3"}
+    with pytest.raises(ValueError, match="budget"):
+        sentence_chunks(df, budget=0)
