@@ -41,6 +41,7 @@ from .textops import lm
 from .textops import markup as mk
 from .textops import pii
 from .textops import quality as q
+from .textops import dsir
 from .textops import sampling as smp
 from .textops import similarity as sim
 
@@ -5962,6 +5963,100 @@ ORDER BY trend_r DESC, term LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR data selection (textops/dsir.py)
+# ---------------------------------------------------------------------------
+
+# Deterministic raw/target split of the documents table: every 5th doc_id is
+# the "target" corpus whose hashed-gram distribution raw docs are scored
+# against. Integer micro-nat scores make the top-k cut cross-engine exact.
+_DSIR_K = 50
+
+
+def _dsir_split(spark, sf_dir):
+    docs = _docs_tokens(spark, sf_dir)
+    return (
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+def dsir_weights_q(spark, sf_dir):
+    """Per-raw-doc DSIR importance weights (hashed unigram+bigram
+    multinomials, integer micro-nat log-ratio scores). Docs whose analyzed
+    token stream is empty emit no grams and are absent (documented
+    contract of dsir.hashed_gram_features, matched by the oracle)."""
+    raw, tgt = _dsir_split(spark, sf_dir)
+    return dsir.dsir_weights(raw, tgt).orderBy("doc_id")
+
+
+def dsir_select_top50(spark, sf_dir):
+    """The 50 most target-like raw docs (logw_micro DESC, doc_id ASC)."""
+    raw, tgt = _dsir_split(spark, sf_dir)
+    return dsir.dsir_select(raw, tgt, _DSIR_K)
+
+
+def _dsir_ctes() -> str:
+    """Shared DuckDB twin of the DSIR scoring pipeline: same md5-prefix
+    bucketing, same add-1 smoothing, same once-rounded micro-nat weights
+    (round-half-away-from-zero in both engines)."""
+    nb = dsir.N_BUCKETS
+    sm = repr(dsir.DSIR_SMOOTH)
+    return f"""{TOK_CTES},
+grams AS (
+  SELECT doc_id, unnest(
+    toks || list_filter(
+      list_transform(toks,
+        (x, i) -> CASE WHEN i < len(toks) THEN x || ' ' || toks[i + 1] END),
+      g -> g IS NOT NULL)
+  ) AS gram
+  FROM lists
+),
+feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 12))::BIGINT % {nb} AS bucket,
+         count(*)::BIGINT AS n
+  FROM grams WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+),
+pc AS (
+  SELECT ('0x' || substr(md5(gram), 1, 12))::BIGINT % {nb} AS bucket,
+         count(*)::BIGINT AS c
+  FROM grams WHERE doc_id % 5 = 0 GROUP BY 1
+),
+qc AS (SELECT bucket, sum(n)::BIGINT AS c FROM feat GROUP BY 1),
+tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM qc)::DOUBLE + {sm} * {nb} AS q_denom,
+         (SELECT coalesce(sum(c), 0) FROM pc)::DOUBLE + {sm} * {nb} AS p_denom
+),
+wtab AS (
+  SELECT qc.bucket,
+         round((ln((coalesce(pc.c, 0) + {sm}) / t.p_denom)
+              - ln((qc.c + {sm}) / t.q_denom)) * 1000000.0)::BIGINT AS wm
+  FROM qc LEFT JOIN pc USING (bucket) CROSS JOIN tot t
+),
+dsir_scores AS (
+  SELECT f.doc_id, sum(f.n)::BIGINT AS n_grams,
+         sum(f.n * w.wm)::BIGINT AS logw_micro
+  FROM feat f JOIN wtab w USING (bucket)
+  GROUP BY 1
+)"""
+
+
+def _dsir_weights_sql() -> str:
+    return f"""
+WITH {_dsir_ctes()}
+SELECT doc_id, n_grams, logw_micro FROM dsir_scores ORDER BY doc_id
+"""
+
+
+def _dsir_select_sql() -> str:
+    return f"""
+WITH {_dsir_ctes()}
+SELECT doc_id, n_grams, logw_micro FROM dsir_scores
+ORDER BY logw_micro DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
 QUERIES = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
@@ -6053,6 +6148,8 @@ QUERIES = {
     "semantic_dedup": semantic_dedup_q,
     "lang_id": lang_id_q,
     "simhash_pairs": simhash_pairs_q,
+    "dsir_weights": dsir_weights_q,
+    "dsir_select_top50": dsir_select_top50,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
     # each entry's docstring for the independence argument):
     "ann_ivf_top10": ann_ivf_top10,
@@ -6188,6 +6285,8 @@ ORACLES = {
     "semantic_dedup": _semantic_dedup_sql(),
     "lang_id": _lang_id_sql(),
     "simhash_pairs": _simhash_sql(),
+    "dsir_weights": _dsir_weights_sql(),
+    "dsir_select_top50": _dsir_select_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true
     # top-10 at the graded scales, so the exact brute-force SQL is the
     # oracle — any recall regression becomes a driver-visible hash mismatch

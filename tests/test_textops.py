@@ -1138,3 +1138,65 @@ def test_sentence_chunks_hand_checked(spark):
     assert {r.doc_id for r in rows} == {"1", "2", "3"}
     with pytest.raises(ValueError, match="budget"):
         sentence_chunks(df, budget=0)
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (textops/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_corpora(spark):
+    """Raw/target token frames with overlapping but shifted vocabularies:
+    raw docs r0/r1 lean target-like, r2/r3 lean off-distribution, r4 is
+    empty (must be absent from every output)."""
+    raw = {
+        "r0": "alpha beta gamma alpha beta".split(),
+        "r1": "alpha beta delta gamma".split(),
+        "r2": "zig zag zig zag zig".split(),
+        "r3": "quux corge grault".split(),
+        "r4": [],
+    }
+    tgt = {
+        "t0": "alpha beta gamma".split(),
+        "t1": "beta gamma alpha alpha".split(),
+        "t2": "delta alpha beta".split(),
+    }
+    mk = lambda d: spark.createDataFrame(
+        list(d.items()), "doc_id string, tokens array<string>"
+    )
+    return raw, tgt, mk(raw), mk(tgt)
+
+
+def test_dsir_weights_matches_python_twin(spark, dsir_corpora):
+    from searchengine_spark.textops import dsir
+
+    raw, tgt, raw_df, tgt_df = dsir_corpora
+    got = {
+        r.doc_id: (r.n_grams, r.logw_micro)
+        for r in dsir.dsir_weights(raw_df, tgt_df).collect()
+    }
+    want = dsir.py_dsir_weights(raw, tgt)
+    assert got == want
+    assert "r4" not in got  # empty token stream -> no grams -> absent
+    # target-like docs must outscore off-distribution ones
+    assert min(got["r0"][1], got["r1"][1]) > max(got["r2"][1], got["r3"][1])
+
+
+def test_dsir_select_cut_and_determinism(spark, dsir_corpora):
+    from searchengine_spark.textops import dsir
+
+    raw, tgt, raw_df, tgt_df = dsir_corpora
+    top2 = [r.doc_id for r in dsir.dsir_select(raw_df, tgt_df, 2).collect()]
+    assert sorted(top2) == ["r0", "r1"]
+    # k beyond corpus size returns everything scored, k=0 nothing
+    assert dsir.dsir_select(raw_df, tgt_df, 99).count() == 4
+    assert dsir.dsir_select(raw_df, tgt_df, 0).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        dsir.dsir_select(raw_df, tgt_df, -1)
+    # the weight table joins broadcast (B rows, never a shuffle side) and
+    # the selection compiles to TakeOrdered, not a full sort
+    plan = dsir.dsir_select(raw_df, tgt_df, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    wplan = dsir.dsir_weights(raw_df, tgt_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in wplan
