@@ -6057,6 +6057,117 @@ ORDER BY logw_micro DESC, doc_id LIMIT {_DSIR_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV cardinality sketch (textops/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def card_sketch_shingles(spark, sf_dir):
+    """Per-language distinct-3-gram-shingle cardinality via the KMV
+    bottom-k sketch (k=256; deterministic md5-prefix hashing, so the
+    oracle replays the whole sketch — see sketches.py). Every lang group
+    here has thousands of distinct shingles, so the ESTIMATOR branch is
+    what's graded; the exact below-k branch is pinned by unit tests."""
+    from .textops import sketches as sk
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", _tok_col(F.col("text")).alias("tokens")
+    )
+    sh = docs.select(
+        "lang", F.explode(dd.word_shingles(F.col("tokens"))).alias("sh")
+    )
+    res = sk.kmv_distinct(sh, "sh", group_cols=["lang"])
+    return res.select(
+        "lang", "n_kept", F.round("est", 4).alias("est_r")
+    ).orderBy("lang")
+
+
+def _card_sketch_sql() -> str:
+    from .textops import sketches as sk
+
+    k = sk.KMV_K
+    num = repr(float((k - 1) * (1 << 48)))
+    return f"""
+WITH {TOK_CTES}, {SHING_CTE},
+hs AS (
+  SELECT DISTINCT d.lang, ('0x' || substr(md5(s.sh), 1, 12))::BIGINT AS h
+  FROM shing s JOIN documents d USING (doc_id)
+),
+kept AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM hs
+),
+agg AS (
+  SELECT lang, count(*)::BIGINT AS n_kept, max(h) AS hk
+  FROM kept WHERE rn <= {k} GROUP BY 1
+)
+SELECT lang, n_kept,
+       round(CASE WHEN n_kept < {k} OR hk <= 0 THEN n_kept::DOUBLE
+                  ELSE {num} / hk::DOUBLE END, 4) AS est_r
+FROM agg ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (graph/triangles.py)
+# ---------------------------------------------------------------------------
+
+
+def graph_triangles_q(spark, sf_dir):
+    """Per-node triangle counts over the fixture link graph (same edge
+    source as pagerank/hits/components), degree-oriented wedge join —
+    the O(m^1.5)-bounded distributed algorithm, not a neighbor self-join."""
+    from .fixtures import graph_edges_df
+    from .graph.triangles import node_triangle_counts
+
+    return node_triangle_counts(graph_edges_df(spark, n_nodes=200)).orderBy(
+        "node"
+    )
+
+
+def _graph_triangles_sql() -> str:
+    from .fixtures import graph_edges_pandas
+
+    pdf = graph_edges_pandas(n_nodes=200)
+    vals = ", ".join(
+        f"({int(s)},{int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    return f"""
+WITH edges(src, dst) AS (VALUES {vals}),
+can AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT a AS node FROM can UNION ALL SELECT b FROM can)
+  GROUP BY 1
+),
+ork AS (SELECT node, deg * 4294967296 + node AS ordk FROM deg),
+o AS (
+  SELECT CASE WHEN oa.ordk < ob.ordk THEN c.a ELSE c.b END AS lo,
+         CASE WHEN oa.ordk < ob.ordk THEN c.b ELSE c.a END AS hi,
+         CASE WHEN oa.ordk < ob.ordk THEN ob.ordk ELSE oa.ordk END AS ord_hi
+  FROM can c JOIN ork oa ON oa.node = c.a JOIN ork ob ON ob.node = c.b
+),
+tri AS (
+  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+  FROM o e1
+  JOIN o e2 ON e1.lo = e2.lo AND e1.ord_hi < e2.ord_hi
+  JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+),
+cnt AS (SELECT node, count(*)::BIGINT AS n_tri FROM corners GROUP BY 1),
+nodes AS (SELECT a AS node FROM can UNION SELECT b FROM can)
+SELECT n.node::BIGINT AS node, coalesce(c.n_tri, 0)::BIGINT AS n_tri
+FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY n.node
+"""
+
+
 QUERIES = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
@@ -6150,6 +6261,8 @@ QUERIES = {
     "simhash_pairs": simhash_pairs_q,
     "dsir_weights": dsir_weights_q,
     "dsir_select_top50": dsir_select_top50,
+    "card_sketch_shingles": card_sketch_shingles,
+    "graph_triangles": graph_triangles_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
     # each entry's docstring for the independence argument):
     "ann_ivf_top10": ann_ivf_top10,
@@ -6287,6 +6400,8 @@ ORACLES = {
     "simhash_pairs": _simhash_sql(),
     "dsir_weights": _dsir_weights_sql(),
     "dsir_select_top50": _dsir_select_sql(),
+    "card_sketch_shingles": _card_sketch_sql(),
+    "graph_triangles": _graph_triangles_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true
     # top-10 at the graded scales, so the exact brute-force SQL is the
     # oracle — any recall regression becomes a driver-visible hash mismatch

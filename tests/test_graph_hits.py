@@ -86,3 +86,56 @@ def test_hits_empty_graph(spark):
         (1, 0.0, 0.0),
         (2, 0.0, 0.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (graph/triangles.py)
+# ---------------------------------------------------------------------------
+
+
+def _tri_counts(spark, edges):
+    from searchengine_spark.graph.triangles import node_triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.n_tri for r in node_triangle_counts(df).collect()}
+
+
+def test_triangles_hand_graphs(spark):
+    from searchengine_spark.graph.triangles import triangle_count
+
+    # K3: one triangle, every node in it
+    assert _tri_counts(spark, [(1, 2), (2, 3), (3, 1)]) == {1: 1, 2: 1, 3: 1}
+    # K4: 4 triangles, every node in 3 of them
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri_counts(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # square without diagonals: zero triangles but ALL nodes reported
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert _tri_counts(spark, sq) == {1: 0, 2: 0, 3: 0, 4: 0}
+    # duplicates, reversed duplicates and self-loops collapse/drop
+    noisy = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1), (2, 2)]
+    assert _tri_counts(spark, noisy) == {1: 1, 2: 1, 3: 1}
+    import pyspark.sql.functions as F  # noqa: F401
+    from searchengine_spark.graph.triangles import triangles
+
+    k4df = spark.createDataFrame(k4, "src long, dst long")
+    tri = [tuple(r) for r in triangles(k4df).collect()]
+    assert len(tri) == len(set(tri)) == 4  # each triangle exactly once
+    assert triangle_count(k4df) == 4
+
+
+def test_triangles_orientation_handles_hubs(spark):
+    """A star hub (degree n) plus one rim edge: the hub must not be a
+    wedge SOURCE (degree orientation points every spoke AT the hub), and
+    the count is exactly the rim edges' triangles."""
+    star = [(100, i) for i in range(20)] + [(0, 1), (2, 3)]
+    got = _tri_counts(spark, star)
+    assert got[100] == 2 and got[0] == got[1] == got[2] == got[3] == 1
+    assert sum(got.values()) == 6  # 3 corners per triangle, 2 triangles
+    from searchengine_spark.graph.triangles import oriented_edges
+
+    df = spark.createDataFrame(star, "src long, dst long")
+    o = oriented_edges(df)
+    from pyspark.sql import functions as F
+
+    # hub never appears as the wedge source
+    assert o.where(F.col("lo") == 100).count() == 0
