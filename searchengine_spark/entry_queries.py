@@ -1587,11 +1587,12 @@ def lm_perplexity_q(spark, sf_dir):
     return lm.lm_perplexity(_docs_tokens(spark, sf_dir))
 
 
-def _lm_perplexity_sql() -> str:
+def _lm_score_ctes() -> str:
+    """bg → c12/c1/v → scored → per_doc chain: the DuckDB twin of
+    lm.bigram_lm + lm.lm_score's self-trained form. Shared by the
+    lm_perplexity and ccnet_buckets oracles (assumes TOK_CTES precedes)."""
     k = lm.LM_K
-    return f"""
-WITH {TOK_CTES},
-bg AS (
+    return f"""bg AS (
   SELECT a.doc_id, a.term AS w1, b.term AS w2
   FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 ),
@@ -1609,7 +1610,12 @@ scored AS (
 per_doc AS (
   SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(logp) AS a
   FROM scored GROUP BY doc_id
-)
+)"""
+
+
+def _lm_perplexity_sql() -> str:
+    return f"""
+WITH {TOK_CTES}, {_lm_score_ctes()}
 SELECT d.doc_id,
        coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
        round(p.a, 6) AS avg_logp,
@@ -6168,6 +6174,102 @@ FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY n.node
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus curation stages (textops/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def source_curation_q(spark, sf_dir):
+    """Per-source (domain-level) curation stats + keep flag: mean analyzed
+    length and within-source exact-dup rate gate whole sources (C4 /
+    RefinedWeb-style domain filtering). One source-keyed aggregate; the
+    corpus filter itself is a broadcast semi-join (tested in
+    tests/test_textops.py)."""
+    from .textops import curation as cur
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(_tok_col(F.col("text"))).alias("dl"),
+    )
+    stats, _ = cur.curate_sources(docs)
+    return stats.select(
+        "source",
+        "n_docs",
+        "n_unique_texts",
+        F.round("dup_rate", 6).alias("dup_rate_r"),
+        F.round("avg_dl", 6).alias("avg_dl_r"),
+        "kept",
+    ).orderBy("source")
+
+
+def _source_curation_sql() -> str:
+    from .textops import curation as cur
+
+    return f"""
+WITH {TOK_CTES},
+src AS (
+  SELECT d.source, count(*)::BIGINT AS n_docs,
+         count(DISTINCT md5(d.text))::BIGINT AS n_unique_texts,
+         1.0 - count(DISTINCT md5(d.text)) / count(*)::DOUBLE AS dup_rate,
+         avg(l.dl) AS avg_dl
+  FROM documents d JOIN doclen l USING (doc_id)
+  GROUP BY 1
+)
+SELECT source, n_docs, n_unique_texts,
+       round(dup_rate, 6) AS dup_rate_r,
+       round(avg_dl, 6) AS avg_dl_r,
+       (avg_dl >= {cur.SRC_MIN_AVG_DL} AND dup_rate <= {cur.SRC_MAX_DUP_RATE})
+         AS kept
+FROM src ORDER BY source
+"""
+
+
+def ccnet_buckets_q(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles per language, via
+    per-lang cutpoint aggregation + broadcast comparison (NO per-lang
+    ntile window — see curation.py's scale note). Docs the LM never
+    scored (zero bigrams) are dropped first."""
+    from .textops import curation as cur
+
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    scored = lm.lm_perplexity(_docs_tokens(spark, sf_dir)).where(
+        F.col("n_bigrams") > 0
+    )
+    j = scored.join(langs, "doc_id").select("doc_id", "lang", "perplexity")
+    return (
+        cur.perplexity_buckets(j)
+        .withColumnRenamed("perplexity", "ppl_r")
+        .orderBy("doc_id")
+    )
+
+
+def _ccnet_buckets_sql() -> str:
+    from .textops import curation as cur
+
+    t1, t2 = (repr(t) for t in cur.TERCILES)
+    return f"""
+WITH {TOK_CTES}, {_lm_score_ctes()},
+ppl AS (
+  SELECT p.doc_id, d.lang, round(exp(-p.a), 6) AS ppl_r
+  FROM per_doc p JOIN documents d USING (doc_id)
+  WHERE p.n_bigrams > 0
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(ppl_r, {t1}), 8) AS cut1,
+         round(quantile_cont(ppl_r, {t2}), 8) AS cut2
+  FROM ppl GROUP BY 1
+)
+SELECT p.doc_id, p.lang, p.ppl_r,
+       CASE WHEN p.ppl_r <= c.cut1 THEN '{cur.BUCKET_NAMES[0]}'
+            WHEN p.ppl_r <= c.cut2 THEN '{cur.BUCKET_NAMES[1]}'
+            ELSE '{cur.BUCKET_NAMES[2]}' END AS bucket
+FROM ppl p JOIN cuts c USING (lang) ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
@@ -6263,6 +6365,8 @@ QUERIES = {
     "dsir_select_top50": dsir_select_top50,
     "card_sketch_shingles": card_sketch_shingles,
     "graph_triangles": graph_triangles_q,
+    "source_curation": source_curation_q,
+    "ccnet_buckets": ccnet_buckets_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
     # each entry's docstring for the independence argument):
     "ann_ivf_top10": ann_ivf_top10,
@@ -6402,6 +6506,8 @@ ORACLES = {
     "dsir_select_top50": _dsir_select_sql(),
     "card_sketch_shingles": _card_sketch_sql(),
     "graph_triangles": _graph_triangles_sql(),
+    "source_curation": _source_curation_sql(),
+    "ccnet_buckets": _ccnet_buckets_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true
     # top-10 at the graded scales, so the exact brute-force SQL is the
     # oracle — any recall regression becomes a driver-visible hash mismatch

@@ -1254,3 +1254,57 @@ def test_kmv_partitioning_invariant(spark):
     a = sk.kmv_distinct(df.repartition(1), "v", k=32).collect()
     b = sk.kmv_distinct(df.repartition(16), "v", k=32).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# corpus curation stages (textops/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def test_curate_sources_gates_and_survivors(spark):
+    from pyspark.sql import functions as F
+    from searchengine_spark.textops import curation as cur
+
+    rows = []
+    # srcA: long docs, no dups -> kept
+    rows += [(f"a{i}", "srcA", f"text a {i}", 60) for i in range(4)]
+    # srcB: long docs but 3/4 identical texts -> dup_rate 0.5 > 0.2 -> dropped
+    rows += [("b0", "srcB", "same text", 60), ("b1", "srcB", "same text", 60),
+             ("b2", "srcB", "same text", 60), ("b3", "srcB", "other", 60)]
+    # srcC: unique but short -> avg_dl 10 < 50 -> dropped
+    rows += [(f"c{i}", "srcC", f"text c {i}", 10) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string, dl long")
+    stats, kept_docs = cur.curate_sources(df)
+    got = {r.source: (r.n_docs, r.n_unique_texts, r.kept) for r in stats.collect()}
+    assert got == {"srcA": (4, 4, True), "srcB": (4, 2, False), "srcC": (4, 4, False)}
+    assert {r.doc_id for r in kept_docs.collect()} == {f"a{i}" for i in range(4)}
+    # the corpus filter is a broadcast semi-join, never a shuffle join
+    plan = kept_docs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_perplexity_buckets_order_and_nulls(spark):
+    from searchengine_spark.textops import curation as cur
+
+    # lang x: ppl 1..9 -> terciles head {1,2,3}, middle {4,5,6}, tail {7,8,9}
+    rows = [(f"x{i}", "x", float(i)) for i in range(1, 10)]
+    rows += [("y1", "y", 5.0), ("y2", "y", 5.0), ("y3", "y", 5.0)]  # all ties
+    rows += [("n1", "x", None)]  # unscored doc: dropped
+    df = spark.createDataFrame(rows, "doc_id string, lang string, perplexity double")
+    out = {r.doc_id: r.bucket for r in cur.perplexity_buckets(df).collect()}
+    assert "n1" not in out
+    assert {k: v for k, v in out.items() if k.startswith("x")} == {
+        "x1": "head", "x2": "head", "x3": "head",
+        "x4": "middle", "x5": "middle", "x6": "middle",
+        "x7": "tail", "x8": "tail", "x9": "tail",
+    }
+    # all-tied group: every doc lands in head (ppl <= cut1 == the tie value)
+    assert [out[f"y{i}"] for i in (1, 2, 3)] == ["head"] * 3
+    # per-lang invariant: max(head) <= min(middle) <= ... whatever the data
+    from collections import defaultdict
+    by = defaultdict(list)
+    for r in cur.perplexity_buckets(df).collect():
+        by[(r.lang, r.bucket)].append(r.perplexity)
+    if by[("x", "middle")]:
+        assert max(by[("x", "head")]) <= min(by[("x", "middle")])
+        assert max(by[("x", "middle")]) <= min(by[("x", "tail")])
