@@ -6174,6 +6174,59 @@ FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY n.node
 """
 
 
+_KCORE_K = 6  # fixture graph peels in 5 rounds at k=6 (131 of 200 survive)
+_KCORE_ORACLE_ROUNDS = 10  # 2x margin; extra rounds are fixed-point no-ops
+
+
+def graph_kcore_q(spark, sf_dir):
+    """k-core of the fixture link graph (graph-side corpus curation:
+    drop sparsely linked tendrils before rank propagation). The k-core is
+    unique regardless of deletion order, so the unrolled-peel oracle
+    computes the same fixed point; k=6 exercises 5 real peel rounds."""
+    from .fixtures import graph_edges_df
+    from .graph.kcore import kcore_nodes
+
+    return kcore_nodes(graph_edges_df(spark, n_nodes=200), _KCORE_K).orderBy(
+        "node"
+    )
+
+
+def _graph_kcore_sql() -> str:
+    from .fixtures import graph_edges_pandas
+
+    pdf = graph_edges_pandas(n_nodes=200)
+    vals = ", ".join(
+        f"({int(s)},{int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    k = _KCORE_K
+    ctes = [
+        f"edges(src, dst) AS (VALUES {vals})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+    ]
+    for r in range(_KCORE_ORACLE_ROUNDS):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg "
+            f"FROM (SELECT a AS node FROM e{r} "
+            f"UNION ALL SELECT b FROM e{r}) GROUP BY 1)"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT a, b FROM e{r} "
+            f"WHERE a IN (SELECT node FROM d{r} WHERE deg >= {k}) "
+            f"AND b IN (SELECT node FROM d{r} WHERE deg >= {k}))"
+        )
+    last = _KCORE_ORACLE_ROUNDS
+    return f"""
+WITH {", ".join(ctes)},
+dfinal AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT a AS node FROM e{last} UNION ALL SELECT b FROM e{last})
+  GROUP BY 1
+)
+SELECT node::BIGINT AS node, deg FROM dfinal WHERE deg >= {k} ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus curation stages (textops/curation.py)
 # ---------------------------------------------------------------------------
@@ -6367,6 +6420,7 @@ QUERIES = {
     "graph_triangles": graph_triangles_q,
     "source_curation": source_curation_q,
     "ccnet_buckets": ccnet_buckets_q,
+    "graph_kcore": graph_kcore_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
     # each entry's docstring for the independence argument):
     "ann_ivf_top10": ann_ivf_top10,
@@ -6508,6 +6562,7 @@ ORACLES = {
     "graph_triangles": _graph_triangles_sql(),
     "source_curation": _source_curation_sql(),
     "ccnet_buckets": _ccnet_buckets_sql(),
+    "graph_kcore": _graph_kcore_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true
     # top-10 at the graded scales, so the exact brute-force SQL is the
     # oracle — any recall regression becomes a driver-visible hash mismatch

@@ -1,10 +1,12 @@
 from .hits import compute_hits
+from .kcore import kcore_nodes
 from .pagerank import (
     combined_rank,
     compute_pagerank,
     personalized_pagerank,
     read_edge_tsv,
 )
+from .triangles import node_triangle_counts, triangle_count, triangles
 
 __all__ = [
     "compute_pagerank",
@@ -12,4 +14,8 @@ __all__ = [
     "combined_rank",
     "compute_hits",
     "read_edge_tsv",
+    "kcore_nodes",
+    "node_triangle_counts",
+    "triangle_count",
+    "triangles",
 ]

@@ -139,3 +139,43 @@ def test_triangles_orientation_handles_hubs(spark):
 
     # hub never appears as the wedge source
     assert o.where(F.col("lo") == 100).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# k-core (graph/kcore.py)
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_matches_python_twin_and_hand_graphs(spark):
+    from searchengine_spark.graph.kcore import kcore_nodes, py_kcore
+
+    # triangle + pendant chain: 2-core = the triangle only
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.deg for r in kcore_nodes(df, 2).collect()}
+    assert got == py_kcore(edges, 2) == {1: 2, 2: 2, 3: 2}
+    # cascading peel: removing the chain tail re-exposes 4 then nothing new
+    assert py_kcore(edges, 1) == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+    assert {r.node for r in kcore_nodes(df, 1).collect()} == {1, 2, 3, 4, 5}
+    # empty core
+    assert kcore_nodes(df, 4).count() == 0
+    # K5 is its own 4-core
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5df = spark.createDataFrame(k5, "src long, dst long")
+    got5 = {r.node: r.deg for r in kcore_nodes(k5df, 4).collect()}
+    assert got5 == {i: 4 for i in range(5)}
+    with pytest.raises(ValueError, match="k must be"):
+        kcore_nodes(df, 0)
+
+
+def test_kcore_random_graph_matches_twin(spark):
+    import random
+
+    from searchengine_spark.graph.kcore import kcore_nodes, py_kcore
+
+    rng = random.Random(42)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(150)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {r.node: r.deg for r in kcore_nodes(df, k).collect()}
+        assert got == py_kcore(edges, k), f"k={k}"
