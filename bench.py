@@ -195,6 +195,9 @@ def main() -> None:
         "dup_score",
         "colloc_top20",
         "doc_keyterms",
+        "graph_bfs_depth",
+        "ft_collapse",
+        "eval_ngram_overlap",
     ):
         extras_times[name], _ = timed(
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()

@@ -6323,6 +6323,230 @@ FROM ppl p JOIN cuts c USING (lang) ORDER BY p.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# graph seed distance (graph/bfs.py)
+# ---------------------------------------------------------------------------
+
+_BFS_SOURCES = [0, 17]
+_BFS_MAX_HOPS = 12
+# unroll depth for the oracle; tests/test_graph_hits.py asserts the fixture
+# graph's true eccentricity from the seeds leaves >= 2 rounds of slack
+_BFS_ORACLE_ROUNDS = 12
+
+
+def graph_bfs_depth_q(spark, sf_dir):
+    """Multi-source BFS hop distance over the fixture link graph — the
+    "distance from trusted seeds" web-curation signal (pages beyond a
+    radius of a whitelist are link-spam candidates). Hop distance is a
+    unique fixed point, so the unrolled-frontier oracle computes the same
+    mapping; seeds {0, 17} exercise multi-source frontier union."""
+    from .fixtures import graph_edges_df
+    from .graph.bfs import bfs_distances
+
+    return bfs_distances(
+        graph_edges_df(spark, n_nodes=200), _BFS_SOURCES, _BFS_MAX_HOPS
+    ).orderBy("node")
+
+
+def _graph_bfs_sql() -> str:
+    from .fixtures import graph_edges_pandas
+
+    pdf = graph_edges_pandas(n_nodes=200)
+    vals = ", ".join(
+        f"({int(s)},{int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    seeds = ", ".join(f"({int(s)}, 0)" for s in sorted(set(_BFS_SOURCES)))
+    ctes = [
+        f"edges(src, dst) AS (VALUES {vals})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        f"v0 AS MATERIALIZED (SELECT * FROM (VALUES {seeds}) AS s(node, dist))",
+        "f0 AS MATERIALIZED (SELECT node FROM v0)",
+    ]
+    for r in range(1, _BFS_ORACLE_ROUNDS + 1):
+        ctes.append(
+            f"f{r} AS MATERIALIZED (SELECT DISTINCT v AS node "
+            f"FROM adj JOIN f{r - 1} f ON adj.u = f.node "
+            f"WHERE v NOT IN (SELECT node FROM v{r - 1}))"
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT * FROM v{r - 1} "
+            f"UNION ALL SELECT node, {r} FROM f{r})"
+        )
+    return f"""
+WITH {", ".join(ctes)}
+SELECT node::BIGINT AS node, dist::BIGINT AS dist
+FROM v{_BFS_ORACLE_ROUNDS} ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# field collapsing (query/collapse.py)
+# ---------------------------------------------------------------------------
+
+_COLLAPSE_K = 10
+_COLLAPSE_INNER = 3
+
+
+def ft_collapse(spark, sf_dir):
+    """BM25 + ES field collapse on `source`: top groups ranked by their
+    best member's rounded score, each with total match count and the
+    comma-joined top-3 inner hits. One window over the MATCH SET (never
+    the corpus), deterministic (score_r desc, doc_id) member order."""
+    from .query.collapse import search_bm25_collapse
+
+    idx = _ft_index(spark, sf_dir)
+    res = search_bm25_collapse(
+        idx,
+        _FT_QUERIES["bm25"],
+        _docs(spark, sf_dir),
+        "source",
+        k=_COLLAPSE_K,
+        inner_hits=_COLLAPSE_INNER,
+    )
+    return res.select(
+        "group",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score_r",
+        "inner_hits",
+    )
+
+
+def _ft_collapse_sql() -> str:
+    return f"""
+WITH {TOK_CTES},
+qw AS (
+  SELECT q.term, q.qtf,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM {_qterms_values_sql(_FT_QUERIES["bm25"])}
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(qw.qtf * qw.idf * p.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (p.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / c.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN qw ON qw.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+g AS (
+  SELECT d.source AS "group", s.doc_id, round(s.score, 4) AS score_r,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY round(s.score, 4) DESC, s.doc_id
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+),
+agg AS (
+  SELECT "group", count(*)::BIGINT AS group_size,
+         max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS doc_id,
+         max(CASE WHEN rn = 1 THEN score_r END) AS score_r,
+         string_agg(
+           CASE WHEN rn <= {_COLLAPSE_INNER} THEN doc_id::VARCHAR END,
+           ',' ORDER BY rn
+         ) AS inner_hits
+  FROM g GROUP BY 1
+)
+SELECT * FROM agg ORDER BY score_r DESC, "group" LIMIT {_COLLAPSE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram overlap eval (textops/evalmetrics.py)
+# ---------------------------------------------------------------------------
+
+_ROUGE_N = 2
+
+
+def eval_ngram_overlap_q(spark, sf_dir):
+    """ROUGE-2 / BLEU-2-style clipped bigram overlap of each doc against
+    its successor (the deterministic candidate/reference pairing stand-in
+    for generated-vs-gold eval). Exact integer overlap/totals; P/R/F1 are
+    identical IEEE expressions on both engines, rounded at 6dp."""
+    from .textops import evalmetrics as em
+
+    docs = _docs(spark, sf_dir)
+    right = docs.select(F.col("doc_id").alias("ref_id"))
+    pairs = (
+        docs.select(F.col("doc_id").alias("cand_id"))
+        .join(right, F.col("ref_id") == F.col("cand_id") + 1)
+        .select(F.col("cand_id").alias("pair_id"), "cand_id", "ref_id")
+    )
+    res = em.ngram_overlap_eval(pairs, _docs_tokens(spark, sf_dir), _ROUGE_N)
+    return res.select(
+        F.col("pair_id").cast("long").alias("pair_id"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+        F.col("ref_id").cast("long").alias("ref_id"),
+        "overlap",
+        "cand_total",
+        "ref_total",
+        F.round("precision", 6).alias("precision_r"),
+        F.round("recall", 6).alias("recall_r"),
+        F.round("f1", 6).alias("f1_r"),
+    ).orderBy("pair_id")
+
+
+def _eval_ngram_overlap_sql() -> str:
+    n = _ROUGE_N
+    return f"""
+WITH {TOK_CTES},
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - {n - 1}),
+           i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')
+         )) AS gram
+  FROM lists
+),
+gcnt AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM grams GROUP BY 1, 2
+),
+gtot AS (SELECT doc_id, sum(cnt)::BIGINT AS total FROM gcnt GROUP BY 1),
+pairs AS (
+  SELECT d1.doc_id AS pair_id, d1.doc_id AS cand_id, d2.doc_id AS ref_id
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+),
+ov AS (
+  SELECT p.pair_id, sum(least(c.cnt, r.cnt))::BIGINT AS overlap
+  FROM pairs p
+  JOIN gcnt c ON c.doc_id = p.cand_id
+  JOIN gcnt r ON r.doc_id = p.ref_id AND r.gram = c.gram
+  GROUP BY 1
+),
+m AS (
+  SELECT p.pair_id, p.cand_id, p.ref_id,
+         coalesce(o.overlap, 0)::BIGINT AS overlap,
+         coalesce(ct.total, 0)::BIGINT AS cand_total,
+         coalesce(rt.total, 0)::BIGINT AS ref_total
+  FROM pairs p
+  LEFT JOIN ov o USING (pair_id)
+  LEFT JOIN gtot ct ON ct.doc_id = p.cand_id
+  LEFT JOIN gtot rt ON rt.doc_id = p.ref_id
+),
+pr AS (
+  SELECT *,
+         CASE WHEN cand_total > 0
+              THEN overlap / cand_total::DOUBLE ELSE 0.0 END AS p,
+         CASE WHEN ref_total > 0
+              THEN overlap / ref_total::DOUBLE ELSE 0.0 END AS r
+  FROM m
+)
+SELECT pair_id::BIGINT AS pair_id, cand_id::BIGINT AS cand_id,
+       ref_id::BIGINT AS ref_id, overlap, cand_total, ref_total,
+       round(p, 6) AS precision_r, round(r, 6) AS recall_r,
+       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END,
+             6) AS f1_r
+FROM pr ORDER BY pair_id
+"""
+
+
 QUERIES = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
@@ -6421,6 +6645,9 @@ QUERIES = {
     "source_curation": source_curation_q,
     "ccnet_buckets": ccnet_buckets_q,
     "graph_kcore": graph_kcore_q,
+    "graph_bfs_depth": graph_bfs_depth_q,
+    "ft_collapse": ft_collapse,
+    "eval_ngram_overlap": eval_ngram_overlap_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
     # each entry's docstring for the independence argument):
     "ann_ivf_top10": ann_ivf_top10,
@@ -6563,6 +6790,9 @@ ORACLES = {
     "source_curation": _source_curation_sql(),
     "ccnet_buckets": _ccnet_buckets_sql(),
     "graph_kcore": _graph_kcore_sql(),
+    "graph_bfs_depth": _graph_bfs_sql(),
+    "ft_collapse": _ft_collapse_sql(),
+    "eval_ngram_overlap": _eval_ngram_overlap_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true
     # top-10 at the graded scales, so the exact brute-force SQL is the
     # oracle — any recall regression becomes a driver-visible hash mismatch

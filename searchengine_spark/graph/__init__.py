@@ -1,3 +1,4 @@
+from .bfs import bfs_distances
 from .hits import compute_hits
 from .kcore import kcore_nodes
 from .pagerank import (
@@ -9,6 +10,7 @@ from .pagerank import (
 from .triangles import node_triangle_counts, triangle_count, triangles
 
 __all__ = [
+    "bfs_distances",
     "compute_pagerank",
     "personalized_pagerank",
     "combined_rank",

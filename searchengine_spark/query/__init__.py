@@ -10,6 +10,7 @@ from .fuzzy import (
 from .ltr import ltr_features
 from .morelike import doc_vectors, facet_counts, mlt_terms, more_like_this
 from .phrase import search_phrase
+from .collapse import collapse_results, search_bm25_collapse
 from .snippets import search_snippets
 from .ranked import bm25_idf, search_bm25, search_tfidf, tfidf_idf
 
@@ -17,6 +18,8 @@ __all__ = [
     "search_keyword",
     "fuzzy_terms",
     "search_fuzzy",
+    "collapse_results",
+    "search_bm25_collapse",
     "search_snippets",
     "prefix_terms",
     "search_prefix",

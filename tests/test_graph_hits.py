@@ -179,3 +179,66 @@ def test_kcore_random_graph_matches_twin(spark):
     for k in (2, 3, 4):
         got = {r.node: r.deg for r in kcore_nodes(df, k).collect()}
         assert got == py_kcore(edges, k), f"k={k}"
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS seed distance (graph/bfs.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hand_graph_and_twin(spark):
+    from searchengine_spark.graph.bfs import bfs_distances, py_bfs
+
+    # path 1-2-3-4 plus a triangle hanging off 2; seed {1}
+    edges = [(1, 2), (2, 3), (3, 4), (2, 5), (5, 6), (6, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.dist for r in bfs_distances(df, [1]).collect()}
+    assert got == py_bfs(edges, [1]) == {1: 0, 2: 1, 3: 2, 5: 2, 4: 3, 6: 2}
+    # multi-source: min over seeds, seeds at 0 even when one dominates
+    got2 = {r.node: r.dist for r in bfs_distances(df, [1, 4]).collect()}
+    assert got2 == py_bfs(edges, [1, 4])
+    assert got2[4] == 0 and got2[3] == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        bfs_distances(df, [])
+
+
+def test_bfs_isolated_seed_and_hop_cap(spark):
+    from searchengine_spark.graph.bfs import bfs_distances, py_bfs
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # seed 99 touches no edge: result is just the seed at dist 0
+    got = {r.node: r.dist for r in bfs_distances(df, [99]).collect()}
+    assert got == {99: 0}
+    # max_hops truncates the frontier identically to the twin
+    got1 = {r.node: r.dist for r in bfs_distances(df, [1], max_hops=1).collect()}
+    assert got1 == py_bfs(edges, [1], max_hops=1) == {1: 0, 2: 1}
+
+
+def test_bfs_fixture_graph_matches_twin_and_unroll_depth_sufficed(spark):
+    """Differential test on the oracle's exact fixture + the unroll-slack
+    guard: the fixture graph's true eccentricity from the seeds must leave
+    >= 2 rounds of slack under the oracle's unrolled depth (extra rounds
+    are empty-frontier no-ops, so slack is harmless; a deeper graph would
+    silently truncate BOTH sides identically — this pins that the entry
+    reflects the COMPLETE fixed point, not a truncation)."""
+    from searchengine_spark.entry_queries import (
+        _BFS_MAX_HOPS,
+        _BFS_ORACLE_ROUNDS,
+        _BFS_SOURCES,
+    )
+    from searchengine_spark.fixtures import graph_edges_df, graph_edges_pandas
+    from searchengine_spark.graph.bfs import bfs_distances, py_bfs
+
+    pdf = graph_edges_pandas(n_nodes=200)
+    edges = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
+    twin = py_bfs(edges, _BFS_SOURCES, max_hops=100)
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(
+            graph_edges_df(spark, n_nodes=200), _BFS_SOURCES, _BFS_MAX_HOPS
+        ).collect()
+    }
+    assert got == twin
+    assert max(twin.values()) <= _BFS_ORACLE_ROUNDS - 2
+    assert max(twin.values()) <= _BFS_MAX_HOPS - 2

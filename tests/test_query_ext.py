@@ -1520,3 +1520,88 @@ def test_conversation_dedup_hand_checked(spark):
     )
     pout = {r.conv_id: r.status for r in conversation_dedup(perm).collect()}
     assert pout == {"p-a": "novel", "p-b": "novel"}
+
+
+# ---------------------------------------------------------------------------
+# field collapsing (query/collapse.py)
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_hand_computed(spark):
+    from searchengine_spark.query.collapse import collapse_results
+
+    scores = spark.createDataFrame(
+        [(1, 3.0), (2, 2.5), (3, 2.5), (4, 1.0), (5, 0.5)],
+        "doc_id long, score double",
+    )
+    groups = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "b"), (5, "c"), (6, "c")],
+        "doc_id long, src string",
+    )
+    rows = {
+        r.group: r
+        for r in collapse_results(scores, groups, "src", k=None, inner_hits=2)
+        .collect()
+    }
+    # best member per group; rounded-score ties break by doc_id asc
+    assert rows["a"].doc_id == 1 and rows["a"].score_r == 3.0
+    assert rows["b"].doc_id == 2 and rows["b"].score_r == 2.5
+    # group_size counts ALL matching members (doc 6 never matched: absent)
+    assert rows["a"].group_size == 1
+    assert rows["b"].group_size == 3
+    assert rows["c"].group_size == 1
+    # inner_hits: top-N member doc_ids in (score_r desc, doc_id) order
+    assert rows["b"].inner_hits == "2,3"
+    assert rows["c"].inner_hits == "5"
+
+
+def test_collapse_k_cut_and_group_order(spark):
+    from searchengine_spark.query.collapse import collapse_results
+
+    scores = spark.createDataFrame(
+        [(i, float(i % 3) + 1.0) for i in range(1, 10)],
+        "doc_id long, score double",
+    )
+    groups = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(1, 10)], "doc_id long, src string"
+    )
+    out = collapse_results(scores, groups, "src", k=2, inner_hits=1).collect()
+    assert len(out) == 2
+    # groups ranked by representative score desc, then group asc
+    assert out[0].score_r >= out[1].score_r
+    if out[0].score_r == out[1].score_r:
+        assert out[0].group < out[1].group
+
+
+def test_collapse_bm25_representative_matches_plain_search(spark):
+    """The collapse representative set == the best-per-group slice of the
+    plain BM25 ranking (same rounded scores), pinning that collapsing only
+    regroups — it never rescores."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.fixtures import transcripts_df
+    from searchengine_spark.query.collapse import search_bm25_collapse
+
+    docs = transcripts_df(spark).select(
+        F.concat_ws(":", "conv_id", "turn_idx").alias("doc_id"),
+        "text",
+        F.col("role").alias("grp"),
+    )
+    idx = build_index(spark, docs, analyzer="punctuation", cache=False)
+    q = "spark shuffle error"
+    collapsed = {
+        r.group: (r.doc_id, r.score_r)
+        for r in search_bm25_collapse(
+            idx, q, docs.select("doc_id", "grp"), "grp", k=None
+        ).collect()
+    }
+    plain = idx.search_bm25(q, None).select(
+        "doc_id", F.round("score", 4).alias("score_r")
+    )
+    best = {}
+    for r in sorted(
+        plain.join(docs.select("doc_id", "grp"), "doc_id").collect(),
+        key=lambda r: (-r.score_r, r.doc_id),
+    ):
+        best.setdefault(r.grp, (r.doc_id, r.score_r))
+    assert collapsed == best

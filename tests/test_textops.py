@@ -1308,3 +1308,82 @@ def test_perplexity_buckets_order_and_nulls(spark):
     if by[("x", "middle")]:
         assert max(by[("x", "head")]) <= min(by[("x", "middle")])
         assert max(by[("x", "middle")]) <= min(by[("x", "tail")])
+
+
+# ---------------------------------------------------------------------------
+# n-gram overlap eval (textops/evalmetrics.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_overlap_hand_computed_and_clipping(spark):
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.textops import evalmetrics as em
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "a", "b"]),     # bigrams: ab, ba, ab
+            (2, ["a", "b", "c"]),          # bigrams: ab, bc
+            (3, ["x"]),                    # too short: no bigrams
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [(10, 1, 2), (11, 1, 3), (12, 3, 3)],
+        "pair_id long, cand_id long, ref_id long",
+    )
+    rows = {r.pair_id: r for r in em.ngram_overlap_eval(pairs, docs, 2).collect()}
+    # clipped: cand has 'ab' twice, ref once -> overlap 1 (not 2)
+    r = rows[10]
+    assert (r.overlap, r.cand_total, r.ref_total) == (1, 3, 2)
+    assert r.precision == 1 / 3 and r.recall == 1 / 2
+    assert abs(r.f1 - (2 * (1 / 3) * (1 / 2)) / (1 / 3 + 1 / 2)) < 1e-15
+    # empty ref side: metrics 0.0, no division error under ANSI mode
+    assert (rows[11].overlap, rows[11].ref_total) == (0, 0)
+    assert rows[11].precision == 0.0 and rows[11].f1 == 0.0
+    # both sides empty
+    assert rows[12].f1 == 0.0 and rows[12].recall == 0.0
+    # python twin agrees
+    assert em.py_ngram_overlap(["a", "b", "a", "b"], ["a", "b", "c"], 2) == (
+        1, 3, 2,
+    )
+
+
+def test_ngram_overlap_differential_vs_python_twin(spark):
+    import random
+
+    from searchengine_spark.textops import evalmetrics as em
+
+    rng = random.Random(7)
+    vocab = ["w%d" % i for i in range(9)]
+    toks = {
+        i: [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+        for i in range(20)
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in toks.items()], "doc_id long, tokens array<string>"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i, (i + 7) % 20) for i in range(20)],
+        "pair_id long, cand_id long, ref_id long",
+    )
+    for n in (1, 2, 3):
+        got = {
+            r.pair_id: (r.overlap, r.cand_total, r.ref_total)
+            for r in em.ngram_overlap_eval(pairs, docs, n).collect()
+        }
+        want = {
+            i: em.py_ngram_overlap(toks[i], toks[(i + 7) % 20], n)
+            for i in range(20)
+        }
+        assert got == want, f"n={n}"
+
+
+def test_ngram_col_rejects_bad_n(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from searchengine_spark.textops import evalmetrics as em
+
+    with _pytest.raises(ValueError, match="n must be"):
+        em.ngram_col(F.col("x"), 0)
