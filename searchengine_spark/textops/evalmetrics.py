@@ -38,17 +38,16 @@ from pyspark.sql import functions as F
 
 
 def ngram_col(tokens: Column, n: int) -> Column:
-    """Space-joined n-grams of a token-array column as a JVM expression.
-    Empty array when the doc has fewer than n tokens."""
+    """Space-joined n-gram *instances* of a token-array column (duplicates
+    kept; empty array when the doc has fewer than n tokens). Delegates to
+    ``dedup.word_ngrams`` — the codebase's single definition of the
+    windowing arithmetic — so a slice-bound fix there reaches the eval
+    metrics (and their oracle parity) too."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from .dedup import word_ngrams
+
+    return word_ngrams(tokens, n)
 
 
 def ngram_counts(
