@@ -196,6 +196,7 @@ def main() -> None:
         "colloc_top20",
         "doc_keyterms",
         "graph_bfs_depth",
+        "graph_labelprop",
         "ft_collapse",
         "eval_ngram_overlap",
     ):

@@ -6383,6 +6383,67 @@ FROM v{_BFS_ORACLE_ROUNDS} ORDER BY node
 
 
 # ---------------------------------------------------------------------------
+# label-propagation communities (graph/labelprop.py)
+# ---------------------------------------------------------------------------
+
+# 3 rounds: the preferential-attachment fixture still holds 5 distinct
+# communities (42/15/5 at rounds 1/2/3; by round 4 everything collapses
+# into label 0, which would grade nothing — an all-zeros bug would pass)
+_LPA_ITER = 3
+
+
+def graph_labelprop_q(spark, sf_dir):
+    """Synchronous deterministic label-propagation communities over the
+    fixture link graph (the graph-side clustering step of curation:
+    link-farm detection, per-cluster quotas). Fixed 3 rounds, ties to the
+    smallest label — every choice pinned, so the unrolled oracle replays
+    the exact rounds."""
+    from .fixtures import graph_edges_df
+    from .graph.labelprop import label_propagation
+
+    return label_propagation(
+        graph_edges_df(spark, n_nodes=200), _LPA_ITER
+    ).orderBy("node")
+
+
+def _graph_labelprop_sql() -> str:
+    from .fixtures import graph_edges_pandas
+
+    pdf = graph_edges_pandas(n_nodes=200)
+    vals = ", ".join(
+        f"({int(s)},{int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    ctes = [
+        f"edges(src, dst) AS (VALUES {vals})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM adj)",
+    ]
+    for r in range(1, _LPA_ITER + 1):
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT a.u AS node, l.label, "
+            f"count(*)::BIGINT AS cnt FROM adj a "
+            f"JOIN l{r - 1} l ON l.node = a.v GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT node, max(cnt) AS mc "
+            f"FROM v{r} GROUP BY node)"
+        )
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT v.node, min(v.label) AS label "
+            f"FROM v{r} v JOIN m{r} m ON m.node = v.node AND v.cnt = m.mc "
+            f"GROUP BY v.node)"
+        )
+    return f"""
+WITH {", ".join(ctes)}
+SELECT node::BIGINT AS node, label::BIGINT AS label
+FROM l{_LPA_ITER} ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # field collapsing (query/collapse.py)
 # ---------------------------------------------------------------------------
 
@@ -6646,6 +6707,7 @@ QUERIES = {
     "ccnet_buckets": ccnet_buckets_q,
     "graph_kcore": graph_kcore_q,
     "graph_bfs_depth": graph_bfs_depth_q,
+    "graph_labelprop": graph_labelprop_q,
     "ft_collapse": ft_collapse,
     "eval_ngram_overlap": eval_ngram_overlap_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
@@ -6791,6 +6853,7 @@ ORACLES = {
     "ccnet_buckets": _ccnet_buckets_sql(),
     "graph_kcore": _graph_kcore_sql(),
     "graph_bfs_depth": _graph_bfs_sql(),
+    "graph_labelprop": _graph_labelprop_sql(),
     "ft_collapse": _ft_collapse_sql(),
     "eval_ngram_overlap": _eval_ngram_overlap_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true

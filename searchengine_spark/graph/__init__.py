@@ -1,6 +1,7 @@
 from .bfs import bfs_distances
 from .hits import compute_hits
 from .kcore import kcore_nodes
+from .labelprop import label_propagation
 from .pagerank import (
     combined_rank,
     compute_pagerank,
@@ -17,6 +18,7 @@ __all__ = [
     "compute_hits",
     "read_edge_tsv",
     "kcore_nodes",
+    "label_propagation",
     "node_triangle_counts",
     "triangle_count",
     "triangles",

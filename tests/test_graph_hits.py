@@ -242,3 +242,53 @@ def test_bfs_fixture_graph_matches_twin_and_unroll_depth_sufficed(spark):
     assert got == twin
     assert max(twin.values()) <= _BFS_ORACLE_ROUNDS - 2
     assert max(twin.values()) <= _BFS_MAX_HOPS - 2
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities (graph/labelprop.py)
+# ---------------------------------------------------------------------------
+
+
+def test_labelprop_two_cliques_bridge(spark):
+    from searchengine_spark.graph.labelprop import (
+        label_propagation,
+        py_label_propagation,
+    )
+
+    # two triangles joined by one bridge edge: two communities, each
+    # labeled by its smallest member
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, 5).collect()}
+    assert got == py_label_propagation(edges, 5)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[5] == got[6]
+    with pytest.raises(ValueError, match="n_iter"):
+        label_propagation(df, -1)
+
+
+def test_labelprop_zero_rounds_is_identity(spark):
+    from searchengine_spark.graph.labelprop import label_propagation
+
+    df = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, 0).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_labelprop_random_graph_matches_twin_per_round(spark):
+    """Synchronous-update parity: the distributed and python twins agree
+    after EVERY round count (not just the last), pinning that updates are
+    synchronous and ties break to the smallest label."""
+    import random
+
+    from searchengine_spark.graph.labelprop import (
+        label_propagation,
+        py_label_propagation,
+    )
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(80)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for it in (1, 2, 4):
+        got = {r.node: r.label for r in label_propagation(df, it).collect()}
+        assert got == py_label_propagation(edges, it), f"n_iter={it}"

@@ -1,0 +1,95 @@
+"""JSONL transcript ingestion: schema enforcement, implicit turn indexes,
+malformed-line quarantine, round-trip into the index build."""
+
+import json
+
+import pytest
+
+
+def _write_jsonl(tmp_path, lines):
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_jsonl_roundtrip_and_implicit_turn_idx(spark, tmp_path):
+    from searchengine_spark.sources import read_transcripts_jsonl
+
+    lines = [
+        json.dumps(
+            {
+                "conv_id": "c-1",
+                "turns": [
+                    {"turn_idx": 0, "role": "user", "text": "hello spark",
+                     "tool": "", "ts": "2026-01-01T00:00:00"},
+                    {"turn_idx": 1, "role": "assistant",
+                     "text": "shuffle error", "tool": "search",
+                     "ts": "2026-01-01T00:00:30"},
+                ],
+            }
+        ),
+        # no explicit turn_idx: position in the array is the index
+        json.dumps(
+            {
+                "conv_id": "c-2",
+                "turns": [
+                    {"role": "user", "text": "first"},
+                    {"role": "assistant", "text": "second"},
+                ],
+            }
+        ),
+    ]
+    turns, bad = read_transcripts_jsonl(spark, _write_jsonl(tmp_path, lines))
+    assert bad.isEmpty()
+    rows = {(r.conv_id, r.turn_idx): r for r in turns.collect()}
+    assert set(rows) == {("c-1", 0), ("c-1", 1), ("c-2", 0), ("c-2", 1)}
+    assert rows[("c-1", 1)].tool == "search"
+    assert rows[("c-2", 1)].text == "second"
+    assert rows[("c-2", 0)].tool == ""  # defaults applied
+    assert rows[("c-1", 0)].ts is not None
+    # canonical column set, ready for build_index
+    assert turns.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_jsonl_malformed_lines_quarantined_not_fatal(spark, tmp_path):
+    from searchengine_spark.sources import read_transcripts_jsonl
+
+    lines = [
+        json.dumps({"conv_id": "ok", "turns": [{"role": "user", "text": "x"}]}),
+        "{this is not json",
+        json.dumps({"turns": [{"role": "user", "text": "no conv id"}]}),
+    ]
+    path = _write_jsonl(tmp_path, lines)
+    turns, bad = read_transcripts_jsonl(spark, path)
+    assert turns.count() == 1
+    assert bad.count() == 2
+    # strict mode raises instead
+    with pytest.raises(ValueError, match="malformed"):
+        read_transcripts_jsonl(spark, path, strict=True)
+
+
+def test_jsonl_feeds_index_build(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.index import build_index
+    from searchengine_spark.sources import read_transcripts_jsonl
+
+    lines = [
+        json.dumps(
+            {
+                "conv_id": f"c-{i}",
+                "turns": [
+                    {"role": "user", "text": f"spark shuffle doc {i}"},
+                    {"role": "assistant", "text": "zqmarkergamma result"},
+                ],
+            }
+        )
+        for i in range(4)
+    ]
+    turns, _ = read_transcripts_jsonl(spark, _write_jsonl(tmp_path, lines))
+    corpus = turns.withColumn(
+        "doc_id", F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"))
+    )
+    idx = build_index(spark, corpus, analyzer="punctuation", cache=False)
+    assert idx.search_keyword("zqmarkergamma").count() == 4
+    assert idx.search_keyword("doc").count() == 4
