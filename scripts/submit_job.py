@@ -80,6 +80,8 @@ def main() -> None:
     a.add_argument("--text-col", default="text")
     a.add_argument("--batch-id", type=int, default=None,
                    help="idempotency key: a re-run with the same id is a no-op")
+    a.add_argument("--branch", default="main",
+                   help="stage on an existing branch (write-audit-publish)")
 
     t = sub.add_parser("tag")
     t.add_argument("--index", required=True)
@@ -87,6 +89,17 @@ def main() -> None:
     t.add_argument("--snapshot-id", type=int, default=None)
     t.add_argument("--remove", action="store_true")
     t.add_argument("--replace", action="store_true")
+
+    br = sub.add_parser(
+        "branch",
+        help="create/drop/fast-forward writable refs (write-audit-publish)",
+    )
+    br.add_argument("--index", required=True)
+    br.add_argument("--create", default=None, metavar="NAME")
+    br.add_argument("--drop", default=None, metavar="NAME")
+    br.add_argument("--publish", default=None, metavar="NAME",
+                    help="fast-forward main to this branch's head")
+    br.add_argument("--snapshot-id", type=int, default=None)
 
     e = sub.add_parser("expire")
     e.add_argument("--index", required=True)
@@ -214,12 +227,34 @@ def main() -> None:
         idx = append_segment(
             spark, corpus.select("doc_id", "text"), args.index,
             source_desc=args.input, stream_batch_id=args.batch_id,
+            branch=args.branch,
         )
         print(json.dumps({
             "n_docs": idx.n_docs,
             "snapshot_id": idx.snapshot["snapshot_id"],
             "segments": len(idx.snapshot["segments"]),
+            "branch": args.branch,
         }))
+    elif args.cmd == "branch":
+        from searchengine_spark.index.artifact import (
+            create_branch,
+            drop_branch,
+            fast_forward,
+            list_branches,
+        )
+
+        if sum(x is not None for x in (args.create, args.drop, args.publish)) != 1:
+            raise SystemExit("pass exactly one of --create/--drop/--publish")
+        if args.create:
+            sid = create_branch(args.index, args.create, args.snapshot_id)
+            print(json.dumps({"created": args.create, "snapshot_id": sid}))
+        elif args.drop:
+            sid = drop_branch(args.index, args.drop)
+            print(json.dumps({"dropped": args.drop, "was_at": sid}))
+        else:
+            sid = fast_forward(args.index, "main", args.publish)
+            print(json.dumps({"published": args.publish, "main_at": sid,
+                              "branches": list_branches(args.index)}))
     elif args.cmd == "tag":
         from searchengine_spark.index.artifact import create_tag, remove_tag
 
@@ -237,6 +272,7 @@ def main() -> None:
         print(json.dumps(expire_snapshots(args.index, args.keep_last)))
     elif args.cmd == "snapshots":
         from searchengine_spark.index.artifact import (
+            list_branches,
             list_refs,
             list_snapshots,
             read_snapshot,
@@ -244,6 +280,7 @@ def main() -> None:
 
         names = list_snapshots(args.index)
         refs = list_refs(args.index)
+        branches = list_branches(args.index)
         out = []
         for n in names:
             sid = int(n[len("snap-"):-len(".json")])
@@ -255,6 +292,9 @@ def main() -> None:
                 ),
                 "n_docs": sum(s["n_docs"] for s in snap["segments"]),
                 "tags": sorted(k for k, v in refs.items() if v == sid),
+                "branches": sorted(
+                    k for k, v in branches.items() if v == sid
+                ),
             })
         print(json.dumps(out))
     elif args.cmd == "changelog":

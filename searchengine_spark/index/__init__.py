@@ -8,6 +8,8 @@ def __getattr__(name):
         "ArtifactIndex", "build_artifact", "load_artifact", "compact",
         "append_segment", "upsert_documents", "latest_snapshot", "subcompact", "maybe_merge",
         "expire_snapshots", "read_snapshot", "describe_artifact",
+        "create_branch", "drop_branch", "fast_forward", "list_branches",
+        "head_snapshot", "create_tag", "remove_tag", "list_refs",
     }:
         from . import artifact
 
@@ -20,4 +22,6 @@ __all__ = [
     "ArtifactIndex", "build_artifact", "load_artifact", "compact",
     "append_segment", "upsert_documents", "latest_snapshot", "subcompact", "maybe_merge",
     "expire_snapshots", "read_snapshot", "describe_artifact",
+    "create_branch", "drop_branch", "fast_forward", "list_branches",
+    "head_snapshot", "create_tag", "remove_tag", "list_refs",
 ]

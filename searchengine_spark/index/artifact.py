@@ -109,10 +109,44 @@ def _commit_snapshot(path: str, snap: dict) -> None:
     d = _snap_dir(path)
     os.makedirs(d, exist_ok=True)
     name = f"snap-{snap['snapshot_id']:06d}.json"
-    tmp = os.path.join(d, name + ".tmp")
+    final = os.path.join(d, name)
+    if os.path.exists(final):
+        # snapshot ids are allocated globally (_next_snapshot_id) so two
+        # branches can never claim the same id; hitting this means a
+        # writer bypassed the allocator — fail loudly, never overwrite
+        # committed history
+        raise FileExistsError(f"snapshot {snap['snapshot_id']} already committed at {path}")
+    tmp = final + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(snap, fh, indent=1)
-    os.replace(tmp, os.path.join(d, name))  # atomic commit point
+    os.replace(tmp, final)  # atomic commit point
+
+
+def _next_snapshot_id(path: str) -> int:
+    """Globally unique next snapshot id: max over EVERY committed snapshot
+    file (not just some branch's head), so concurrent branch histories
+    never collide on an id."""
+    snaps = list_snapshots(path)
+    if not snaps:
+        return 1
+    return int(snaps[-1][len("snap-"):-len(".json")]) + 1
+
+
+def _next_segment_id(path: str, *snapshots: dict) -> int:
+    """Globally unique next segment id: max over the given snapshots AND
+    every ``seg=`` directory on disk — a staged branch's segment must not
+    collide with one appended to main (both would otherwise take
+    head-max + 1 and write the same blocks/docs/stats directories)."""
+    mx = -1
+    for snap in snapshots:
+        for s in snap.get("segments", []):
+            mx = max(mx, int(s["segment_id"]))
+    base = os.path.join(path, "blocks")
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith("seg="):
+                mx = max(mx, int(d[4:]))
+    return mx + 1
 
 
 # --- named snapshot refs (Iceberg tags: pinned, human-named versions) -----
@@ -161,6 +195,8 @@ def create_tag(
             f"tag {name!r} already points at snapshot {refs[name]}; "
             "pass replace=True to move it"
         )
+    if name in list_branches(path):
+        raise ValueError(f"{name!r} already names a branch at {path}")
     refs[name] = int(snapshot_id)
     _write_refs(path, refs)
     return int(snapshot_id)
@@ -175,6 +211,146 @@ def remove_tag(path: str, name: str) -> int:
     sid = refs.pop(name)
     _write_refs(path, refs)
     return sid
+
+
+# --- branches (Iceberg writable refs: write-audit-publish) -----------------
+#
+# Tags pin history; BRANCHES advance it. The WAP (write-audit-publish)
+# pattern: stage appends on an audit branch (invisible to main readers),
+# validate the staged snapshot, then fast_forward main to it. "main" is
+# implicit (= latest snapshot) until the first create_branch pins it
+# explicitly — from then on staged commits can hold HIGHER snapshot ids
+# than main without becoming visible, because default reads resolve the
+# main ref, never "newest file".
+
+
+def _branches_file(path: str) -> str:
+    return os.path.join(_snap_dir(path), "branches.json")
+
+
+def list_branches(path: str) -> dict:
+    """{branch_name: head_snapshot_id}; includes 'main' once pinned."""
+    f = _branches_file(path)
+    if not os.path.exists(f):
+        return {}
+    with open(f) as fh:
+        return {k: int(v) for k, v in json.load(fh).items()}
+
+
+def _write_branches(path: str, branches: dict) -> None:
+    f = _branches_file(path)
+    tmp = f + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(branches, fh, indent=1, sort_keys=True)
+    os.replace(tmp, f)  # atomic, same discipline as snapshot commits
+
+
+def head_snapshot(path: str, branch: str = "main") -> dict | None:
+    """The snapshot a branch points at. 'main' falls back to the latest
+    snapshot until explicitly pinned (pre-branching artifacts behave
+    exactly as before); other names must exist."""
+    branches = list_branches(path)
+    if branch in branches:
+        return read_snapshot(path, branches[branch])
+    if branch == "main":
+        return latest_snapshot(path)
+    raise KeyError(f"unknown branch {branch!r} at {path}")
+
+
+def _advance_branch(path: str, branch: str, snapshot_id: int) -> None:
+    """Move a branch head after a commit. 'main' advances only once pinned
+    (implicit main == latest needs no bookkeeping)."""
+    branches = list_branches(path)
+    if branch == "main" and "main" not in branches:
+        return
+    branches[branch] = int(snapshot_id)
+    _write_branches(path, branches)
+
+
+def create_branch(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Create a writable branch (Iceberg ``create_branch``) at a committed
+    snapshot (default: the current main head). Creating the FIRST branch
+    pins main explicitly at its current head, so later staged commits —
+    which take globally newer snapshot ids — stay invisible to default
+    readers. Branch and tag names share a namespace (a ``ref=`` lookup
+    must be unambiguous). Returns the branch's starting snapshot id."""
+    if name == "main":
+        raise ValueError("'main' is managed by fast_forward, not create_branch")
+    if name in list_refs(path):
+        raise ValueError(f"{name!r} already names a tag at {path}")
+    branches = list_branches(path)
+    if name in branches:
+        raise ValueError(
+            f"branch {name!r} already points at snapshot {branches[name]}"
+        )
+    main = head_snapshot(path, "main")
+    if main is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    if snapshot_id is None:
+        snapshot_id = int(main["snapshot_id"])
+    else:
+        read_snapshot(path, snapshot_id)  # validate it exists
+    if "main" not in branches:
+        branches["main"] = int(main["snapshot_id"])  # pin main first
+    branches[name] = int(snapshot_id)
+    _write_branches(path, branches)
+    return int(snapshot_id)
+
+
+def drop_branch(path: str, name: str) -> int:
+    """Remove a branch ref (its unpublished snapshots become expirable).
+    Returns the head snapshot id it pointed at."""
+    if name == "main":
+        raise ValueError("cannot drop 'main'")
+    branches = list_branches(path)
+    if name not in branches:
+        raise KeyError(f"branch {name!r} does not exist at {path}")
+    sid = branches.pop(name)
+    _write_branches(path, branches)
+    return sid
+
+
+def _is_ancestor(path: str, ancestor_id: int, descendant_id: int) -> bool:
+    """Walk the parent_id chain from ``descendant_id``; requires the chain's
+    snapshots to still be on disk (expire keeps branch heads, not
+    necessarily interior history — a broken chain reads as 'not an
+    ancestor', and fast_forward reports it)."""
+    sid = descendant_id
+    while sid is not None:
+        if sid == ancestor_id:
+            return True
+        f = os.path.join(_snap_dir(path), f"snap-{sid:06d}.json")
+        if not os.path.exists(f):
+            return False
+        with open(f) as fh:
+            sid = json.load(fh).get("parent_id")
+    return False
+
+
+def fast_forward(path: str, branch: str, to: str) -> int:
+    """Publish: move ``branch`` (usually 'main') forward to the head of
+    ``to`` (Iceberg ``fast_forward``). Requires the current ``branch`` head
+    to be an ancestor of ``to``'s head — a diverged branch (commits on both
+    sides) cannot be fast-forwarded and raises; rebuild the staging branch
+    from the new main instead (the same rule Iceberg applies). Returns the
+    new head snapshot id."""
+    src = head_snapshot(path, to)
+    dst = head_snapshot(path, branch)
+    if src is None or dst is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    src_id, dst_id = int(src["snapshot_id"]), int(dst["snapshot_id"])
+    if src_id == dst_id:
+        return dst_id
+    if not _is_ancestor(path, dst_id, src_id):
+        raise ValueError(
+            f"branch {branch!r} (snapshot {dst_id}) is not an ancestor of "
+            f"{to!r} (snapshot {src_id}); histories diverged — cannot "
+            "fast-forward"
+        )
+    branches = list_branches(path)
+    branches[branch] = src_id
+    _write_branches(path, branches)
+    return src_id
 
 
 # ---------------------------------------------------------------------------
@@ -490,14 +666,14 @@ def build_artifact(
         ]
         n_segments = len(seg_values)
         config["n_segments"] = n_segments
-    prev = latest_snapshot(path) if resume else None
+    prev = head_snapshot(path) if resume else None
     if prev is not None and prev["config"] != config:
         raise ValueError(
             f"artifact at {path} was built with a different config: "
             f"{prev['config']} != {config}"
         )
     done = {s["segment_id"] for s in prev["segments"]} if prev else set()
-    snap_id = prev["snapshot_id"] if prev else 0
+    parent = prev["snapshot_id"] if prev else None
     segments = list(prev["segments"]) if prev else []
 
     built = 0
@@ -536,17 +712,19 @@ def build_artifact(
         entry["lineage"] = {"op": "append", "source": source_desc,
                             "filter": seg_filter}
         segments.append(entry)
-        snap_id += 1
+        snap_id = _next_snapshot_id(path)
         _commit_snapshot(
             path,
             {
                 "snapshot_id": snap_id,
-                "parent_id": snap_id - 1 if snap_id > 1 else None,
+                "parent_id": parent,
                 "created_unix": time.time(),
                 "config": config,
                 "segments": segments,
             },
         )
+        _advance_branch(path, "main", snap_id)
+        parent = snap_id
         built += 1
     return load_artifact(spark, path)
 
@@ -559,13 +737,21 @@ def append_segment(
     source_desc: str = "",
     stream_batch_id: int | None = None,
     pack_partitions: int | None = None,
+    branch: str = "main",
 ) -> "ArtifactIndex":
     """Append ONE new segment of docs to an existing artifact (the LSM
     "flush" increment; config inherited from the artifact). Idempotent per
     ``stream_batch_id``: a micro-batch replayed after a failure finds its id
     in the snapshot lineage and becomes a no-op (exactly-once appends under
-    Structured Streaming's at-least-once foreachBatch)."""
-    prev = latest_snapshot(path)
+    Structured Streaming's at-least-once foreachBatch).
+
+    ``branch``: commit on a staging branch (``create_branch`` first) for
+    write-audit-publish — the staged snapshot is invisible to default
+    (main) readers until ``fast_forward(path, "main", branch)``. The
+    replay guard checks the BRANCH's lineage, so exactly-once holds per
+    branch. Returns the index AT the new snapshot, whichever branch it
+    landed on."""
+    prev = head_snapshot(path, branch)
     if prev is None:
         raise FileNotFoundError(f"no artifact at {path}; build_artifact first")
     cfg = dict(prev["config"])
@@ -579,8 +765,11 @@ def append_segment(
             if stream_batch_id == lin.get("stream_batch_id") or (
                 stream_batch_id in lin.get("merged_stream_batch_ids", ())
             ):
-                return load_artifact(spark, path)  # replayed batch: no-op
-    seg = max(s["segment_id"] for s in segments) + 1
+                # replayed batch: no-op at the branch head
+                return load_artifact(
+                    spark, path, snapshot_id=prev["snapshot_id"]
+                )
+    seg = _next_segment_id(path, prev)
     t0 = time.time()
     entry = _build_segment(
         spark,
@@ -605,9 +794,10 @@ def append_segment(
     segments.append(entry)
     cfg["n_segments"] = len(segments)
     snap = dict(prev)
+    snap_id = _next_snapshot_id(path)
     snap.update(
         {
-            "snapshot_id": prev["snapshot_id"] + 1,
+            "snapshot_id": snap_id,
             "parent_id": prev["snapshot_id"],
             "created_unix": time.time(),
             "config": cfg,
@@ -615,7 +805,8 @@ def append_segment(
         }
     )
     _commit_snapshot(path, snap)
-    return load_artifact(spark, path)
+    _advance_branch(path, branch, snap_id)
+    return load_artifact(spark, path, snapshot_id=snap_id)
 
 
 # ---------------------------------------------------------------------------
@@ -830,8 +1021,17 @@ class ArtifactIndex(Index):
             self.docs_tbl.select("doc_id", "doc_ord"), "doc_id"
         ).persist()
         n = matched.count()
+        # deletes commit on main: with branches pinned, committing from a
+        # non-head snapshot would fork history invisibly — refuse instead
+        main = head_snapshot(self.path, "main")
+        if main is not None and main["snapshot_id"] != self.snapshot["snapshot_id"]:
+            raise ValueError(
+                f"delete from snapshot {self.snapshot['snapshot_id']} but "
+                f"main is at {main['snapshot_id']}; load the main head "
+                "(or fast_forward) before deleting"
+            )
         snap = dict(self.snapshot)
-        snap_id = snap["snapshot_id"] + 1
+        snap_id = _next_snapshot_id(self.path)
         rel = f"ts-{snap_id:06d}"
         if n:
             matched.write.mode("overwrite").parquet(
@@ -842,6 +1042,7 @@ class ArtifactIndex(Index):
         snap["parent_id"] = self.snapshot["snapshot_id"]
         snap["created_unix"] = time.time()
         _commit_snapshot(self.path, snap)
+        _advance_branch(self.path, "main", snap_id)
         self.snapshot = snap
         if self.tombstones is None:
             self.tombstones = matched
@@ -895,7 +1096,7 @@ def upsert_documents(
         aidx.docs_tbl.select("doc_id", "doc_ord"), "doc_id"
     ).persist()
     n_dead = matched.count()
-    snap_id = prev["snapshot_id"] + 1
+    snap_id = _next_snapshot_id(path)
     tombstones = list(prev.get("tombstones", []))
     if n_dead:
         rel = f"ts-{snap_id:06d}"
@@ -903,7 +1104,7 @@ def upsert_documents(
             os.path.join(path, "tombstones", rel)
         )
         tombstones.append(rel)
-    seg = max(s["segment_id"] for s in prev["segments"]) + 1
+    seg = _next_segment_id(path, prev)
     t0 = time.time()
     entry = _build_segment(
         spark,
@@ -938,6 +1139,7 @@ def upsert_documents(
         }
     )
     _commit_snapshot(path, snap)  # the single atomic flip
+    _advance_branch(path, "main", snap_id)
     matched.unpersist()
     return load_artifact(spark, path)
 
@@ -984,15 +1186,29 @@ def docs_added_between(
             ("subcompaction of", "compaction of")
         )
 
-    # walk the snapshot log (Iceberg-style): a segment is "added in the
-    # range" if some snapshot in (from, to] first lists it with append /
-    # upsert lineage. Requires log retention over the range — the same
-    # constraint Iceberg's incremental read has (read_snapshot raises if
-    # a needed snapshot was expired).
+    # walk the PARENT CHAIN from the target back to `from` (Iceberg-style):
+    # a segment is "added in the range" if some ancestor snapshot in
+    # (from, to] first lists it with append/upsert lineage. The chain walk
+    # (not a snapshot-id range scan) is what keeps this correct once
+    # branches exist — ids interleave across branches, and a staged
+    # snapshot's segments must not surface in main's changelog. Requires
+    # log retention over the chain — the same constraint Iceberg's
+    # incremental read has (read_snapshot raises if a needed snapshot was
+    # expired).
+    chain: list[dict] = []
+    sid: int | None = to_id
+    while sid is not None and sid != from_snapshot_id:
+        s = read_snapshot(path, sid)
+        chain.append(s)
+        sid = s.get("parent_id")
+    if sid != from_snapshot_id:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of {to_id} "
+            f"(diverged branch or expired history)"
+        )
     seen = {s["segment_id"] for s in read_snapshot(path, from_snapshot_id)["segments"]}
     added: list[int] = []
-    for sid in range(from_snapshot_id + 1, to_id + 1):
-        snap = read_snapshot(path, sid)
+    for snap in reversed(chain):  # oldest -> newest
         for s in snap["segments"]:
             if s["segment_id"] not in seen:
                 seen.add(s["segment_id"])
@@ -1022,21 +1238,28 @@ def load_artifact(
 ) -> ArtifactIndex:
     """Open the artifact at its latest snapshot, or — time travel — at any
     earlier committed snapshot still on disk (``snapshot_id=...``), or at
-    a named tag (``ref=...``, Iceberg ``VERSION AS OF 'tag'``): readers
-    see exactly the segments and tombstones that snapshot listed, because
-    superseded segment files are only removed by ``expire_snapshots``
-    (which keeps tagged snapshots alive)."""
+    a named ref (``ref=...``: a tag — Iceberg ``VERSION AS OF 'tag'`` — or
+    a branch head): readers see exactly the segments and tombstones that
+    snapshot listed, because superseded segment files are only removed by
+    ``expire_snapshots`` (which keeps tag- and branch-referenced snapshots
+    alive). The default resolves the MAIN branch head, not "newest file":
+    snapshots staged on an audit branch stay invisible until published
+    (``fast_forward``)."""
     if ref is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id or ref, not both")
         refs = list_refs(path)
-        if ref not in refs:
+        branches = list_branches(path)
+        if ref in refs:  # tag (create_branch/create_tag keep these disjoint)
+            snapshot_id = refs[ref]
+        elif ref in branches:
+            snapshot_id = branches[ref]
+        else:
             raise KeyError(f"unknown ref {ref!r} at {path}")
-        snapshot_id = refs[ref]
     snap = (
         read_snapshot(path, snapshot_id)
         if snapshot_id is not None
-        else latest_snapshot(path)
+        else head_snapshot(path, "main")
     )
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {path}")
@@ -1119,7 +1342,7 @@ def subcompact(
     if not set(segs) <= all_ids:
         raise ValueError(f"unknown segment ids {set(segs) - all_ids}")
     cfg = dict(src.snapshot["config"])
-    new_seg = max(all_ids) + 1
+    new_seg = _next_segment_id(path, src.snapshot)
 
     # old->new ordinal mapping is keyed on the OLD ordinal, not doc_id: the
     # same doc_id may legally exist in two merged segments (append_segment
@@ -1228,7 +1451,7 @@ def subcompact(
         }
     )
     cfg["n_segments"] = len(kept)
-    snap_id = snap["snapshot_id"] + 1
+    snap_id = _next_snapshot_id(path)
     ts_rels = []
     if src.tombstones is not None:
         t = src.tombstones
@@ -1257,6 +1480,7 @@ def subcompact(
         }
     )
     _commit_snapshot(path, snap)
+    _advance_branch(path, "main", snap_id)
     return load_artifact(spark, path)
 
 
@@ -1275,9 +1499,19 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     snaps = list_snapshots(path)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    # tagged snapshots are pinned (Iceberg ref-retention): they and their
-    # files survive expiry regardless of keep_last, until the tag is removed
-    pinned = {f"snap-{sid:06d}.json" for sid in list_refs(path).values()}
+    # tag- AND branch-referenced snapshots are pinned (Iceberg
+    # ref-retention): they and their files survive expiry regardless of
+    # keep_last, until the ref is removed. Branch heads matter doubly:
+    # with a pinned main, "newest keep_last files" may be STAGED snapshots
+    # — expiring main's head out from under default readers would be
+    # catastrophic.
+    pinned = {
+        f"snap-{sid:06d}.json"
+        for sid in (
+            list(list_refs(path).values())
+            + list(list_branches(path).values())
+        )
+    }
     kept = [n for n in snaps[-keep_last:]] + [
         n for n in snaps[:-keep_last] if n in pinned
     ]
@@ -1329,7 +1563,7 @@ def maybe_merge(
     ``keep_largest`` biggest (by bytes) — via ``subcompact`` (LSM tiering).
     ``keep_largest=0`` reproduces the reference's merge-all. Returns the
     reloaded index when a merge ran, else None."""
-    snap = latest_snapshot(path)
+    snap = head_snapshot(path, "main")
     if snap is None or len(snap["segments"]) < max(threshold, 2):
         return None
     by_size = sorted(snap["segments"], key=lambda s: (-s["bytes"], s["segment_id"]))

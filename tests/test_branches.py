@@ -1,0 +1,159 @@
+"""Iceberg-style branches + write-audit-publish over the snapshot log:
+staged appends invisible to main, fast-forward publish, divergence
+refusal, global snapshot/segment id uniqueness across branches, branch
+heads pinned through expiry, changelog confined to the main chain."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.artifact import (
+    append_segment,
+    build_artifact,
+    create_branch,
+    create_tag,
+    docs_added_between,
+    drop_branch,
+    expire_snapshots,
+    fast_forward,
+    head_snapshot,
+    list_branches,
+    list_snapshots,
+    load_artifact,
+)
+
+
+def _corpus(spark, ids, marker="base"):
+    return spark.createDataFrame(
+        [(f"d-{i}", f"{marker} text token{i} shared") for i in ids],
+        "doc_id string, text string",
+    )
+
+
+@pytest.fixture()
+def art(spark, tmp_path):
+    path = str(tmp_path / "branched")
+    build_artifact(
+        spark, _corpus(spark, range(6)), path, analyzer="punctuation",
+        source_desc="base",
+    )
+    return path
+
+
+def test_wap_stage_audit_publish(spark, art):
+    main_before = head_snapshot(art)["snapshot_id"]
+    create_branch(art, "audit")
+    # stage: new docs land on the branch, with a searchable marker term
+    staged = append_segment(
+        spark,
+        _corpus(spark, range(100, 103), marker="zqstaged"),
+        art,
+        branch="audit",
+    )
+    assert staged.search_keyword("zqstaged").count() == 3
+    # main readers see NOTHING staged (default load resolves main ref)
+    main = load_artifact(spark, art)
+    assert main.snapshot["snapshot_id"] == main_before
+    assert main.search_keyword("zqstaged").count() == 0
+    # audit: the branch ref reads the staged snapshot
+    audit = load_artifact(spark, art, ref="audit")
+    assert audit.search_keyword("zqstaged").count() == 3
+    # publish: fast-forward main to the audited head
+    new_head = fast_forward(art, "main", "audit")
+    assert new_head == audit.snapshot["snapshot_id"]
+    assert load_artifact(spark, art).search_keyword("zqstaged").count() == 3
+
+
+def test_branch_and_main_ids_never_collide(spark, art):
+    create_branch(art, "audit")
+    staged = append_segment(
+        spark, _corpus(spark, [200], marker="zqa"), art, branch="audit"
+    )
+    mained = append_segment(spark, _corpus(spark, [300], marker="zqb"), art)
+    # distinct snapshot ids AND distinct segment ids (no directory clash)
+    assert staged.snapshot["snapshot_id"] != mained.snapshot["snapshot_id"]
+    seg_a = {s["segment_id"] for s in staged.snapshot["segments"]}
+    seg_b = {s["segment_id"] for s in mained.snapshot["segments"]}
+    assert (seg_a - seg_b) and (seg_b - seg_a)  # each has its own new seg
+    # main advanced to its own commit; branch kept its own head
+    assert list_branches(art)["main"] == mained.snapshot["snapshot_id"]
+    assert list_branches(art)["audit"] == staged.snapshot["snapshot_id"]
+    # both sides read their own marker and not the other's
+    assert load_artifact(spark, art).search_keyword("zqb").count() == 1
+    assert load_artifact(spark, art).search_keyword("zqa").count() == 0
+    assert load_artifact(spark, art, ref="audit").search_keyword("zqa").count() == 1
+    assert load_artifact(spark, art, ref="audit").search_keyword("zqb").count() == 0
+
+
+def test_fast_forward_refuses_divergence(spark, art):
+    create_branch(art, "audit")
+    append_segment(spark, _corpus(spark, [201], marker="zqa"), art, branch="audit")
+    append_segment(spark, _corpus(spark, [301], marker="zqb"), art)  # main moves too
+    with pytest.raises(ValueError, match="diverged"):
+        fast_forward(art, "main", "audit")
+
+
+def test_expire_keeps_branch_heads_and_main(spark, art):
+    create_branch(art, "audit")
+    append_segment(spark, _corpus(spark, [210], marker="zqa"), art, branch="audit")
+    append_segment(spark, _corpus(spark, [211], marker="zqa2"), art, branch="audit")
+    main_head = list_branches(art)["main"]
+    # newest files by id are the STAGED snapshots; keep_last=1 must still
+    # keep main's head (branch-pinning), or default readers break
+    expire_snapshots(art, keep_last=1)
+    main = load_artifact(spark, art)
+    assert main.snapshot["snapshot_id"] == main_head
+    assert main.search_keyword("shared").count() == 6
+    audit = load_artifact(spark, art, ref="audit")
+    assert audit.search_keyword("zqa2").count() == 1
+
+
+def test_changelog_follows_main_chain_only(spark, art):
+    from_id = head_snapshot(art)["snapshot_id"]
+    create_branch(art, "audit")
+    append_segment(spark, _corpus(spark, [220], marker="zqa"), art, branch="audit")
+    mained = append_segment(spark, _corpus(spark, [320], marker="zqb"), art)
+    # main changelog: only the main append, even though the staged commit
+    # holds a lower snapshot id than main's head
+    delta = docs_added_between(spark, art, from_id)
+    ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    assert ids == {"d-320"}
+    # after publish... main diverged, so ff refuses; read the branch delta
+    # directly against its own head instead
+    audit_head = list_branches(art)["audit"]
+    delta_audit = docs_added_between(spark, art, from_id, audit_head)
+    assert {r.doc_id for r in delta_audit.select("doc_id").collect()} == {"d-220"}
+    assert mained.snapshot["snapshot_id"] == list_branches(art)["main"]
+
+
+def test_streaming_replay_guard_is_per_branch(spark, art):
+    create_branch(art, "audit")
+    first = append_segment(
+        spark, _corpus(spark, [230], marker="zqa"), art,
+        branch="audit", stream_batch_id=7,
+    )
+    replay = append_segment(
+        spark, _corpus(spark, [230], marker="zqa"), art,
+        branch="audit", stream_batch_id=7,
+    )
+    assert replay.snapshot["snapshot_id"] == first.snapshot["snapshot_id"]
+    assert replay.search_keyword("zqa").count() == 1  # no duplicate append
+
+
+def test_branch_name_hygiene(spark, art):
+    create_tag(art, "v1")
+    with pytest.raises(ValueError, match="tag"):
+        create_branch(art, "v1")
+    create_branch(art, "audit")
+    with pytest.raises(ValueError, match="branch"):
+        create_tag(art, "audit")
+    with pytest.raises(ValueError, match="already points"):
+        create_branch(art, "audit")
+    with pytest.raises(ValueError, match="managed by fast_forward"):
+        create_branch(art, "main")
+    with pytest.raises(ValueError, match="cannot drop"):
+        drop_branch(art, "main")
+    drop_branch(art, "audit")
+    with pytest.raises(KeyError):
+        load_artifact(spark, art, ref="audit")

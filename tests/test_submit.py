@@ -281,3 +281,68 @@ def test_spark_submit_export_commands(spark, tmp_path):
         for r in spark.read.parquet(cd_out).collect()
     }
     assert got_cd["re-conv-00000001"] == ("exact_dup", "conv-00000001")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_write_audit_publish(spark, tmp_path):
+    """WAP through REAL spark-submit: a staged append on an audit branch is
+    invisible to main's changelog until branch --publish fast-forwards."""
+    from searchengine_spark.fixtures import transcripts_df
+
+    src1 = str(tmp_path / "t1")
+    src2 = str(tmp_path / "t2")
+    out = str(tmp_path / "artifact")
+    corpus = transcripts_df(spark, "tiny")
+    first = corpus.where("conv_id < 'conv-00000015'")
+    second = corpus.where("conv_id >= 'conv-00000015'")
+    first.select("conv_id", "turn_idx", "text").write.parquet(src1)
+    second.select("conv_id", "turn_idx", "text").write.parquet(src2)
+
+    pkg_zip = shutil.make_archive(
+        str(tmp_path / "searchengine_spark_pyfiles"), "zip", REPO,
+        "searchengine_spark",
+    )
+
+    def submit(*argv) -> dict:
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT, "--master", "local[2]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.ui.showConsoleProgress=false",
+                "--py-files", pkg_zip,
+                os.path.join(REPO, "scripts", "submit_job.py"), *argv,
+            ],
+            capture_output=True, text=True, timeout=600,
+            cwd=str(tmp_path),
+            env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return [
+            json.loads(l) for l in proc.stdout.splitlines()
+            if l.startswith(("{", "["))
+        ][-1]
+
+    built = submit("build", "--input", src1, "--output", out)
+    base = built["snapshot_id"]
+    created = submit("branch", "--index", out, "--create", "audit")
+    assert created["snapshot_id"] == base
+    staged = submit(
+        "append", "--input", src2, "--index", out,
+        "--branch", "audit", "--batch-id", "9",
+    )
+    assert staged["branch"] == "audit" and staged["segments"] == 2
+    # main's changelog sees NOTHING staged
+    change = submit("changelog", "--index", out, "--from-snapshot", str(base))
+    assert change["n_added"] == 0
+    snaps = submit("snapshots", "--index", out)
+    by_id = {s["snapshot_id"]: s for s in snaps}
+    assert "main" in by_id[base]["branches"]
+    assert "audit" in by_id[staged["snapshot_id"]]["branches"]
+    # publish, then main's changelog reports exactly the staged docs
+    pub = submit("branch", "--index", out, "--publish", "audit")
+    assert pub["main_at"] == staged["snapshot_id"]
+    change2 = submit("changelog", "--index", out, "--from-snapshot", str(base))
+    assert change2["n_added"] == second.count()
