@@ -243,17 +243,29 @@ def main() -> None:
             list_branches,
         )
 
-        if sum(x is not None for x in (args.create, args.drop, args.publish)) != 1:
-            raise SystemExit("pass exactly one of --create/--drop/--publish")
-        if args.create:
-            sid = create_branch(args.index, args.create, args.snapshot_id)
-            print(json.dumps({"created": args.create, "snapshot_id": sid}))
-        elif args.drop:
-            sid = drop_branch(args.index, args.drop)
-            print(json.dumps({"dropped": args.drop, "was_at": sid}))
+        chosen = [
+            (k, v)
+            for k, v in (("create", args.create), ("drop", args.drop),
+                         ("publish", args.publish))
+            if v is not None
+        ]
+        if len(chosen) != 1 or not chosen[0][1]:
+            raise SystemExit(
+                "pass exactly one of --create/--drop/--publish with a "
+                "non-empty branch name"
+            )
+        action, name = chosen[0]
+        if args.snapshot_id is not None and action != "create":
+            raise SystemExit("--snapshot-id only applies to --create")
+        if action == "create":
+            sid = create_branch(args.index, name, args.snapshot_id)
+            print(json.dumps({"created": name, "snapshot_id": sid}))
+        elif action == "drop":
+            sid = drop_branch(args.index, name)
+            print(json.dumps({"dropped": name, "was_at": sid}))
         else:
-            sid = fast_forward(args.index, "main", args.publish)
-            print(json.dumps({"published": args.publish, "main_at": sid,
+            sid = fast_forward(args.index, "main", name)
+            print(json.dumps({"published": name, "main_at": sid,
                               "branches": list_branches(args.index)}))
     elif args.cmd == "tag":
         from searchengine_spark.index.artifact import create_tag, remove_tag

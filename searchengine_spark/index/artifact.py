@@ -181,9 +181,11 @@ def create_tag(
     snapshots (and the segment/tombstone files they list) survive
     ``expire_snapshots`` until the tag is removed. Defaults to the latest
     snapshot; raises on unknown snapshot ids and, without ``replace``, on
-    existing names. Returns the resolved snapshot id."""
+    existing names. Returns the resolved snapshot id. The default is the
+    MAIN head — never the newest snapshot file, which may be an
+    unpublished staged commit once a branch exists."""
     if snapshot_id is None:
-        snap = latest_snapshot(path)
+        snap = head_snapshot(path, "main")
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot under {path}")
         snapshot_id = int(snap["snapshot_id"])
@@ -1017,12 +1019,10 @@ class ArtifactIndex(Index):
         return self._commit_tombstones(ids_df.select("doc_id").distinct())
 
     def _commit_tombstones(self, ids_df: DataFrame) -> int:
-        matched = ids_df.join(
-            self.docs_tbl.select("doc_id", "doc_ord"), "doc_id"
-        ).persist()
-        n = matched.count()
         # deletes commit on main: with branches pinned, committing from a
-        # non-head snapshot would fork history invisibly — refuse instead
+        # non-head snapshot would fork history invisibly — refuse BEFORE
+        # running any Spark work (the check is pure metadata; doing the
+        # join first would also leak `matched` persisted on the raise path)
         main = head_snapshot(self.path, "main")
         if main is not None and main["snapshot_id"] != self.snapshot["snapshot_id"]:
             raise ValueError(
@@ -1030,6 +1030,10 @@ class ArtifactIndex(Index):
                 f"main is at {main['snapshot_id']}; load the main head "
                 "(or fast_forward) before deleting"
             )
+        matched = ids_df.join(
+            self.docs_tbl.select("doc_id", "doc_ord"), "doc_id"
+        ).persist()
+        n = matched.count()
         snap = dict(self.snapshot)
         snap_id = _next_snapshot_id(self.path)
         rel = f"ts-{snap_id:06d}"
@@ -1505,13 +1509,29 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     # with a pinned main, "newest keep_last files" may be STAGED snapshots
     # — expiring main's head out from under default readers would be
     # catastrophic.
-    pinned = {
-        f"snap-{sid:06d}.json"
-        for sid in (
-            list(list_refs(path).values())
-            + list(list_branches(path).values())
-        )
-    }
+    branches = list_branches(path)
+    pinned_ids = set(list_refs(path).values()) | set(branches.values())
+    kept_ids = {
+        int(n[len("snap-"):-len(".json")]) for n in snaps[-keep_last:]
+    } | {sid for sid in pinned_ids}
+    # ALSO pin every snapshot on a branch head's parent chain down to an
+    # already-kept snapshot: fast_forward's ancestry walk (and incremental
+    # reads along the branch) need the interior chain — expiring snap 2 of
+    # main=1 -> staged 2 -> staged 3 would make a never-diverged branch
+    # read as 'diverged' and permanently brick the publish
+    for head_id in branches.values():
+        sid = head_id
+        while sid is not None:
+            f = os.path.join(_snap_dir(path), f"snap-{sid:06d}.json")
+            if not os.path.exists(f):
+                break
+            with open(f) as fh:
+                parent = json.load(fh).get("parent_id")
+            if parent is None or parent in kept_ids:
+                break
+            kept_ids.add(parent)
+            sid = parent
+    pinned = {f"snap-{sid:06d}.json" for sid in kept_ids}
     kept = [n for n in snaps[-keep_last:]] + [
         n for n in snaps[:-keep_last] if n in pinned
     ]
@@ -1647,11 +1667,16 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
         or 0
     )
     cfg["n_segments"] = 1
+    # a re-compaction into the SAME out_path is idempotent: the data dirs
+    # were rewritten with mode('overwrite'); allocate the next snapshot id
+    # (never overwrite a committed file) and chain onto the previous
+    # compact's snapshot so latest/main resolves to the fresh result
+    prior = latest_snapshot(out_path)
     _commit_snapshot(
         out_path,
         {
-            "snapshot_id": 1,
-            "parent_id": None,
+            "snapshot_id": _next_snapshot_id(out_path),
+            "parent_id": prior["snapshot_id"] if prior else None,
             "created_unix": time.time(),
             "config": cfg,
             "segments": [
@@ -1700,8 +1725,10 @@ def describe_artifact(path: str) -> dict:
     — no Spark session, no data scan (the per-segment metrics were
     recorded at build/append/merge time; the Iceberg-manifest-summary
     role). Returns totals plus per-segment rows and the snapshot/tombstone
-    lineage a dashboard or capacity planner wants."""
-    snap = latest_snapshot(path)
+    lineage a dashboard or capacity planner wants. Describes the MAIN head
+    (what default readers serve), not the newest snapshot file — those
+    differ once a staging branch holds unpublished commits."""
+    snap = head_snapshot(path, "main")
     if snap is None:
         raise FileNotFoundError(f"no artifact at {path}")
     segs = snap["segments"]

@@ -157,3 +157,53 @@ def test_branch_name_hygiene(spark, art):
     drop_branch(art, "audit")
     with pytest.raises(KeyError):
         load_artifact(spark, art, ref="audit")
+
+
+def test_publish_survives_expiry_of_interior_chain(spark, art):
+    """The bricking scenario: stage TWO appends, expire with keep_last=1
+    (interior staged snapshot is not a head), then publish. Expiry must
+    pin the branch head's parent chain or fast_forward misreads the
+    never-diverged history as diverged."""
+    create_branch(art, "audit")
+    append_segment(spark, _corpus(spark, [240], marker="zqa"), art, branch="audit")
+    append_segment(spark, _corpus(spark, [241], marker="zqb"), art, branch="audit")
+    expire_snapshots(art, keep_last=1)
+    new_head = fast_forward(art, "main", "audit")
+    main = load_artifact(spark, art)
+    assert main.snapshot["snapshot_id"] == new_head
+    assert main.search_keyword("zqa").count() == 1
+    assert main.search_keyword("zqb").count() == 1
+
+
+def test_tag_and_describe_default_to_main_not_staged(spark, art):
+    from searchengine_spark.index.artifact import describe_artifact, list_refs
+
+    main_head = head_snapshot(art)["snapshot_id"]
+    create_branch(art, "audit")
+    append_segment(spark, _corpus(spark, [250], marker="zqa"), art, branch="audit")
+    # default tag pins MAIN's head, not the newest (staged) snapshot file
+    create_tag(art, "release")
+    assert list_refs(art)["release"] == main_head
+    # ops summary describes what default readers serve
+    assert describe_artifact(art)["snapshot_id"] == main_head
+
+
+def test_delete_refuses_non_head_and_leaves_no_commit(spark, art):
+    before = list_snapshots(art)
+    append_segment(spark, _corpus(spark, [260], marker="zqa"), art)
+    old = load_artifact(spark, art, snapshot_id=head_snapshot(art)["parent_id"])
+    ids = old.spark.createDataFrame([("d-0",)], "doc_id string")
+    with pytest.raises(ValueError, match="main is at"):
+        old.delete_ids(ids)
+    # the refusal happened before any snapshot commit
+    assert len(list_snapshots(art)) == len(before) + 1  # only the append
+
+
+def test_compact_rerun_same_out_path_is_idempotent(spark, art, tmp_path):
+    from searchengine_spark.index.artifact import compact
+
+    out = str(tmp_path / "compacted")
+    first = compact(spark, art, out)
+    again = compact(spark, art, out)  # scheduler retry: must not crash
+    assert again.snapshot["snapshot_id"] > first.snapshot["snapshot_id"]
+    assert again.search_keyword("shared").count() == 6
