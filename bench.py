@@ -197,6 +197,7 @@ def main() -> None:
         "doc_keyterms",
         "graph_bfs_depth",
         "graph_labelprop",
+        "graph_walks",
         "ft_collapse",
         "eval_ngram_overlap",
     ):

@@ -6444,6 +6444,75 @@ FROM l{_LPA_ITER} ORDER BY node
 
 
 # ---------------------------------------------------------------------------
+# deterministic random walks (graph/walks.py)
+# ---------------------------------------------------------------------------
+
+_WALK_LEN = 6
+_WALK_SEED = 42
+
+
+def graph_walks_q(spark, sf_dir):
+    """node2vec/DeepWalk-style walk corpus over the fixture link graph:
+    one fixed-length walk per node, next-step choice a seeded 48-bit
+    md5-prefix hash mod degree over the rank-ordered neighbor list — no
+    RNG, so the oracle replays every hop bit-for-bit and re-runs at any
+    cluster size emit the identical training corpus. One equi-join per
+    step on (node, chosen_rank); walk frame localCheckpointed per step."""
+    from .fixtures import graph_edges_df
+    from .graph.walks import random_walks
+
+    return random_walks(
+        graph_edges_df(spark, n_nodes=200),
+        walk_length=_WALK_LEN,
+        walks_per_node=1,
+        seed=_WALK_SEED,
+    ).orderBy("walk_id", "pos")
+
+
+def _graph_walks_sql() -> str:
+    from .fixtures import graph_edges_pandas
+
+    pdf = graph_edges_pandas(n_nodes=200)
+    vals = ", ".join(
+        f"({int(s)},{int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    # walks_per_node=1 => walk_id == start node
+    ctes = [
+        f"edges(src, dst) AS (VALUES {vals})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        "adj AS MATERIALIZED (SELECT u, v, "
+        "row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk, "
+        "count(*) OVER (PARTITION BY u) AS deg FROM sym)",
+        "s0 AS MATERIALIZED (SELECT DISTINCT u AS walk_id, u AS start, "
+        "u AS node FROM adj)",
+    ]
+    for t in range(1, _WALK_LEN):
+        key = (
+            f"c.walk_id::VARCHAR || '|' || c.node::VARCHAR || "
+            f"'|{t}|{_WALK_SEED}'"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT c.walk_id, c.start, a.v AS node "
+            f"FROM s{t - 1} c JOIN adj a ON a.u = c.node "
+            f"AND a.rnk = ('0x' || substr(md5({key}), 1, 12))::BIGINT "
+            f"% a.deg)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, start, {t} AS pos, node FROM s{t}"
+        for t in range(_WALK_LEN)
+    )
+    return f"""
+WITH {", ".join(ctes)}
+SELECT walk_id::BIGINT AS walk_id, start::BIGINT AS start,
+       pos::INTEGER AS pos, node::BIGINT AS node
+FROM ({union}) ORDER BY walk_id, pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # field collapsing (query/collapse.py)
 # ---------------------------------------------------------------------------
 
@@ -6708,6 +6777,7 @@ QUERIES = {
     "graph_kcore": graph_kcore_q,
     "graph_bfs_depth": graph_bfs_depth_q,
     "graph_labelprop": graph_labelprop_q,
+    "graph_walks": graph_walks_q,
     "ft_collapse": ft_collapse,
     "eval_ngram_overlap": eval_ngram_overlap_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
@@ -6854,6 +6924,7 @@ ORACLES = {
     "graph_kcore": _graph_kcore_sql(),
     "graph_bfs_depth": _graph_bfs_sql(),
     "graph_labelprop": _graph_labelprop_sql(),
+    "graph_walks": _graph_walks_sql(),
     "ft_collapse": _ft_collapse_sql(),
     "eval_ngram_overlap": _eval_ngram_overlap_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true

@@ -9,6 +9,7 @@ from .pagerank import (
     read_edge_tsv,
 )
 from .triangles import node_triangle_counts, triangle_count, triangles
+from .walks import random_walks
 
 __all__ = [
     "bfs_distances",
@@ -22,4 +23,5 @@ __all__ = [
     "node_triangle_counts",
     "triangle_count",
     "triangles",
+    "random_walks",
 ]

@@ -292,3 +292,59 @@ def test_labelprop_random_graph_matches_twin_per_round(spark):
     for it in (1, 2, 4):
         got = {r.node: r.label for r in label_propagation(df, it).collect()}
         assert got == py_label_propagation(edges, it), f"n_iter={it}"
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (graph/walks.py)
+# ---------------------------------------------------------------------------
+
+
+def test_walks_path_graph_bounces(spark):
+    from searchengine_spark.graph.walks import random_walks
+
+    # single edge: both endpoints have degree 1, so every pick is forced
+    # and the walks strictly alternate
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {
+        (r.walk_id, r.pos): r.node
+        for r in random_walks(df, walk_length=4).collect()
+    }
+    assert got == {
+        (1, 0): 1, (1, 1): 2, (1, 2): 1, (1, 3): 2,
+        (2, 0): 2, (2, 1): 1, (2, 2): 2, (2, 3): 1,
+    }
+
+
+def test_walks_random_graph_matches_twin(spark):
+    """Distributed walks replay the pure-python twin hop-for-hop,
+    including multiple replicas per start node and a non-default seed."""
+    import random
+
+    from searchengine_spark.graph.walks import py_random_walks, random_walks
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.walk_id, r.pos): r.node
+        for r in random_walks(
+            df, walk_length=5, walks_per_node=2, seed=7
+        ).collect()
+    }
+    want = py_random_walks(edges, walk_length=5, walks_per_node=2, seed=7)
+    assert got == want
+    # every live node starts exactly walks_per_node full-length walks
+    n_nodes = len({n for e in edges if e[0] != e[1] for n in e})
+    assert len(got) == n_nodes * 2 * 5
+
+
+def test_walks_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.graph.walks import random_walks
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="walk_length"):
+        random_walks(df, walk_length=0)
+    with _pytest.raises(ValueError, match="walks_per_node"):
+        random_walks(df, walk_length=2, walks_per_node=0)
