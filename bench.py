@@ -198,6 +198,7 @@ def main() -> None:
         "graph_bfs_depth",
         "graph_labelprop",
         "graph_walks",
+        "walk_skipgrams",
         "ft_collapse",
         "eval_ngram_overlap",
     ):

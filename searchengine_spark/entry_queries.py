@@ -6469,7 +6469,10 @@ def graph_walks_q(spark, sf_dir):
     ).orderBy("walk_id", "pos")
 
 
-def _graph_walks_sql() -> str:
+def _walk_corpus_ctes() -> list[str]:
+    """CTE chain replaying the fixture walk corpus hop-for-hop, ending in
+    ``wcorpus(walk_id, start, pos, node)`` — shared by the walks entry and
+    everything trained off the walk corpus (skip-grams)."""
     from .fixtures import graph_edges_pandas
 
     pdf = graph_edges_pandas(n_nodes=200)
@@ -6504,11 +6507,63 @@ def _graph_walks_sql() -> str:
         f"SELECT walk_id, start, {t} AS pos, node FROM s{t}"
         for t in range(_WALK_LEN)
     )
+    ctes.append(f"wcorpus AS MATERIALIZED ({union})")
+    return ctes
+
+
+def _graph_walks_sql() -> str:
     return f"""
-WITH {", ".join(ctes)}
+WITH {", ".join(_walk_corpus_ctes())}
 SELECT walk_id::BIGINT AS walk_id, start::BIGINT AS start,
        pos::INTEGER AS pos, node::BIGINT AS node
-FROM ({union}) ORDER BY walk_id, pos
+FROM wcorpus ORDER BY walk_id, pos
+"""
+
+
+_SKIPGRAM_WINDOW = 2
+
+
+def walk_skipgrams_q(spark, sf_dir):
+    """node2vec training pairs: skip-gram (center, context) co-occurrence
+    counts with window 2 over the deterministic walk corpus. One
+    lead-window pass per sequence (no self-join — the corpus is never
+    duplicated), backward pairs by flipping forward ones, one combinable
+    count aggregate."""
+    from .fixtures import graph_edges_df
+    from .graph.walks import random_walks
+    from .textops.skipgram import skipgram_counts
+
+    walks = random_walks(
+        graph_edges_df(spark, n_nodes=200),
+        walk_length=_WALK_LEN,
+        walks_per_node=1,
+        seed=_WALK_SEED,
+    )
+    return skipgram_counts(
+        walks,
+        seq_col="walk_id",
+        pos_col="pos",
+        token_col="node",
+        window=_SKIPGRAM_WINDOW,
+    ).orderBy("center", "context")
+
+
+def _walk_skipgrams_sql() -> str:
+    w = _SKIPGRAM_WINDOW
+    return f"""
+WITH {", ".join(_walk_corpus_ctes())},
+fwd AS (
+  SELECT c.node AS center, d.node AS context
+  FROM wcorpus c JOIN wcorpus d
+    ON d.walk_id = c.walk_id AND d.pos BETWEEN c.pos + 1 AND c.pos + {w}
+),
+pairs AS (
+  SELECT center, context FROM fwd
+  UNION ALL SELECT context, center FROM fwd
+)
+SELECT center::BIGINT AS center, context::BIGINT AS context,
+       count(*)::BIGINT AS n
+FROM pairs GROUP BY 1, 2 ORDER BY center, context
 """
 
 
@@ -6778,6 +6833,7 @@ QUERIES = {
     "graph_bfs_depth": graph_bfs_depth_q,
     "graph_labelprop": graph_labelprop_q,
     "graph_walks": graph_walks_q,
+    "walk_skipgrams": walk_skipgrams_q,
     "ft_collapse": ft_collapse,
     "eval_ngram_overlap": eval_ngram_overlap_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
@@ -6925,6 +6981,7 @@ ORACLES = {
     "graph_bfs_depth": _graph_bfs_sql(),
     "graph_labelprop": _graph_labelprop_sql(),
     "graph_walks": _graph_walks_sql(),
+    "walk_skipgrams": _walk_skipgrams_sql(),
     "ft_collapse": _ft_collapse_sql(),
     "eval_ngram_overlap": _eval_ngram_overlap_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true

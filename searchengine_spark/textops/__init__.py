@@ -30,6 +30,7 @@ from .dsir import dsir_select, dsir_weights, hashed_gram_features
 from .sampling import stratified_sample, training_mix
 from .evalmetrics import ngram_counts, ngram_overlap_eval
 from .sketches import kmv_distinct
+from .skipgram import skipgram_counts, skipgram_pairs
 from .similarity import (
     brute_force_topk,
     build_lsh_index,
@@ -91,6 +92,8 @@ __all__ = [
     "dsir_weights",
     "hashed_gram_features",
     "kmv_distinct",
+    "skipgram_counts",
+    "skipgram_pairs",
     "ngram_counts",
     "ngram_overlap_eval",
 ]

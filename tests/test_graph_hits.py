@@ -348,3 +348,63 @@ def test_walks_rejects_bad_params(spark):
         random_walks(df, walk_length=0)
     with _pytest.raises(ValueError, match="walks_per_node"):
         random_walks(df, walk_length=2, walks_per_node=0)
+
+
+# ---------------------------------------------------------------------------
+# skip-gram pair export (textops/skipgram.py) over the walk corpus
+# ---------------------------------------------------------------------------
+
+
+def _sg_counts(spark, rows, window):
+    from searchengine_spark.textops.skipgram import skipgram_counts
+
+    df = spark.createDataFrame(rows, "seq_id long, pos int, token string")
+    return {
+        (r.center, r.context): r.n
+        for r in skipgram_counts(df, window=window).collect()
+    }
+
+
+def test_skipgram_hand_sequence(spark):
+    # a b c d, window 2: ab ac bc bd cd forward, each doubled
+    rows = [(1, i, t) for i, t in enumerate("abcd")]
+    got = _sg_counts(spark, rows, window=2)
+    fwd = {("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")}
+    want = {p: 1 for p in fwd} | {(b, a): 1 for a, b in fwd}
+    assert got == want
+
+
+def test_skipgram_gapped_positions_use_stream_order(spark):
+    # positions 0/5/9 still count as adjacent ranks (token-stream
+    # semantics — upstream filtering must not tear windows apart)
+    rows = [(1, 0, "a"), (1, 5, "b"), (1, 9, "c")]
+    got = _sg_counts(spark, rows, window=1)
+    assert got == {("a", "b"): 1, ("b", "a"): 1,
+                   ("b", "c"): 1, ("c", "b"): 1}
+
+
+def test_skipgram_matches_twin_random(spark):
+    import random
+
+    from searchengine_spark.textops.skipgram import py_skipgram_counts
+
+    rng = random.Random(31)
+    rows = [
+        (s, p, rng.choice("abcdef"))
+        for s in range(6)
+        for p in range(rng.randrange(1, 12))
+    ]
+    for w in (1, 2, 3):
+        assert _sg_counts(spark, rows, window=w) == py_skipgram_counts(
+            rows, window=w
+        ), f"window={w}"
+
+
+def test_skipgram_rejects_bad_window(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.textops.skipgram import skipgram_pairs
+
+    df = spark.createDataFrame([(1, 0, "a")], "seq_id long, pos int, token string")
+    with _pytest.raises(ValueError, match="window"):
+        skipgram_pairs(df, window=0)
