@@ -199,6 +199,7 @@ def main() -> None:
         "graph_labelprop",
         "graph_walks",
         "walk_skipgrams",
+        "walk_ppmi",
         "ft_collapse",
         "eval_ngram_overlap",
     ):

@@ -6548,22 +6548,73 @@ def walk_skipgrams_q(spark, sf_dir):
     ).orderBy("center", "context")
 
 
-def _walk_skipgrams_sql() -> str:
+def _skipgram_count_ctes() -> list[str]:
+    """Walk-corpus CTEs + the skip-gram count replay, ending in
+    ``sgcounts(center, context, n)``."""
     w = _SKIPGRAM_WINDOW
+    return _walk_corpus_ctes() + [
+        f"fwd AS MATERIALIZED (SELECT c.node AS center, d.node AS context "
+        f"FROM wcorpus c JOIN wcorpus d ON d.walk_id = c.walk_id "
+        f"AND d.pos BETWEEN c.pos + 1 AND c.pos + {w})",
+        "sgpairs AS MATERIALIZED (SELECT center, context FROM fwd "
+        "UNION ALL SELECT context, center FROM fwd)",
+        "sgcounts AS MATERIALIZED (SELECT center, context, "
+        "count(*)::BIGINT AS n FROM sgpairs GROUP BY 1, 2)",
+    ]
+
+
+def _walk_skipgrams_sql() -> str:
     return f"""
-WITH {", ".join(_walk_corpus_ctes())},
-fwd AS (
-  SELECT c.node AS center, d.node AS context
-  FROM wcorpus c JOIN wcorpus d
-    ON d.walk_id = c.walk_id AND d.pos BETWEEN c.pos + 1 AND c.pos + {w}
-),
-pairs AS (
-  SELECT center, context FROM fwd
-  UNION ALL SELECT context, center FROM fwd
+WITH {", ".join(_skipgram_count_ctes())}
+SELECT center::BIGINT AS center, context::BIGINT AS context, n
+FROM sgcounts ORDER BY center, context
+"""
+
+
+def walk_ppmi_q(spark, sf_dir):
+    """Positive-PMI co-occurrence weights over the walk skip-gram counts
+    — the embedding-matrix prep step (GloVe/SVD input). alpha=1.0 keeps
+    every intermediate an exact integer ratio (the cross-engine-safe
+    kind); two vocab-sized marginal joins, one O(1) totals collect."""
+    from .fixtures import graph_edges_df
+    from .graph.walks import random_walks
+    from .textops.skipgram import ppmi_weights, skipgram_counts
+
+    walks = random_walks(
+        graph_edges_df(spark, n_nodes=200),
+        walk_length=_WALK_LEN,
+        walks_per_node=1,
+        seed=_WALK_SEED,
+    )
+    counts = skipgram_counts(
+        walks,
+        seq_col="walk_id",
+        pos_col="pos",
+        token_col="node",
+        window=_SKIPGRAM_WINDOW,
+    )
+    return ppmi_weights(counts, min_count=1, alpha=1.0).orderBy(
+        "center", "context"
+    )
+
+
+def _walk_ppmi_sql() -> str:
+    return f"""
+WITH {", ".join(_skipgram_count_ctes())},
+cmarg AS (SELECT center, sum(n)::BIGINT AS n_c FROM sgcounts GROUP BY 1),
+xmarg AS (SELECT context, sum(n::DOUBLE) AS n_x FROM sgcounts GROUP BY 1),
+tot AS (SELECT sum(n)::DOUBLE AS big_n, sum(n::DOUBLE) AS big_z
+        FROM sgcounts),
+scored AS (
+  SELECT s.center, s.context, s.n,
+         round(ln((s.n / t.big_n) /
+                  ((c.n_c / t.big_n) * (x.n_x / t.big_z))), 6) AS ppmi_r
+  FROM sgcounts s
+  JOIN cmarg c USING (center) JOIN xmarg x USING (context) CROSS JOIN tot t
 )
-SELECT center::BIGINT AS center, context::BIGINT AS context,
-       count(*)::BIGINT AS n
-FROM pairs GROUP BY 1, 2 ORDER BY center, context
+SELECT center::BIGINT AS center, context::BIGINT AS context, n,
+       ppmi_r::DOUBLE AS ppmi_r
+FROM scored WHERE ppmi_r > 0 ORDER BY center, context
 """
 
 
@@ -6834,6 +6885,7 @@ QUERIES = {
     "graph_labelprop": graph_labelprop_q,
     "graph_walks": graph_walks_q,
     "walk_skipgrams": walk_skipgrams_q,
+    "walk_ppmi": walk_ppmi_q,
     "ft_collapse": ft_collapse,
     "eval_ngram_overlap": eval_ngram_overlap_q,
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
@@ -6982,6 +7034,7 @@ ORACLES = {
     "graph_labelprop": _graph_labelprop_sql(),
     "graph_walks": _graph_walks_sql(),
     "walk_skipgrams": _walk_skipgrams_sql(),
+    "walk_ppmi": _walk_ppmi_sql(),
     "ft_collapse": _ft_collapse_sql(),
     "eval_ngram_overlap": _eval_ngram_overlap_sql(),
     # ann_ivf: deterministic centroids + n_probe=3 provably cover the true

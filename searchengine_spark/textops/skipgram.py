@@ -82,6 +82,66 @@ def skipgram_counts(
     )
 
 
+def ppmi_weights(
+    counts: DataFrame,
+    min_count: int = 1,
+    alpha: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Positive PMI weights over a ``(center, context, n)`` co-occurrence
+    frame (the GloVe/SVD-embedding prep step after ``skipgram_counts``):
+
+        ppmi = max(0, ln( (n / N) / ((n_c / N) * (n_x^alpha / Z)) ))
+
+    with ``alpha`` the context-distribution smoothing exponent (1.0 = no
+    smoothing — keeps every intermediate an exact integer ratio, the
+    cross-engine-safe kind; 0.75 = word2vec's). Rows with ``n <
+    min_count`` and non-positive PMI are dropped. Output:
+    ``(center, context, n, ppmi_r)`` with ppmi rounded at ``decimals``.
+
+    Plan: two marginal aggregates (combinable), two equi-joins back on
+    center / context, scalars N and Z via one O(1) collect. No windows,
+    no per-row Python; marginal frames are vocabulary-sized, so at corpus
+    scale the joins shuffle vocab rows, never the pair stream twice.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    kept = counts.where(F.col("n") >= min_count)
+    cmarg = kept.groupBy("center").agg(F.sum("n").alias("n_c"))
+    xweight = (
+        F.col("n").cast("double") ** F.lit(alpha)
+        if alpha != 1.0
+        else F.col("n").cast("double")
+    )
+    xmarg = kept.groupBy("context").agg(F.sum(xweight).alias("n_x"))
+    totals = kept.agg(
+        F.sum("n").alias("N"), F.sum(xweight).alias("Z")
+    ).collect()[0]
+    if totals["N"] is None:
+        return kept.select(
+            "center",
+            "context",
+            "n",
+            F.lit(0.0).alias("ppmi_r"),
+        ).where(F.lit(False))
+    big_n, big_z = float(totals["N"]), float(totals["Z"])
+    pmi = F.log(
+        (F.col("n") / F.lit(big_n))
+        / ((F.col("n_c") / F.lit(big_n)) * (F.col("n_x") / F.lit(big_z)))
+    )
+    return (
+        kept.join(cmarg, "center")
+        .join(xmarg, "context")
+        .select(
+            "center",
+            "context",
+            "n",
+            F.round(pmi, decimals).alias("ppmi_r"),
+        )
+        .where(F.col("ppmi_r") > 0)
+    )
+
+
 def py_skipgram_counts(
     rows: list[tuple[int, int, object]], window: int = 2
 ) -> dict[tuple[object, object], int]:
@@ -98,4 +158,36 @@ def py_skipgram_counts(
                 b = toks[j]
                 out[(a, b)] = out.get((a, b), 0) + 1
                 out[(b, a)] = out.get((b, a), 0) + 1
+    return out
+
+
+def py_ppmi(
+    counts: dict[tuple[object, object], int],
+    min_count: int = 1,
+    alpha: float = 1.0,
+    decimals: int = 6,
+) -> dict[tuple[object, object], float]:
+    """Pure-python twin of ppmi_weights: {(center, context): ppmi_r}."""
+    import math
+
+    kept = {k: n for k, n in counts.items() if n >= min_count}
+    if not kept:
+        return {}
+    n_c: dict[object, int] = {}
+    n_x: dict[object, float] = {}
+    for (c, x), n in kept.items():
+        n_c[c] = n_c.get(c, 0) + n
+        n_x[x] = n_x.get(x, 0.0) + float(n) ** alpha
+    big_n = float(sum(kept.values()))
+    big_z = float(sum(n_x.values()))
+    out = {}
+    for (c, x), n in kept.items():
+        v = round(
+            math.log(
+                (n / big_n) / ((n_c[c] / big_n) * (n_x[x] / big_z))
+            ),
+            decimals,
+        )
+        if v > 0:
+            out[(c, x)] = v
     return out

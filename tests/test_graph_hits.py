@@ -408,3 +408,79 @@ def test_skipgram_rejects_bad_window(spark):
     df = spark.createDataFrame([(1, 0, "a")], "seq_id long, pos int, token string")
     with _pytest.raises(ValueError, match="window"):
         skipgram_pairs(df, window=0)
+
+
+def test_ppmi_hand_counts(spark):
+    import math
+
+    from searchengine_spark.textops.skipgram import ppmi_weights
+
+    # counts: (a,b)=4 (a,c)=1 (b,a)=4 (c,a)=1 ; N=10
+    counts = spark.createDataFrame(
+        [("a", "b", 4), ("a", "c", 1), ("b", "a", 4), ("c", "a", 1)],
+        "center string, context string, n long",
+    )
+    got = {
+        (r.center, r.context): r.ppmi_r
+        for r in ppmi_weights(counts).collect()
+    }
+    # p(a,b)=.4, p(a)=.5, p_ctx(b)=.4 -> pmi = ln(.4/.2) = ln 2 > 0
+    assert got[("a", "b")] == round(math.log(2.0), 6)
+    # p(a,c)=.1, p(a)=.5, p_ctx(c)=.1 -> pmi = ln(2) too
+    assert got[("a", "c")] == round(math.log(2.0), 6)
+    # (b,a): .4 / (.4 * .5) = 2 ; (c,a): .1/(.1*.5)=2 — all positive here
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")}
+
+
+def test_ppmi_matches_twin_and_drops_negatives(spark):
+    import random
+
+    from searchengine_spark.textops.skipgram import (
+        ppmi_weights,
+        py_ppmi,
+        py_skipgram_counts,
+    )
+
+    rng = random.Random(47)
+    rows = [
+        (s, p, rng.choice("abcdefgh"))
+        for s in range(8)
+        for p in range(rng.randrange(3, 15))
+    ]
+    counts = py_skipgram_counts(rows, window=2)
+    cdf = spark.createDataFrame(
+        [(c, x, n) for (c, x), n in counts.items()],
+        "center string, context string, n long",
+    )
+    for mc, alpha in ((1, 1.0), (2, 1.0), (1, 0.75)):
+        got = {
+            (r.center, r.context): r.ppmi_r
+            for r in ppmi_weights(cdf, min_count=mc, alpha=alpha).collect()
+        }
+        want = py_ppmi(counts, min_count=mc, alpha=alpha)
+        assert set(got) == set(want), (mc, alpha)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (k, mc, alpha)
+    # anti-associated pairs have NEGATIVE pmi and must be dropped:
+    # pmi(a,b) = ln((1/20)/((10/20)*(10/20))) = ln 0.2 < 0
+    anti = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 9), ("d", "b", 9), ("d", "c", 1)],
+        "center string, context string, n long",
+    )
+    kept = {
+        (r.center, r.context) for r in ppmi_weights(anti).collect()
+    }
+    assert kept == {("a", "c"), ("d", "b")}
+
+
+def test_ppmi_empty_and_bad_params(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.textops.skipgram import ppmi_weights
+
+    counts = spark.createDataFrame(
+        [("a", "b", 1)], "center string, context string, n long"
+    )
+    assert ppmi_weights(counts, min_count=5).count() == 0
+    with _pytest.raises(ValueError, match="min_count"):
+        ppmi_weights(counts, min_count=0)
