@@ -6227,6 +6227,81 @@ SELECT node::BIGINT AS node, deg FROM dfinal WHERE deg >= {k} ORDER BY node
 """
 
 
+_LINKPRED_MIN_COMMON = 2  # fixture graph: 2+ shared neighbors, ~1.4k pairs
+
+
+def graph_linkpred_q(spark, sf_dir):
+    """Neighborhood link prediction over the fixture link graph: every
+    non-adjacent pair with >= 2 common neighbors, scored by common-
+    neighbor count, integer-micro-nat Adamic-Adar (exact, order-free
+    sums — the DSIR idiom) and rounded Jaccard. Wedge join on the center
+    node; AA weights looked up from a broadcast (deg -> round(1e6/ln d))
+    table computed once in Python so no engine-side log is compared."""
+    from .fixtures import graph_edges_df
+    from .graph.linkpred import link_prediction
+
+    return link_prediction(
+        graph_edges_df(spark, n_nodes=200), min_common=_LINKPRED_MIN_COMMON
+    ).orderBy("u", "v")
+
+
+def _graph_linkpred_sql() -> str:
+    from .fixtures import graph_edges_pandas
+    from .graph.linkpred import adamic_adar_weights
+
+    pdf = graph_edges_pandas(n_nodes=200)
+    vals = ", ".join(
+        f"({int(s)},{int(d)})" for s, d in zip(pdf["src"], pdf["dst"])
+    )
+    # replicate link_prediction's weight-table sizing: max degree of the
+    # canonical undirected simple graph, computed here in pure pandas
+    import pandas as pd
+
+    a = pdf[["src", "dst"]].min(axis=1)
+    b = pdf[["src", "dst"]].max(axis=1)
+    can = pd.DataFrame({"a": a, "b": b})
+    can = can[can["a"] != can["b"]].drop_duplicates()
+    max_deg = int(
+        pd.concat([can["a"], can["b"]]).value_counts().max()
+    )
+    wvals = ", ".join(
+        f"({d},{w})" for d, w in adamic_adar_weights(max_deg)
+    )
+    return f"""
+WITH edges(src, dst) AS (VALUES {vals}),
+can AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+adj AS (SELECT a AS node, b AS nbr FROM can
+        UNION ALL SELECT b, a FROM can),
+deg AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS deg FROM adj GROUP BY 1
+),
+wt(wdeg, w_aa) AS (VALUES {wvals}),
+cen AS MATERIALIZED (
+  SELECT adj.node AS w, adj.nbr, wt.w_aa
+  FROM adj JOIN deg USING (node) JOIN wt ON wt.wdeg = deg.deg
+),
+pairs AS (
+  SELECT l.nbr AS u, r.nbr AS v,
+         count(*)::BIGINT AS cn, sum(l.w_aa)::BIGINT AS aa_u
+  FROM cen l JOIN cen r ON l.w = r.w AND l.nbr < r.nbr
+  GROUP BY 1, 2
+  HAVING count(*) >= {_LINKPRED_MIN_COMMON}
+),
+newp AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN can ON p.u = can.a AND p.v = can.b
+  WHERE can.a IS NULL
+)
+SELECT u::BIGINT AS u, v::BIGINT AS v, cn, aa_u,
+       round(cn::DOUBLE / (du.deg + dv.deg - cn), 6) AS jacc_r
+FROM newp JOIN deg du ON du.node = newp.u JOIN deg dv ON dv.node = newp.v
+ORDER BY u, v
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus curation stages (textops/curation.py)
 # ---------------------------------------------------------------------------
@@ -6881,6 +6956,7 @@ QUERIES = {
     "source_curation": source_curation_q,
     "ccnet_buckets": ccnet_buckets_q,
     "graph_kcore": graph_kcore_q,
+    "graph_linkpred": graph_linkpred_q,
     "graph_bfs_depth": graph_bfs_depth_q,
     "graph_labelprop": graph_labelprop_q,
     "graph_walks": graph_walks_q,
@@ -7030,6 +7106,7 @@ ORACLES = {
     "source_curation": _source_curation_sql(),
     "ccnet_buckets": _ccnet_buckets_sql(),
     "graph_kcore": _graph_kcore_sql(),
+    "graph_linkpred": _graph_linkpred_sql(),
     "graph_bfs_depth": _graph_bfs_sql(),
     "graph_labelprop": _graph_labelprop_sql(),
     "graph_walks": _graph_walks_sql(),

@@ -2,6 +2,7 @@ from .bfs import bfs_distances
 from .hits import compute_hits
 from .kcore import kcore_nodes
 from .labelprop import label_propagation
+from .linkpred import link_prediction
 from .pagerank import (
     combined_rank,
     compute_pagerank,
@@ -20,6 +21,7 @@ __all__ = [
     "read_edge_tsv",
     "kcore_nodes",
     "label_propagation",
+    "link_prediction",
     "node_triangle_counts",
     "triangle_count",
     "triangles",

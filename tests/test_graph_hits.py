@@ -484,3 +484,73 @@ def test_ppmi_empty_and_bad_params(spark):
     assert ppmi_weights(counts, min_count=5).count() == 0
     with _pytest.raises(ValueError, match="min_count"):
         ppmi_weights(counts, min_count=0)
+
+
+# ---------------------------------------------------------------------------
+# link prediction (graph/linkpred.py)
+# ---------------------------------------------------------------------------
+
+
+def _lp_rows(spark, edges, **kw):
+    from searchengine_spark.graph.linkpred import link_prediction
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r.u, r.v): (r.cn, r.aa_u, r.jacc_r)
+        for r in link_prediction(df, **kw).collect()
+    }
+
+
+def test_linkpred_hand_graph(spark):
+    """Path 1-2-3: pair (1,3) shares neighbor 2 (deg 2), is non-adjacent.
+    AA = round(1e6/ln 2); Jaccard = 1/(1+1-1) = 1.0. Triangle edges are
+    excluded (they're already links)."""
+    import math
+
+    got = _lp_rows(spark, [(1, 2), (2, 3)])
+    assert got == {(1, 3): (1, round(1e6 / math.log(2)), 1.0)}
+    # K3: every pair adjacent -> nothing to predict
+    assert _lp_rows(spark, [(1, 2), (2, 3), (3, 1)]) == {}
+
+
+def test_linkpred_matches_python_twin(spark):
+    """Differential test on the 200-node fixture graph, min_common=1
+    (widest surface) — every pair, all three scores."""
+    from searchengine_spark.fixtures import graph_edges_df, graph_edges_pandas
+    from searchengine_spark.graph.linkpred import py_link_prediction
+
+    pdf = graph_edges_pandas(n_nodes=80)
+    edges = list(zip(pdf["src"].astype(int), pdf["dst"].astype(int)))
+    want = py_link_prediction(edges, min_common=1)
+    df = graph_edges_df(spark, n_nodes=80)
+    from searchengine_spark.graph.linkpred import link_prediction
+
+    got = {
+        (r.u, r.v): (r.cn, r.aa_u, r.jacc_r)
+        for r in link_prediction(df, min_common=1).collect()
+    }
+    assert set(got) == set(want)
+    for k, (cn, aa, jc) in want.items():
+        g = got[k]
+        assert g[0] == cn and g[1] == aa and abs(g[2] - jc) < 1e-9, k
+
+
+def test_linkpred_center_degree_cap(spark):
+    """A hub above the cap stops GENERATING wedges but still counts in
+    endpoint degrees (Jaccard denominators stay honest)."""
+    import math
+
+    # star hub 100 over rim 0..9, plus a path 0-1-2 off the rim
+    edges = [(100, i) for i in range(10)] + [(0, 1), (1, 2)]
+    capped = _lp_rows(spark, edges, max_center_degree=5)
+    # hub (deg 10) can't center wedges; node 1 (deg 3: 100,0,2) can.
+    # pair (0,2): common neighbors via centers <=5 deg -> only node 1.
+    assert (0, 2) in capped
+    cn, aa, jc = capped[(0, 2)]
+    assert cn == 1 and aa == round(1e6 / math.log(3))
+    # deg(0)=3 (100,1), wait: 0 links 100 and 1 -> deg 2; 2 links 100,1 -> 2
+    # jacc = 1/(2+2-1)
+    assert abs(jc - round(1 / 3, 6)) < 1e-9
+    # without the cap the hub centers C(10,2)=45 rim pairs
+    uncapped = _lp_rows(spark, edges)
+    assert len(uncapped) > len(capped)
