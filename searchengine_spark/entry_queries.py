@@ -4101,6 +4101,106 @@ ORDER BY n DESC, src_tool, dst_tool
 """
 
 
+_TR_LOOP_MIN_RUN = 2
+
+
+def tr_tool_loops(spark, sf_dir):
+    """Agent-trace loop detection (transcripts.tool_loops): maximal runs
+    of consecutive same-tool calls per conversation — the period-1
+    stuck-agent/retry-storm signature. Gaps-and-islands: lag window marks
+    run starts, running sum numbers islands, one combinable groupBy
+    measures them. The oracle replays the identical islands over inlined
+    (conv, turn, tool) rows."""
+    from .fixtures import transcripts_df
+    from .transcripts import tool_loops
+
+    out = tool_loops(transcripts_df(spark, "small"), min_run=_TR_LOOP_MIN_RUN)
+    return out.orderBy("conv_id", "start_turn")
+
+
+def _tr_tool_loops_sql() -> str:
+    from .fixtures import SIZES, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["small"])
+    pdf = pdf[pdf["tool"] != ""]  # inline only tool turns (the oracle's
+    # calls CTE re-applies the filter; pre-filtering just bounds VALUES)
+    rows = ", ".join(
+        "('{}', {}, '{}')".format(cid, int(ti), tool)
+        for cid, ti, tool in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["tool"]
+        )
+    )
+    return f"""
+WITH trturns(conv_id, turn_idx, tool) AS (VALUES {rows}),
+calls AS (SELECT * FROM trturns WHERE tool <> ''),
+marked AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN lag(tool) OVER w IS NULL
+                OR lag(tool) OVER w <> tool THEN 1 ELSE 0 END AS new_run
+  FROM calls
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+runs AS (
+  SELECT conv_id, turn_idx, tool,
+         sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+)
+SELECT conv_id, min(tool) AS tool,
+       min(turn_idx)::BIGINT AS start_turn,
+       count(*)::BIGINT AS run_len
+FROM runs GROUP BY conv_id, run_id
+HAVING count(*) >= {_TR_LOOP_MIN_RUN}
+ORDER BY conv_id, start_turn
+"""
+
+
+def tr_tool_errors(spark, sf_dir):
+    """Tool-failure analytics (transcripts.tool_failure_stats): per-tool
+    call/failure/immediate-retry counts and rounded failure rate, where
+    failure = the tool turn's text contains 'error' (case-insensitive).
+    The oracle replays the flag, the per-conv lead window and the
+    aggregate over inlined (conv, turn, tool, fail) rows."""
+    from .fixtures import transcripts_df
+    from .transcripts import tool_failure_stats
+
+    return tool_failure_stats(transcripts_df(spark, "small")).orderBy("tool")
+
+
+def _tr_tool_errors_sql() -> str:
+    from .fixtures import SIZES, transcripts_pandas
+
+    pdf = transcripts_pandas(SIZES["small"])
+    pdf = pdf[pdf["tool"] != ""]
+    rows = ", ".join(
+        "('{}', {}, '{}', {})".format(
+            cid, int(ti), tool,
+            "true" if "error" in txt.lower() else "false",
+        )
+        for cid, ti, tool, txt in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["tool"], pdf["text"]
+        )
+    )
+    return f"""
+WITH trturns(conv_id, turn_idx, tool, fail) AS (VALUES {rows}),
+calls AS (SELECT * FROM trturns WHERE tool <> ''),
+seq AS (
+  SELECT conv_id, tool, fail,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_tool
+  FROM calls
+)
+SELECT tool,
+       count(*)::BIGINT AS n_calls,
+       sum(CASE WHEN fail THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+       sum(CASE WHEN fail AND next_tool = tool THEN 1 ELSE 0 END)::BIGINT
+         AS n_retry,
+       round(sum(CASE WHEN fail THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+         AS fail_rate_r
+FROM seq GROUP BY tool ORDER BY tool
+"""
+
+
 _RECENCY_NOW_ES = 1767312000  # 2026-01-02T00:00:00Z = fixture epoch + 1 day
 _RECENCY_HALF_LIFE_S = 21600  # 6 h — spans meaningful decay over the corpus
 
@@ -6990,6 +7090,8 @@ QUERIES = {
     "tr_conv_dedup": tr_conv_dedup,
     "tr_context": tr_context,
     "tr_tool_paths": tr_tool_paths,
+    "tr_tool_loops": tr_tool_loops,
+    "tr_tool_errors": tr_tool_errors,
     "tr_recency_top10": tr_recency_top10,
     "tr_fielded_top10": tr_fielded_top10,
     "tr_bm25f_top10": tr_bm25f_top10,
@@ -7135,6 +7237,8 @@ ORACLES = {
     "tr_conv_dedup": _tr_conv_dedup_sql(),
     "tr_context": _tr_context_sql(),
     "tr_tool_paths": _tr_tool_paths_sql(),
+    "tr_tool_loops": _tr_tool_loops_sql(),
+    "tr_tool_errors": _tr_tool_errors_sql(),
     "tr_recency_top10": _tr_recency_sql(),
     "tr_fielded_top10": _tr_fielded_sql(),
     "tr_bm25f_top10": _tr_bm25f_sql(),

@@ -243,6 +243,120 @@ def tool_transitions(
     )
 
 
+def tool_loops(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    min_run: int = 2,
+) -> DataFrame:
+    """Agent-trace loop detection: maximal runs of CONSECUTIVE calls to
+    the same tool within a conversation (the period-1 stuck-agent
+    signature — retry storms, tools called in a loop without progress).
+    Non-tool turns are skipped, so "consecutive" means adjacent in the
+    conversation's tool-call sequence. Returns ``(conv_id, tool,
+    start_turn, run_len)`` for every run with ``run_len >= min_run``.
+
+    Classic gaps-and-islands, fully declarative: a lag window marks run
+    starts, a running sum over the same window numbers the islands, one
+    combinable groupBy((conv, run)) measures them. Plan: the
+    ``tool != ''`` filter pushes into the scan; ONE conv_id shuffle
+    serves both windows and the groupBy (same partitioning — AQE reuses
+    the exchange); output is bounded by the number of tool calls.
+    Conversations are independent — the operator scales with conversation
+    count; a single pathological conversation is the only skew unit.
+    """
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    calls = df.where(F.col(tool_col) != "").select(
+        F.col(conv_col).alias("_conv"),
+        F.col(order_col).alias("_ord"),
+        F.col(tool_col).alias("tool"),
+    )
+    w = Window.partitionBy("_conv").orderBy("_ord")
+    marked = calls.withColumn(
+        "_new",
+        F.when(
+            F.lag("tool").over(w).isNull()
+            | (F.lag("tool").over(w) != F.col("tool")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = marked.withColumn(
+        "_run",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("_conv", "_run")
+        .agg(
+            F.min("tool").alias("tool"),  # constant within a run
+            F.min("_ord").cast("long").alias("start_turn"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+        .where(F.col("run_len") >= min_run)
+        .select(
+            F.col("_conv").alias(conv_col),
+            "tool",
+            "start_turn",
+            "run_len",
+        )
+    )
+
+
+def tool_failure_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    text_col: str = "text",
+    error_pattern: str = "error",
+) -> DataFrame:
+    """Tool-failure analytics over agent transcripts: per tool, how often
+    it runs, how often its output text matches the failure pattern
+    (case-insensitive substring), and how often a failure is immediately
+    RETRIED (the next tool call in the same conversation is the same
+    tool) — the reliability slice an agent-behavior review starts from.
+
+    Returns ``(tool, n_calls, n_fail, n_retry, fail_rate_r)`` with the
+    rate rounded to 4dp (n_calls >= 1 by construction, so the division
+    is ANSI-safe).
+
+    Plan: ``tool != ''`` pushes into the scan; ONE conv_id shuffle for
+    the lead window; one combinable groupBy over |tools| keys. All JVM
+    expressions — no UDF.
+    """
+    calls = df.where(F.col(tool_col) != "").select(
+        F.col(conv_col).alias("_conv"),
+        F.col(order_col).alias("_ord"),
+        F.col(tool_col).alias("tool"),
+        F.lower(F.col(text_col))
+        .contains(error_pattern.lower())
+        .alias("_fail"),
+    )
+    w = Window.partitionBy("_conv").orderBy("_ord")
+    seq = calls.withColumn("_next_tool", F.lead("tool").over(w))
+    return (
+        seq.groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.sum(F.col("_fail").cast("long")).alias("n_fail"),
+            F.sum(
+                (F.col("_fail") & (F.col("_next_tool") == F.col("tool")))
+                .cast("long")
+            ).alias("n_retry"),
+        )
+        .select(
+            "tool",
+            "n_calls",
+            "n_fail",
+            "n_retry",
+            F.round(F.col("n_fail") / F.col("n_calls"), 4).alias(
+                "fail_rate_r"
+            ),
+        )
+    )
+
+
 def conversation_stats(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -1605,3 +1605,64 @@ def test_collapse_bm25_representative_matches_plain_search(spark):
     ):
         best.setdefault(r.grp, (r.doc_id, r.score_r))
     assert collapsed == best
+
+
+def test_tool_loops_hand_checked(spark):
+    from searchengine_spark.transcripts import tool_loops
+
+    rows = [
+        # c1: grep grep grep editor grep grep — runs (grep,3), (grep,2);
+        # the non-tool turn 2 does NOT break the first run (skipped)
+        ("c1", 0, "tool", "x", "grep"),
+        ("c1", 1, "tool", "x", "grep"),
+        ("c1", 2, "assistant", "x", ""),
+        ("c1", 3, "tool", "x", "grep"),
+        ("c1", 4, "tool", "x", "editor"),
+        ("c1", 5, "tool", "x", "grep"),
+        ("c1", 6, "tool", "x", "grep"),
+        # c2: alternating — no run >= 2
+        ("c2", 0, "tool", "x", "grep"),
+        ("c2", 1, "tool", "x", "editor"),
+        ("c2", 2, "tool", "x", "grep"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {
+        (r["conv_id"], r["start_turn"]): (r["tool"], r["run_len"])
+        for r in tool_loops(df).collect()
+    }
+    assert got == {("c1", 0): ("grep", 3), ("c1", 5): ("grep", 2)}
+    # min_run=1 reports every maximal run, including singletons:
+    # c1 = (grep,3)(editor,1)(grep,2); c2 = three singletons
+    assert tool_loops(df, min_run=1).count() == 3 + 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_run"):
+        tool_loops(df, min_run=0)
+
+
+def test_tool_failure_stats_hand_checked(spark):
+    from searchengine_spark.transcripts import tool_failure_stats
+
+    rows = [
+        # grep fails twice; first failure retried (next call is grep),
+        # second failure followed by editor (not a retry)
+        ("c1", 0, "tool", "Error: no match", "grep"),
+        ("c1", 1, "tool", "error again", "grep"),
+        ("c1", 2, "tool", "ok", "editor"),
+        # c2: editor fails, conversation ends (lead is NULL -> no retry)
+        ("c2", 0, "tool", "disk ERROR", "editor"),
+        ("c2", 1, "user", "error error", ""),  # non-tool: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {
+        r["tool"]: (r["n_calls"], r["n_fail"], r["n_retry"], r["fail_rate_r"])
+        for r in tool_failure_stats(df).collect()
+    }
+    assert got == {
+        "grep": (2, 2, 1, 1.0),
+        "editor": (2, 1, 0, 0.5),
+    }
