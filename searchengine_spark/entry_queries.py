@@ -6214,6 +6214,114 @@ FROM agg ORDER BY lang
 """
 
 
+_CMS_MIN_EST = 50  # heavy-hitter cut on the CMS estimate (shared w/ oracle)
+
+
+def cms_heavy_terms(spark, sf_dir):
+    """Heavy-hitter terms via a Count-Min sketch (textops/sketches.py):
+    build a 4x256 CMS over the documents corpus' analyzed-token stream
+    (exact integer counters, deterministic row-seeded md5 buckets), then
+    point-estimate every distinct term against the broadcast sketch and
+    keep estimates >= the cut. Estimates never undercount, so the graded
+    set is a superset of the true heavy terms; the oracle replays hash,
+    cells and min bit-for-bit."""
+    from .textops import sketches as sk
+
+    terms = _docs_tokens(spark, sf_dir).select(
+        F.explode("tokens").alias("term")
+    )
+    sketch = sk.cms_build(terms, "term")
+    est = sk.cms_estimate(sketch, terms, "term")
+    return est.where(F.col("est_n") >= _CMS_MIN_EST).orderBy(
+        F.desc("est_n"), F.asc("term")
+    )
+
+
+def _cms_heavy_terms_sql() -> str:
+    from .textops import sketches as sk
+
+    d, w = sk.CMS_DEPTH, sk.CMS_WIDTH
+    rows = ", ".join(f"({i})" for i in range(d))
+    return f"""
+WITH {TOK_CTES},
+terms AS (SELECT unnest(toks) AS v FROM lists),
+drows(r) AS (VALUES {rows}),
+cells AS (
+  SELECT r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || v), 1, 12))::BIGINT % {w}
+           AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM terms CROSS JOIN drows GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT v FROM terms),
+pe AS (
+  SELECT p.v, min(c.cnt) AS est_n
+  FROM probe p
+  CROSS JOIN drows d
+  JOIN cells c
+    ON c.r = d.r
+   AND c.bucket =
+       ('0x' || substr(md5(d.r::VARCHAR || ':' || p.v), 1, 12))::BIGINT % {w}
+  GROUP BY p.v
+)
+SELECT v AS term, est_n FROM pe WHERE est_n >= {_CMS_MIN_EST}
+ORDER BY est_n DESC, term
+"""
+
+
+def hll_card_terms(spark, sf_dir):
+    """Per-language distinct-3-gram-shingle cardinality via the
+    deterministic HLL register sketch (textops/sketches.py::hll_distinct
+    — md5-prefix buckets, exact integer bit-length rho, integer harmonic
+    sum, ONE inlined float numerator). Same measurement domain as the KMV
+    entry `card_sketch_shingles` (thousands of shingles per lang — deep
+    in HLL's estimator range, not the small range where linear counting
+    applies), complementing it with the true register layout (O(m) state,
+    register-wise max merges); the oracle replays buckets, registers and
+    the estimate bit-for-bit."""
+    from .textops import sketches as sk
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", _tok_col(F.col("text")).alias("tokens")
+    )
+    sh = docs.select(
+        "lang", F.explode(dd.word_shingles(F.col("tokens"))).alias("sh")
+    )
+    return sk.hll_distinct(sh, "sh", group_cols=["lang"]).orderBy("lang")
+
+
+def _hll_card_terms_sql() -> str:
+    from .textops import sketches as sk
+
+    m, b, rmax = sk.HLL_M, sk.HLL_B, 48 - sk.HLL_B + 1
+    num = repr(sk.HLL_NUM)
+    return f"""
+WITH {TOK_CTES}, {SHING_CTE},
+hs AS (
+  SELECT DISTINCT d.lang,
+         ('0x' || substr(md5(s.sh), 1, 12))::BIGINT AS h
+  FROM shing s JOIN documents d USING (doc_id)
+),
+regs AS (
+  SELECT lang, h % {m} AS bucket,
+         max({rmax} - CASE WHEN (h >> {b}) > 0
+                           THEN length(to_base(h >> {b}, 2))
+                           ELSE 0 END) AS mj
+  FROM hs GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang, count(*)::BIGINT AS n_set,
+         sum(1::BIGINT << ({rmax} - mj))::BIGINT AS s_set
+  FROM regs GROUP BY 1
+)
+SELECT lang, ({m} - n_set)::BIGINT AS n_zero,
+       round({num} /
+             (s_set + ({m} - n_set) * (1::BIGINT << {rmax}))::DOUBLE,
+             4) AS est_r
+FROM agg ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # triangle counting (graph/triangles.py)
 # ---------------------------------------------------------------------------
@@ -7052,6 +7160,8 @@ QUERIES = {
     "dsir_weights": dsir_weights_q,
     "dsir_select_top50": dsir_select_top50,
     "card_sketch_shingles": card_sketch_shingles,
+    "cms_heavy_terms": cms_heavy_terms,
+    "hll_card_terms": hll_card_terms,
     "graph_triangles": graph_triangles_q,
     "source_curation": source_curation_q,
     "ccnet_buckets": ccnet_buckets_q,
@@ -7204,6 +7314,8 @@ ORACLES = {
     "dsir_weights": _dsir_weights_sql(),
     "dsir_select_top50": _dsir_select_sql(),
     "card_sketch_shingles": _card_sketch_sql(),
+    "cms_heavy_terms": _cms_heavy_terms_sql(),
+    "hll_card_terms": _hll_card_terms_sql(),
     "graph_triangles": _graph_triangles_sql(),
     "source_curation": _source_curation_sql(),
     "ccnet_buckets": _ccnet_buckets_sql(),

@@ -1387,3 +1387,116 @@ def test_ngram_col_rejects_bad_n(spark):
 
     with _pytest.raises(ValueError, match="n must be"):
         em.ngram_col(F.col("x"), 0)
+
+
+def test_cms_matches_python_twin_and_never_undercounts(spark):
+    from collections import Counter
+
+    from searchengine_spark.textops import sketches as sk
+
+    # zipf-ish corpus: term t_i appears ~600/(i+1) times, narrow width
+    # (16) forces real collisions so min-over-rows does actual work
+    vals = [f"t{i}" for i in range(50) for _ in range(600 // (i + 1))]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sketch = sk.cms_build(df, "v", depth=3, width=16)
+    est = {
+        r["v"]: r["est_n"]
+        for r in sk.cms_estimate(sketch, df, "v", depth=3, width=16).collect()
+    }
+    want = sk.py_cms(vals, depth=3, width=16)
+    assert est == want
+    true = Counter(vals)
+    assert all(est[v] >= n for v, n in true.items())  # never undercounts
+    # with ample width the estimates are exact
+    wide = sk.cms_build(df, "v", depth=4, width=4096)
+    exact = {
+        r["v"]: r["est_n"]
+        for r in sk.cms_estimate(wide, df, "v", depth=4, width=4096).collect()
+    }
+    assert exact == dict(true)
+
+
+def test_cms_sketches_merge_by_union(spark):
+    """CMS(A ∪ B) == re-summed union of CMS(A) and CMS(B) — the property
+    that lets per-partition/per-day sketches combine without rescanning."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.textops import sketches as sk
+
+    a = spark.createDataFrame([(f"x{i % 7}",) for i in range(100)], "v string")
+    b = spark.createDataFrame([(f"x{i % 11}",) for i in range(80)], "v string")
+    merged = (
+        sk.cms_build(a, "v", depth=3, width=16)
+        .unionAll(sk.cms_build(b, "v", depth=3, width=16))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = sk.cms_build(a.unionAll(b), "v", depth=3, width=16)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_weighted_and_validation(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.textops import sketches as sk
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 3), ("b", 2), (None, 99)], "v string, wt int"
+    )
+    sketch = sk.cms_build(df, "v", weight_col="wt", depth=2, width=64)
+    est = {
+        r["v"]: r["est_n"]
+        for r in sk.cms_estimate(sketch, df, "v", depth=2, width=64).collect()
+    }
+    assert est["a"] >= 8 and est["b"] >= 2  # NULL row ignored
+    with _pytest.raises(ValueError, match="depth"):
+        sk.cms_build(df, "v", depth=0)
+
+
+def test_hll_matches_python_twin_and_accuracy(spark):
+    from searchengine_spark.textops import sketches as sk
+
+    vals = [f"item-{i}" for i in range(3000)] * 2  # duplicates ignored
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = sk.hll_distinct(df, "v").collect()[0]
+    n_zero, est = sk.py_hll_distinct(vals)
+    assert (got["n_zero"], got["est_r"]) == (n_zero, est)
+    # m=64 -> ~13% std error; 3x sigma sanity band around the true 3000
+    assert abs(est - 3000) / 3000 < 0.4
+    assert n_zero == 0  # deep estimator range: every register touched
+
+
+def test_hll_grouped_and_small_range_flag(spark):
+    from searchengine_spark.textops import sketches as sk
+
+    rows = [("big", f"v{i}") for i in range(2000)] + [
+        ("tiny", f"w{i}") for i in range(5)
+    ] + [("tiny", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        r["g"]: (r["n_zero"], r["est_r"])
+        for r in sk.hll_distinct(df, "v", group_cols=["g"]).collect()
+    }
+    assert got["big"] == tuple(sk.py_hll_distinct([f"v{i}" for i in range(2000)]))
+    assert got["tiny"] == tuple(sk.py_hll_distinct([f"w{i}" for i in range(5)]))
+    # the tiny group advertises its small range via n_zero (>= 59 of 64
+    # registers untouched) so callers know to apply linear counting
+    assert got["tiny"][0] >= 59
+
+
+def test_hll_is_permutation_and_duplication_invariant(spark):
+    """Registers are maxes over distinct hashes: shuffling input order,
+    repartitioning, or duplicating rows must not move the estimate."""
+    from searchengine_spark.textops import sketches as sk
+
+    vals = [f"k{i}" for i in range(500)]
+    a = spark.createDataFrame([(v,) for v in vals], "v string")
+    b = spark.createDataFrame(
+        [(v,) for v in (vals[::-1] * 3)], "v string"
+    ).repartition(7)
+    assert (
+        sk.hll_distinct(a, "v").collect()[0]
+        == sk.hll_distinct(b, "v").collect()[0]
+    )
