@@ -2908,6 +2908,81 @@ def ann_ivf_top10(spark, sf_dir):
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
 
 
+_PCA_DIM = 64
+_PCA_ITER = 7  # (n·d)^7 · 1e6 stays inside HUGEINT at graded scale
+
+
+def emb_pca_top10(spark, sf_dir):
+    """Top-10 embeddings by |projection| on the dominant sign-quantized
+    principal direction (textops/pca.py): distributed integer sign-Gram
+    (one combinable d²-cell aggregate), exact big-int power iteration on
+    the driver (O(d²), corpus-size-independent), integer projections +
+    TakeOrdered. Every intermediate is an exact integer, so the oracle
+    replays Gram, all 7 matvecs (HUGEINT), canonicalization, trunc-//
+    rescale and the projection cut bit-for-bit."""
+    from .textops import pca
+
+    return pca.dominant_direction_topk(
+        _emb(spark, sf_dir),
+        "embedding",
+        _PCA_DIM,
+        k=10,
+        n_iter=_PCA_ITER,
+        extra_cols=["vec_id", "label"],
+    )
+
+
+def _emb_pca_sql() -> str:
+    from .textops.pca import PCA_SCALE
+
+    d = _PCA_DIM
+    ctes = [
+        f"""sv AS MATERIALIZED (
+  SELECT vec_id, label, t.i,
+         CASE WHEN embedding[t.i] > 0 THEN 1
+              WHEN embedding[t.i] < 0 THEN -1 ELSE 0 END AS s
+  FROM embeddings CROSS JOIN range(1, {d + 1}) t(i)
+)""",
+        """gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.s * b.s)::HUGEINT AS g
+  FROM sv a JOIN sv b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+)""",
+        f"v0 AS (SELECT i AS j, 1::HUGEINT AS val FROM range(1, {d + 1}) t(i))",
+    ]
+    for t in range(_PCA_ITER):
+        ctes.append(
+            f"""v{t + 1} AS MATERIALIZED (
+  SELECT g.i AS j, sum(g.g * v.val)::HUGEINT AS val
+  FROM gram g JOIN v{t} v ON v.j = g.j
+  GROUP BY 1
+)"""
+        )
+    last = f"v{_PCA_ITER}"
+    return f"""
+WITH {", ".join(ctes)},
+mx AS (SELECT max(abs(val)) AS m FROM {last}),
+kk AS (SELECT min(j) AS k FROM {last}, mx WHERE abs(val) = m),
+sg AS (
+  SELECT CASE WHEN v.val > 0 THEN 1::HUGEINT ELSE -1::HUGEINT END AS s
+  FROM {last} v, kk WHERE v.j = kk.k
+),
+comp AS MATERIALIZED (
+  SELECT j,
+         CASE WHEN m = 0 THEN 0::HUGEINT
+              ELSE (val * s * {PCA_SCALE}::HUGEINT) // m END AS w
+  FROM {last}, mx, sg
+),
+proj AS (
+  SELECT sv.vec_id, sv.label, sum(sv.s * c.w)::BIGINT AS proj
+  FROM sv JOIN comp c ON c.j = sv.i
+  GROUP BY 1, 2
+)
+SELECT vec_id, label, proj FROM proj
+ORDER BY abs(proj) DESC, vec_id LIMIT 10
+"""
+
+
 def doc_fingerprints_q(spark, sf_dir):
     """Rolling-hash document fingerprint (min of 8-byte-window polynomial
     hashes). Oracled: the polynomial arithmetic is SQL-expressible in
@@ -7177,6 +7252,7 @@ QUERIES = {
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
     # each entry's docstring for the independence argument):
     "ann_ivf_top10": ann_ivf_top10,
+    "emb_pca_top10": emb_pca_top10,
     "doc_fingerprints": doc_fingerprints_q,
     "wordbreak_en": wordbreak_en_q,
     "wordbreak_cjk": wordbreak_cjk_q,
@@ -7332,6 +7408,7 @@ ORACLES = {
     # top-10 at the graded scales, so the exact brute-force SQL is the
     # oracle — any recall regression becomes a driver-visible hash mismatch
     "ann_ivf_top10": ANN_COSINE_SQL,
+    "emb_pca_top10": _emb_pca_sql(),
     "ann_lsh_top10": _ann_lsh_sql(),
     "emb_near_dup_lsh": _emb_near_dup_lsh_sql(),
     "doc_fingerprints": _fingerprint_sql(),

@@ -1500,3 +1500,64 @@ def test_hll_is_permutation_and_duplication_invariant(spark):
         sk.hll_distinct(a, "v").collect()[0]
         == sk.hll_distinct(b, "v").collect()[0]
     )
+
+
+def test_pca_matches_python_twin_and_numpy_direction(spark):
+    import numpy as np
+
+    from searchengine_spark.textops import pca
+
+    # anisotropic cloud: one dominant direction + noise, zero-centered
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(16)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.standard_normal(400) * 5.0, u)
+    X += rng.standard_normal((400, 16))
+    vecs = [[float(x) for x in row] for row in X]
+    comp, projs = pca.py_dominant_direction(vecs, 16)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    # NB: createDataFrame casts to float32; recompute the twin on the
+    # float32-rounded values the executors actually see
+    vecs32 = [[float(np.float32(x)) for x in row] for row in vecs]
+    comp32, projs32 = pca.py_dominant_direction(vecs32, 16)
+    got = pca.dominant_direction_topk(
+        df, "embedding", 16, k=400, extra_cols=["vec_id"]
+    ).collect()
+    assert {r["vec_id"]: r["proj"] for r in got} == dict(enumerate(projs32))
+
+    # the sign-quantized direction tracks the true dominant eigenvector
+    # of the sign Gram (numpy eigensolve = independent algorithm)
+    S = np.sign(X)
+    w, V = np.linalg.eigh(S.T @ S)
+    top = V[:, -1]
+    c = np.array(comp, dtype=float)
+    cos = abs(c @ top) / (np.linalg.norm(c) * np.linalg.norm(top))
+    assert cos > 0.999
+    # ... and correlates with the planted direction itself
+    cos_u = abs(c @ u) / (np.linalg.norm(c) * np.linalg.norm(u))
+    assert cos_u > 0.9
+
+
+def test_pca_partitioning_invariant_and_validation(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from searchengine_spark.textops import pca
+
+    rng = np.random.default_rng(11)
+    vecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(100)]
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    one = pca.dominant_direction_topk(a.repartition(1), "embedding", 8, k=100)
+    many = pca.dominant_direction_topk(a.repartition(13), "embedding", 8, k=100)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+    with _pytest.raises(ValueError, match="dim"):
+        pca.sign_gram(a, "embedding", 0).collect()
+    with _pytest.raises(ValueError, match="n_iter"):
+        pca.power_component([], 8, n_iter=0)
+    # all-zero gram -> zero component, zero projections
+    assert pca.power_component([], 4) == [0, 0, 0, 0]
