@@ -1220,6 +1220,97 @@ def _markup_strip_sql() -> str:
     )
 
 
+def boilerplate_strip_q(spark, sf_dir):
+    """Line-level boilerplate removal (textops/boilerplate.py,
+    CCNet/RefinedWeb paragraph dedup) over documents wrapped in
+    deterministic boilerplate lines: an every-doc nav bar, an every-doc
+    copyright footer whose CASE alternates per doc (normalization must
+    merge them), an every-third-doc newsletter prompt, a blank line and a
+    per-doc-unique ``ref N`` line that must both survive. Threshold is
+    scale-free (``max(2, n_docs // 5)``) so the same planted lines trip it
+    at every sf; the cleaned text is hash-compared byte-for-byte (as md5)
+    across engines."""
+    from .textops import boilerplate as bp
+
+    docs = _docs(spark, sf_dir)
+    min_docs = max(2, docs.count() // 5)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Home | About | Contact\n"),
+            F.col("text"),
+            F.lit("\n\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("Subscribe to our newsletter!\n"),
+            ).otherwise(F.lit("")),
+            F.lit("ref "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("copyright 2419 examplecorp"),
+            ).otherwise(F.lit("COPYRIGHT 2419 EXAMPLECORP")),
+        ).alias("text"),
+    )
+    return bp.boilerplate_summary(planted, min_docs=min_docs)
+
+
+def _boilerplate_strip_sql() -> str:
+    """DuckDB twin of boilerplate.boilerplate_summary over the same
+    planted wrapper: same split/normalize/count/threshold/reassemble
+    chain; ``string_agg(... ORDER BY idx)`` replays the engine's
+    sorted-fold reassembly, ``//`` keeps the threshold in exact integer
+    arithmetic on both sides."""
+    return """
+WITH planted AS (
+  SELECT doc_id,
+         'Home | About | Contact' || chr(10) || text || chr(10) || chr(10)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN 'Subscribe to our newsletter!' || chr(10) ELSE '' END
+         || 'ref ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN 'copyright 2419 examplecorp'
+                 ELSE 'COPYRIGHT 2419 EXAMPLECORP' END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, e['l'] AS line, e['i'] AS idx
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, chr(10)),
+                                 (x, i) -> {'l': x, 'i': i})) AS e
+    FROM planted
+  )
+),
+boiler AS (
+  SELECT lower(trim(line)) AS ln
+  FROM lines WHERE lower(trim(line)) <> ''
+  GROUP BY 1
+  HAVING count(DISTINCT doc_id)
+         >= greatest(2, (SELECT count(*) FROM documents) // 5)
+),
+kept AS (
+  SELECT doc_id, line, idx FROM lines
+  WHERE lower(trim(line)) NOT IN (SELECT ln FROM boiler)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS n_lines
+  FROM planted
+)
+SELECT b.doc_id,
+       md5(coalesce(r.text, '')) AS text_md5,
+       b.n_lines,
+       (b.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
 def pii_scrub_q(spark, sf_dir):
     """PII scrub over documents with deterministic planted PII.
 
@@ -7203,6 +7294,7 @@ QUERIES = {
     "lang_script": lang_script_q,
     "pii_scrub": pii_scrub_q,
     "markup_strip": markup_strip_q,
+    "boilerplate_strip": boilerplate_strip_q,
     "training_mix": training_mix_q,
     "temperature_mix": temperature_mix_q,
     "lm_perplexity": lm_perplexity_q,
@@ -7356,6 +7448,7 @@ ORACLES = {
     "lang_script": LANG_SCRIPT_SQL,
     "pii_scrub": _pii_sql(),
     "markup_strip": _markup_strip_sql(),
+    "boilerplate_strip": _boilerplate_strip_sql(),
     "training_mix": _training_mix_sql(),
     "temperature_mix": _temperature_mix_sql(),
     "lm_perplexity": _lm_perplexity_sql(),

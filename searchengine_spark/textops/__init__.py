@@ -12,6 +12,11 @@ from .dedup import (
     signature_store,
     word_shingles,
 )
+from .boilerplate import (
+    boilerplate_summary,
+    line_frequencies,
+    strip_boilerplate,
+)
 from .bpe import bpe_token_counts, bpe_train, word_types
 from .chunking import chunk_documents
 from .lm import bigram_lm, lm_perplexity, lm_score
@@ -97,4 +102,7 @@ __all__ = [
     "skipgram_pairs",
     "ngram_counts",
     "ngram_overlap_eval",
+    "boilerplate_summary",
+    "line_frequencies",
+    "strip_boilerplate",
 ]

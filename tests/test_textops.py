@@ -1561,3 +1561,55 @@ def test_pca_partitioning_invariant_and_validation(spark):
         pca.power_component([], 8, n_iter=0)
     # all-zero gram -> zero component, zero projections
     assert pca.power_component([], 4) == [0, 0, 0, 0]
+
+
+def test_strip_boilerplate_hand(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.textops import boilerplate as bp
+
+    rows = [
+        (1, "NAV BAR\nunique one\n\nfooter line"),
+        (2, "nav bar\nunique two\nfooter line"),
+        (3, "  Nav Bar  \nunique three\nFOOTER LINE"),
+        (4, "nav bar\nNAV BAR"),  # every line boilerplate -> empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in bp.strip_boilerplate(df, min_docs=3).collect()
+    }
+    # normalization (trim+lower) merges all NAV BAR variants (3 docs) and
+    # footer variants (3 docs); unique lines + the blank line survive with
+    # their ORIGINAL text
+    assert out[1]["text"] == "unique one\n"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
+    assert out[2]["text"] == "unique two"
+    assert out[3]["text"] == "unique three"
+    # doc whose every line is boilerplate keeps an empty string
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 2
+    # within-doc repeats count once: min_docs=4 saves the footer (3 docs)
+    # and the nav bar (4 DISTINCT docs incl. doc 4's two copies = 4) dies
+    out4 = {
+        r["doc_id"]: r["text"]
+        for r in bp.strip_boilerplate(df, min_docs=4).collect()
+    }
+    assert out4[1] == "unique one\n\nfooter line"
+    assert out4[4] == ""
+    with _pytest.raises(ValueError, match="min_docs"):
+        bp.strip_boilerplate(df, min_docs=1)
+
+
+def test_strip_boilerplate_partitioning_invariant(spark):
+    from searchengine_spark.textops import boilerplate as bp
+
+    rows = [
+        (i, f"shared header\nbody {i}\nbody {i} second\nshared footer")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = bp.strip_boilerplate(df.repartition(1), min_docs=2).collect()
+    many = bp.strip_boilerplate(df.repartition(13), min_docs=2).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+    assert all(r["text"] == f"body {r['doc_id']}\nbody {r['doc_id']} second"
+               for r in one)
