@@ -3189,6 +3189,110 @@ def _media_features_sql() -> str:
     )
 
 
+def media_resize_q(spark, sf_dir):
+    """Image resize stage (multimodal.resize_images): every decodable image
+    row of the deterministic media table is nearest-neighbor resized to
+    16x12 and PNG re-encoded inside mapInPandas. Oracled like
+    media_features: the expected (dims, output-PNG sha, luma mean) per
+    image is recomputed driver-side with the same numpy helpers on the
+    same synthesized payloads — never through Spark — so a hash match pins
+    the Spark-side surface (binary fidelity both directions through Arrow,
+    batch slicing, kind filtering, schema mapping)."""
+    from .textops.multimodal import resize_images, sample_media_df
+
+    return resize_images(sample_media_df(spark), 16, 12).select(
+        "media_id", "width", "height", "channels",
+        F.sha2(F.col("payload"), 256).alias("out_sha"), "luma_mean",
+    )
+
+
+def _media_resize_sql() -> str:
+    """DuckDB twin of media_resize_q: expected rows computed in plain
+    Python/numpy from the same deterministic synthesis, inlined as a
+    VALUES table (repr round-trips the exact double)."""
+    import hashlib as _hl
+
+    from .textops.multimodal import (
+        _luma_mean,
+        resize_image_payload,
+        synth_png,
+    )
+
+    vals = []
+    for i in range(32):
+        if i % 3 != 0 or i % 9 == 8:
+            continue
+        payload = synth_png(
+            24 + i, 16 + (i % 7), seed=i,
+            channels=(1, 3, 4)[i % 3], filter_type=i % 5,
+        )
+        img, png = resize_image_payload(payload, 16, 12)
+        vals.append(
+            f"('m-{i:05d}', 16, 12, {img.shape[2]}, "
+            # NB: the double is inlined as a QUOTED string cast — a bare
+            # decimal literal parses as DECIMAL first and the
+            # DECIMAL->DOUBLE cast is off by ulps (see CLAUDE.md)
+            f"'{_hl.sha256(png).hexdigest()}', '{_luma_mean(img)!r}'::DOUBLE)"
+        )
+    return (
+        "SELECT media_id, width, height, channels, out_sha, luma_mean "
+        "FROM (VALUES " + ", ".join(vals)
+        + ") AS t(media_id, width, height, channels, out_sha, luma_mean)"
+    )
+
+
+def media_frames_q(spark, sf_dir):
+    """Video frame-sampling stage (multimodal.sample_frames): each
+    decodable y4m row explodes into 3 evenly spaced luma frames re-encoded
+    as grayscale PNGs. Oracle = driver-side numpy replay inlined as VALUES
+    (media_resize_q pattern); the three undecodable blob rows (i % 9 == 8,
+    all of kind video) must produce NO rows — their absence is part of the
+    hash."""
+    from .textops.multimodal import sample_frames, sample_media_df
+
+    return sample_frames(sample_media_df(spark), n_samples=3).select(
+        "media_id", "frame_idx", "n_frames", "width", "height",
+        F.sha2(F.col("payload"), 256).alias("out_sha"), "luma_mean",
+    )
+
+
+def _media_frames_sql() -> str:
+    import hashlib as _hl
+
+    import numpy as _np
+
+    from .textops.multimodal import (
+        decode_y4m,
+        encode_png,
+        frame_sample_indices,
+        synth_y4m,
+    )
+
+    vals = []
+    for i in range(32):
+        if i % 3 != 2 or i % 9 == 8:
+            continue
+        payload = synth_y4m(
+            32, 24, n_frames=4 + i % 5, motion_step=(i % 4) * 3, seed=i
+        )
+        frames, _fps = decode_y4m(payload)
+        t, h, w = frames.shape
+        for idx in frame_sample_indices(t, 3):
+            luma = frames[idx]
+            sha = _hl.sha256(encode_png(luma)).hexdigest()
+            mean = float(luma.astype(_np.float64).mean())
+            vals.append(
+                f"('m-{i:05d}', {idx}, {t}, {w}, {h}, '{sha}', "
+                f"'{mean!r}'::DOUBLE)"  # quoted: exact string->double parse
+            )
+    return (
+        "SELECT media_id, frame_idx, n_frames, width, height, out_sha, "
+        "luma_mean FROM (VALUES " + ", ".join(vals)
+        + ") AS t(media_id, frame_idx, n_frames, width, height, out_sha, "
+        "luma_mean)"
+    )
+
+
 def wordbreak_en_q(spark, sf_dir):
     """EN word-break segmentation (A7) over deterministic space-free text
     built from the fixture vocabulary. Oracled: the expected segmentation
@@ -7385,6 +7489,8 @@ QUERIES = {
     # (expected sha/bytes/decoded computed driver-side without Spark);
     # float feature vectors are pytest-value-tested instead
     "media_features": media_features_q,
+    "media_resize": media_resize_q,
+    "media_frames": media_frames_q,
 }
 
 ORACLES = {
@@ -7533,4 +7639,6 @@ ORACLES = {
     "ft_doc_vectors": _ft_doc_vectors_sql(),
     "ft_suggest": FT_SUGGEST_SQL,
     "media_features": _media_features_sql(),
+    "media_resize": _media_resize_sql(),
+    "media_frames": _media_frames_sql(),
 }

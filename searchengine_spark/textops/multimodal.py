@@ -24,6 +24,13 @@ Decode status per modality:
   raises in strict mode (needs ffmpeg).
 - rows that fail or hit a stubbed codec get a deterministic sha256 fake
   feature (``decoded = false``) so downstream plumbing stays testable.
+
+Beyond feature extraction, the module ships the other two pretraining
+media stages the brief names: :func:`resize_images` (nearest-neighbor
+thumbnail + PNG re-encode) and :func:`sample_frames` (evenly spaced luma
+frame extraction from video) — both mapInPandas with bounded Arrow
+batches, both value-tested and driver-oracled via construction-derived
+VALUES tables (``media_resize`` / ``media_frames``).
 """
 
 from __future__ import annotations
@@ -40,6 +47,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -464,6 +472,162 @@ def extract_features(df: DataFrame, batch_rows: int = 64, strict: bool = False) 
                 )
 
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("payload", BinaryType()),  # re-encoded PNG
+        StructField("luma_mean", DoubleType()),
+    ]
+)
+
+
+def _nn_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize by integer index maps (floor mapping
+    ``src = dst * src_size // dst_size``) — pure numpy fancy indexing,
+    deterministic, no interpolation ties."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[np.ix_(ys, xs)]
+
+
+def _luma_mean(img: np.ndarray) -> float:
+    if img.shape[2] >= 3:
+        luma = (
+            0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+        )
+    else:
+        luma = img[:, :, 0].astype(np.float64)
+    return float(luma.mean())
+
+
+def resize_image_payload(payload: bytes, out_w: int, out_h: int) -> tuple[np.ndarray, bytes]:
+    """Decode -> nearest-neighbor resize -> PNG re-encode. Returns
+    (resized array, png bytes); shared by the Spark op and its oracle."""
+    img = _nn_resize(decode_image(payload), out_w, out_h)
+    return img, encode_png(img)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    batch_rows: int = 64,
+    strict: bool = False,
+) -> DataFrame:
+    """mapInPandas image resize: every decodable image row is decoded,
+    nearest-neighbor resized to (out_w, out_h) and re-encoded as PNG
+    (RESIZED_SCHEMA). Undecodable rows and non-image rows are dropped
+    (or raise in strict mode) — a thumbnail stage keeps only what it
+    could thumbnail. Arrow batch size bounded like extract_features."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"bad target size {out_w}x{out_h}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for mid, kind, payload in zip(
+                    chunk["media_id"], chunk["kind"], chunk["payload"]
+                ):
+                    if kind != "image":
+                        continue
+                    try:
+                        img, png = resize_image_payload(
+                            bytes(payload or b""), out_w, out_h
+                        )
+                    except Exception:
+                        if strict:
+                            raise
+                        continue
+                    rows.append(
+                        (mid, out_w, out_h, img.shape[2], png, _luma_mean(img))
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "width", "height", "channels",
+                        "payload", "luma_mean",
+                    ],
+                )
+
+    return df.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),  # grayscale PNG of the luma plane
+        StructField("luma_mean", DoubleType()),
+    ]
+)
+
+
+def frame_sample_indices(n_frames: int, n_samples: int) -> list[int]:
+    """Evenly spaced frame picks ``k * n_frames // n_samples`` (k = 0..n-1),
+    de-duplicated when the clip is shorter than the sample count.
+    Deterministic integer math; shared by the Spark op and its oracle."""
+    return sorted({(k * n_frames) // n_samples for k in range(n_samples)})
+
+
+def sample_frames(
+    df: DataFrame,
+    n_samples: int = 4,
+    batch_rows: int = 16,
+    strict: bool = False,
+) -> DataFrame:
+    """mapInPandas video frame sampling: each decodable video row explodes
+    into ``n_samples`` evenly spaced luma frames, each re-encoded as a
+    grayscale PNG (FRAME_SCHEMA) — the pretraining frame-extraction stage.
+    Undecodable / non-video rows drop (or raise in strict mode)."""
+    if n_samples < 1:
+        raise ValueError(f"n_samples must be >= 1, got {n_samples}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for mid, kind, payload in zip(
+                    chunk["media_id"], chunk["kind"], chunk["payload"]
+                ):
+                    if kind != "video":
+                        continue
+                    try:
+                        frames, _fps = decode_y4m(bytes(payload or b""))
+                    except Exception:
+                        if strict:
+                            raise
+                        continue
+                    t, h, w = frames.shape
+                    for idx in frame_sample_indices(t, n_samples):
+                        luma = frames[idx]
+                        rows.append(
+                            (
+                                mid, idx, t, w, h,
+                                encode_png(luma),
+                                float(luma.astype(np.float64).mean()),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "frame_idx", "n_frames", "width",
+                        "height", "payload", "luma_mean",
+                    ],
+                )
+
+    return df.mapInPandas(gen, schema=FRAME_SCHEMA)
 
 
 def synth_wav(

@@ -1613,3 +1613,86 @@ def test_strip_boilerplate_partitioning_invariant(spark):
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
     assert all(r["text"] == f"body {r['doc_id']}\nbody {r['doc_id']} second"
                for r in one)
+
+
+def test_nn_resize_exact_and_payload_roundtrip():
+    import numpy as np
+
+    from searchengine_spark.textops import multimodal as mm
+
+    # 4x4 gradient -> 2x2 nearest-neighbor: src = dst * 4 // 2 picks rows/
+    # cols 0 and 2 exactly
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    small = mm._nn_resize(img, 2, 2)
+    assert small[:, :, 0].tolist() == [[0, 2], [8, 10]]
+    # upscale repeats source pixels (floor map), never interpolates
+    big = mm._nn_resize(img, 8, 8)
+    assert big[0, 0, 0] == 0 and big[1, 1, 0] == 0 and big[2, 2, 0] == 5
+    # payload path: decode -> resize -> PNG reencode -> decode matches
+    png = mm.synth_png(24, 16, seed=3, channels=3, filter_type=4)
+    arr, out_png = mm.resize_image_payload(png, 10, 7)
+    assert arr.shape == (7, 10, 3)
+    assert np.array_equal(mm.decode_png(out_png), arr)
+
+
+def test_resize_images_spark(spark):
+    import hashlib
+
+    import numpy as np
+
+    from searchengine_spark.textops import multimodal as mm
+
+    media = mm.sample_media_df(spark, 18)
+    out = {r["media_id"]: r for r in mm.resize_images(media, 6, 5).collect()}
+    # image rows are i % 3 == 0 and none are undecodable (i % 9 == 8 rows
+    # are all kind video in the fixture recipe)
+    assert sorted(out) == [f"m-{i:05d}" for i in range(18) if i % 3 == 0]
+    for i in (0, 3, 6):
+        png = mm.synth_png(24 + i, 16 + (i % 7), seed=i,
+                           channels=(1, 3, 4)[i % 3], filter_type=i % 5)
+        img, expected_png = mm.resize_image_payload(png, 6, 5)
+        row = out[f"m-{i:05d}"]
+        assert (row["width"], row["height"]) == (6, 5)
+        assert hashlib.sha256(bytes(row["payload"])).hexdigest() == \
+            hashlib.sha256(expected_png).hexdigest()
+        assert row["luma_mean"] == mm._luma_mean(img)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bad target size"):
+        mm.resize_images(media, 0, 5)
+
+
+def test_sample_frames_spark(spark):
+    import numpy as np
+
+    from searchengine_spark.textops import multimodal as mm
+
+    # short clip: n_frames=2 < n_samples=3 -> de-duplicated picks [0, 1]
+    assert mm.frame_sample_indices(2, 3) == [0, 1]
+    assert mm.frame_sample_indices(10, 3) == [0, 3, 6]
+
+    media = mm.sample_media_df(spark, 18)
+    rows = mm.sample_frames(media, n_samples=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(r)
+    # video rows are i % 3 == 2 minus the undecodable i % 9 == 8 blobs
+    assert sorted(got) == [
+        f"m-{i:05d}" for i in range(18) if i % 3 == 2 and i % 9 != 8
+    ]
+    for i in (2, 5):
+        clip = mm.synth_y4m(32, 24, n_frames=4 + i % 5,
+                            motion_step=(i % 4) * 3, seed=i)
+        frames, _ = mm.decode_y4m(clip)
+        picks = mm.frame_sample_indices(frames.shape[0], 3)
+        mine = sorted(got[f"m-{i:05d}"], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in mine] == picks
+        for r, idx in zip(mine, picks):
+            assert np.array_equal(
+                mm.decode_png(bytes(r["payload"]))[:, :, 0], frames[idx]
+            )
+            assert r["luma_mean"] == float(
+                frames[idx].astype(np.float64).mean()
+            )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_samples"):
+        mm.sample_frames(media, n_samples=0)
