@@ -2557,6 +2557,39 @@ ORDER BY error_id
 """
 
 
+def events_props_rollup(spark, sf_dir):
+    """Schema-on-read JSON extraction (sources.parse_json_col): the events
+    table's ``props`` JSON payload parses against an enforced ``k INT``
+    schema in ONE codegen'd from_json projection (no UDF, no inference
+    pass), then a per-event_type rollup over the extracted field. All
+    aggregates exact integers (order-free, cross-engine bit-safe)."""
+    from .sources import parse_json_col
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flat = parse_json_col(ev, "props", "k INT")
+    return flat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(CAST(props->>'k' AS INTEGER))::BIGINT AS n_with_k,
+       sum(CAST(props->>'k' AS INTEGER))::BIGINT AS sum_k,
+       min(CAST(props->>'k' AS INTEGER)) AS min_k,
+       max(CAST(props->>'k' AS INTEGER)) AS max_k,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_range_join(spark, sf_dir):
     """Interval (range) join (timeseries.interval_join): the 20 busiest
     10-minute error windows, widened to unaligned [start-2min, start+12min)
@@ -7419,6 +7452,7 @@ QUERIES = {
     "events_windowed": events_windowed,
     "events_sessionize": events_sessionize,
     "events_asof": events_asof,
+    "events_props_rollup": events_props_rollup,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel_q,
     "events_retention": events_retention_q,
@@ -7577,6 +7611,7 @@ ORACLES = {
     # events_asof / events_range_join are graded against DuckDB's NATIVE
     # ASOF JOIN / IEJoin range join — independent algorithms, same predicate
     "events_asof": EVENTS_ASOF_SQL,
+    "events_props_rollup": EVENTS_PROPS_SQL,
     "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "events_funnel": _funnel_sql(),
     "events_retention": _retention_sql(),

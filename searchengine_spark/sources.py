@@ -112,3 +112,28 @@ def read_transcripts_jsonl(
         F.col("t.ts").alias("ts"),
     ).where(F.col("turn_idx").isNotNull())
     return turns, bad
+
+
+def parse_json_col(
+    df: DataFrame,
+    json_col: str,
+    schema_ddl: str,
+    prefix: str = "",
+    drop: bool = True,
+) -> DataFrame:
+    """Schema-on-read extraction of a JSON string column (e.g. an event
+    ``props`` payload): ONE ``from_json`` parse per row against an
+    ENFORCED caller schema (never inferred — same rationale as
+    ``read_transcripts_jsonl``), then the struct expands to top-level
+    columns (optionally ``prefix``-ed). Fields missing from a payload or
+    failing the type read NULL (PERMISSIVE semantics), so one malformed
+    blob in a 100 TB scan degrades one row, never the job. Pure
+    zero-shuffle projection; ``from_json`` is a codegen'd JVM expression,
+    not a UDF."""
+    parsed = F.from_json(F.col(json_col), schema_ddl)
+    names = [f.strip().split()[0] for f in schema_ddl.split(",")]
+    keep = [c for c in df.columns if not (drop and c == json_col)]
+    return df.select(
+        *keep,
+        *[parsed.getField(n).alias(f"{prefix}{n}") for n in names],
+    )

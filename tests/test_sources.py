@@ -93,3 +93,29 @@ def test_jsonl_feeds_index_build(spark, tmp_path):
     idx = build_index(spark, corpus, analyzer="punctuation", cache=False)
     assert idx.search_keyword("zqmarkergamma").count() == 4
     assert idx.search_keyword("doc").count() == 4
+
+
+def test_parse_json_col(spark):
+    from searchengine_spark.sources import parse_json_col
+
+    rows = [
+        (1, '{"k": 7, "tag": "a"}'),
+        (2, '{"k": "not-an-int", "tag": "b"}'),  # type miss -> NULL k
+        (3, "{broken json"),                      # malformed -> all NULL
+        (4, None),                                # NULL payload -> all NULL
+        (5, '{"tag": "e"}'),                      # missing field -> NULL k
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    out = {
+        r["event_id"]: r
+        for r in parse_json_col(df, "props", "k INT, tag STRING").collect()
+    }
+    assert out[1]["k"] == 7 and out[1]["tag"] == "a"
+    assert out[2]["k"] is None and out[2]["tag"] == "b"
+    assert out[3]["k"] is None and out[3]["tag"] is None
+    assert out[4]["k"] is None and out[4]["tag"] is None
+    assert out[5]["k"] is None and out[5]["tag"] == "e"
+    assert "props" not in out[1].asDict()
+    # prefix + keep the raw column
+    kept = parse_json_col(df, "props", "k INT", prefix="p_", drop=False)
+    assert set(kept.columns) == {"event_id", "props", "p_k"}
