@@ -202,6 +202,9 @@ def main() -> None:
         "walk_ppmi",
         "ft_collapse",
         "eval_ngram_overlap",
+        "quality_classifier",
+        "shard_stats",
+        "ann_pq_top10",
     ):
         extras_times[name], _ = timed(
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()

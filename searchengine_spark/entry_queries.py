@@ -1134,6 +1134,89 @@ FROM documents
 """
 
 
+def quality_classifier_q(spark, sf_dir):
+    """FastText-style hashed bag-of-ngrams linear classifier
+    (textops/classifier.py) with the frozen formula weights — the
+    zero-shuffle projection path. Integer milli-weight sums are exact in
+    both engines, so the scores and the thresholded keep label
+    hash-match bit-for-bit."""
+    from .textops import classifier as clf
+
+    return clf.classifier_scores(_docs(spark, sf_dir))
+
+
+def _quality_classifier_sql() -> str:
+    """DuckDB twin: same raw tokenization (stop words KEPT — classifier
+    features, not index terms), same unigram+bigram stream, same 48-bit
+    md5-prefix feature hashing mod FEATURE_DIM, same affine-mod
+    milli-weight formula, same exact-integer keep rule."""
+    from .textops import classifier as clf
+
+    thr = clf.DEFAULT_THRESHOLD_MILLI
+    return f"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                              '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(toks) AS gram FROM lists
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+         )) AS gram
+  FROM lists
+),
+w AS (
+  SELECT doc_id,
+         (({clf.W_A} * (('0x' || substr(md5(gram), 1, 12))::BIGINT
+                        % {clf.FEATURE_DIM}) + {clf.W_B})
+          % {clf.W_P}) % {clf.W_RANGE} - 1000 AS wm
+  FROM grams
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(wm)::BIGINT AS w_sum_milli,
+       (sum(wm) * 1000 > {thr} * count(*)) AS keep
+FROM w GROUP BY doc_id
+"""
+
+
+_SHARD_STATS_N = 16
+
+
+def shard_stats_q(spark, sf_dir):
+    """Deterministic shard-export audit (textops/sharding.py): per-shard
+    doc/token/char totals under the md5 shard assignment — the balance
+    check an operator runs before pointing data loaders at the export."""
+    from .textops import sharding as shd
+
+    return shd.shard_stats(_docs(spark, sf_dir), n_shards=_SHARD_STATS_N)
+
+
+SHARD_STATS_SQL = f"""
+WITH a AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           % {_SHARD_STATS_N} AS shard
+  FROM documents
+)
+SELECT shard,
+       count(*)::BIGINT AS n_docs,
+       sum(len(list_filter(
+         string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                            '[ \\t\\n\\x0b\\f\\r]+'),
+         x -> x <> '')))::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars
+FROM a GROUP BY shard
+"""
+
+
 def lang_script_q(spark, sf_dir):
     return q.lang_guess(_docs(spark, sf_dir))
 
@@ -1884,6 +1967,101 @@ rer AS (
 )
 SELECT vec_id, round(cos_sim, 4) AS cos_sim_r
 FROM rer ORDER BY cos_sim DESC, vec_id LIMIT {_INT8_K}
+"""
+
+
+_PQ_K = 10
+_PQ_FACTOR = 4
+_PQ_NSUB = 8
+_PQ_NCENT = 16
+
+
+def ann_pq_top10(spark, sf_dir):
+    """Product-quantization ANN with ADC scoring and exact float rerank
+    (textops/similarity.py::pq_topk — the faiss PQ / ScaNN storage trade:
+    8 code bytes per vector, ~32x smaller than float32). Codes come from
+    the frozen integer codebook (pq_codebook), the coarse scores are pure
+    integer LUT sums over it, and the oracle replays quantization,
+    assignment (argmin + lowest-centroid tie-break), the ADC coarse cut
+    and the float rerank bit-for-bit."""
+    qv = _query_vec(spark, sf_dir)
+    base = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
+    res = sim.pq_topk(
+        base, qv, _PQ_K, rerank_factor=_PQ_FACTOR,
+        n_sub=_PQ_NSUB, n_cent=_PQ_NCENT,
+    )
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
+def _ann_pq_sql() -> str:
+    from .textops.similarity import PQ_A, PQ_B, PQ_P
+
+    sd = 64 // _PQ_NSUB
+    # codebook entry for (sub, cent, j), shared verbatim with pq_codebook
+    cbv = (
+        f"((({PQ_A}::BIGINT * (({{s}}*{_PQ_NCENT} + {{c}})*{sd} + j) + {PQ_B})"
+        f" % {PQ_P}) % 255 - 127)"
+    )
+    d_cb = cbv.format(s="d.sub", c="c.cent")
+    return f"""
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
+qq AS (
+  SELECT list_transform(q, x -> round(x::DOUBLE /
+           greatest(list_max(list_transform(q, y -> abs(y::DOUBLE))) / 127.0,
+                    1e-12))::BIGINT) AS v
+  FROM qv
+),
+bq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(x::DOUBLE /
+           greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE)))
+                    / 127.0, 1e-12))::BIGINT) AS qvec
+  FROM embeddings
+  WHERE vec_id <> {_ANN_QUERY_ID} AND len(embedding) = 64
+    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
+),
+dims AS (SELECT unnest(generate_series(0, {_PQ_NSUB - 1})) AS sub),
+cents AS (SELECT unnest(generate_series(0, {_PQ_NCENT - 1})) AS cent),
+dist AS (
+  SELECT b.vec_id, d.sub, c.cent,
+         list_sum(list_transform(generate_series(0, {sd - 1}), j ->
+           (b.qvec[d.sub*{sd} + j + 1] - {d_cb})
+           * (b.qvec[d.sub*{sd} + j + 1] - {d_cb}))) AS d2
+  FROM bq b CROSS JOIN dims d CROSS JOIN cents c
+),
+codes AS (
+  SELECT vec_id, sub, cent FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cent) = 1
+),
+lut AS (
+  SELECT d.sub, c.cent,
+         list_sum(list_transform(generate_series(0, {sd - 1}), j ->
+           qq.v[d.sub*{sd} + j + 1] * {d_cb})) AS dotq,
+         list_sum(list_transform(generate_series(0, {sd - 1}), j ->
+           {d_cb} * {d_cb})) AS cn2
+  FROM dims d CROSS JOIN cents c CROSS JOIN qq
+),
+qn AS (SELECT sqrt(list_sum(list_transform(v, x -> x * x))::DOUBLE) AS qnorm
+       FROM qq),
+coarse AS (
+  SELECT s.vec_id,
+         round(s.num::DOUBLE / (sqrt(s.den2::DOUBLE) * qn.qnorm), 6) AS pqcos_r
+  FROM (
+    SELECT codes.vec_id, sum(lut.dotq) AS num, sum(lut.cn2) AS den2
+    FROM codes JOIN lut ON codes.sub = lut.sub AND codes.cent = lut.cent
+    GROUP BY codes.vec_id
+  ) s CROSS JOIN qn
+  WHERE s.den2 > 0
+  ORDER BY pqcos_r DESC, vec_id LIMIT {_PQ_K * _PQ_FACTOR}
+),
+rer AS (
+  SELECT e.vec_id,
+         {_COS_SQL.format(a="e.embedding", b="qv.q")} AS cos_sim
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id IN (SELECT vec_id FROM coarse)
+)
+SELECT vec_id, round(cos_sim, 4) AS cos_sim_r
+FROM rer ORDER BY cos_sim DESC, vec_id LIMIT {_PQ_K}
 """
 
 
@@ -7428,6 +7606,8 @@ QUERIES = {
     "text_quality": text_quality_q,
     "quality_filter": quality_filter_q,
     "token_counts": token_counts_q,
+    "quality_classifier": quality_classifier_q,
+    "shard_stats": shard_stats_q,
     "lang_script": lang_script_q,
     "pii_scrub": pii_scrub_q,
     "markup_strip": markup_strip_q,
@@ -7441,6 +7621,7 @@ QUERIES = {
     "bpe_counts": bpe_counts_q,
     "ann_cosine_top10": ann_cosine_top10,
     "ann_int8_top10": ann_int8_top10,
+    "ann_pq_top10": ann_pq_top10,
     "emb_hard_negatives": emb_hard_negatives,
     "emb_training_triplets": emb_training_triplets,
     "mmr_top5": mmr_top5,
@@ -7585,6 +7766,8 @@ ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
     "quality_filter": QUALITY_FILTER_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
+    "quality_classifier": _quality_classifier_sql(),
+    "shard_stats": SHARD_STATS_SQL,
     "lang_script": LANG_SCRIPT_SQL,
     "pii_scrub": _pii_sql(),
     "markup_strip": _markup_strip_sql(),
@@ -7598,6 +7781,7 @@ ORACLES = {
     "bpe_counts": _bpe_counts_sql(),
     "ann_cosine_top10": ANN_COSINE_SQL,
     "ann_int8_top10": ANN_INT8_SQL,
+    "ann_pq_top10": _ann_pq_sql(),
     "emb_hard_negatives": _emb_hard_negatives_sql(),
     "emb_training_triplets": _emb_training_triplets_sql(),
     "mmr_top5": _mmr_sql(),

@@ -18,6 +18,17 @@ from .boilerplate import (
     strip_boilerplate,
 )
 from .bpe import bpe_token_counts, bpe_train, word_types
+from .classifier import (
+    classifier_scores,
+    formula_weight_table,
+    score_with_weight_table,
+)
+from .sharding import (
+    export_shards,
+    read_shard,
+    shard_assignments,
+    shard_stats,
+)
 from .chunking import chunk_documents
 from .lm import bigram_lm, lm_perplexity, lm_score
 from .pii import pii_scrub, pii_summary
@@ -45,6 +56,8 @@ from .similarity import (
     ivf_topk,
     lsh_topk,
     lsh_topk_indexed,
+    pq_encode,
+    pq_topk,
     quantize_embeddings,
     training_triplets,
 )
@@ -73,6 +86,8 @@ __all__ = [
     "lsh_topk_indexed",
     "hard_negatives",
     "int8_topk",
+    "pq_encode",
+    "pq_topk",
     "quantize_embeddings",
     "training_triplets",
     "embedding_near_dup_pairs",

@@ -656,3 +656,188 @@ def training_triplets(
         .select("anchor_id", "pos_id", "neg_id", "pos_cos_r", "neg_cos_r")
         .orderBy("anchor_id", F.desc("neg_cos_r"), F.asc("neg_id"))
     )
+
+
+# --- product quantization (PQ-ADC: the memory-32x candidate scan) ----------
+
+# frozen codebook constants (shared verbatim with the DuckDB oracle twin,
+# entry_queries.ANN_PQ_SQL) — same affine-mod family as the classifier's
+# stand-in weights
+PQ_A = 1103515245
+PQ_B = 12345
+PQ_P = (1 << 31) - 1
+
+
+def pq_codebook(dim: int, n_sub: int = 8, n_cent: int = 16) -> np.ndarray:
+    """Frozen deterministic INTEGER codebooks for product quantization:
+    ``n_sub`` subspaces of ``dim // n_sub`` dims, ``n_cent`` centroids
+    each, entry for flat index ``i = (sub*n_cent + cent)*sub_dim + j`` is
+    ``((PQ_A*i + PQ_B) % PQ_P) % 255 - 127`` (int8 range). In production
+    codebooks come from a k-means build job (``kmeans_fit`` per subspace);
+    the frozen formula is the deterministic stand-in that keeps the
+    assignment + ADC plumbing — the real surface — bit-replayable in SQL.
+    Integer centroids keep every distance/dot below exact int64, so
+    assignment and coarse scores are engine-portable with no float-tie
+    risk (CLAUDE.md: integer-scaled intermediate scores)."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sd = dim // n_sub
+    i = np.arange(n_sub * n_cent * sd, dtype=np.int64)
+    vals = ((PQ_A * i + PQ_B) % PQ_P) % 255 - 127
+    return vals.reshape(n_sub, n_cent, sd)
+
+
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, qvec, codes array<int>)``: int8-quantize each vector
+    (max-abs -> 127 — direction-normalized, which is exactly the
+    representation cosine-PQ wants), then assign each subvector to its
+    nearest codebook centroid by INTEGER L2; ties break to the lowest
+    centroid id (``array_position`` returns the FIRST minimum). Codes are
+    ``n_sub`` small ints per vector — at 100 TB the persisted codes
+    column is ~32x smaller than float32 embeddings, the difference
+    between an in-page-cache candidate scan and an IO-bound one.
+
+    Plan shape: ZERO shuffle — quantization, distance evaluation and
+    argmin are all higher-order-function projections pipelined into the
+    scan. The codebook/LUT literals are projected ONCE behind a select
+    boundary and referenced as bound columns inside the lambdas
+    (CLAUDE.md: captured outer EXPRESSIONS re-evaluate per element;
+    column references don't). Vectors whose length != dim get NULL codes
+    (F.get is NULL out of bounds) and fall out of downstream filters."""
+    sd = dim // n_sub
+    cb = pq_codebook(dim, n_sub, n_cent)
+    quant = quantize_embeddings(df, id_col, vec_col).select(
+        id_col,
+        "qvec",
+        F.lit([int(x) for x in cb.reshape(-1)]).alias("_cb"),
+    )
+    seq_subs = F.sequence(F.lit(0), F.lit(n_sub - 1))
+    seq_cent = F.sequence(F.lit(0), F.lit(n_cent - 1))
+    seq_j = F.sequence(F.lit(0), F.lit(sd - 1))
+
+    def _d2(sub, c):
+        def step(acc, j):
+            diff = F.get(F.col("qvec"), sub * sd + j).cast("long") - F.get(
+                F.col("_cb"), (sub * n_cent + c) * sd + j
+            ).cast("long")
+            return acc + diff * diff
+
+        return F.aggregate(seq_j, F.lit(0).cast("long"), step)
+
+    dists = F.transform(
+        seq_subs, lambda sub: F.transform(seq_cent, lambda c: _d2(sub, c))
+    )
+    return (
+        quant.select(id_col, "qvec", dists.alias("_dists"))
+        .select(
+            id_col,
+            "qvec",
+            F.transform(
+                F.col("_dists"),
+                lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query: list,
+    k: int = 10,
+    rerank_factor: int = 4,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact float rerank (the faiss
+    IVF*,PQ* scale recipe's scoring half): encode the corpus
+    (:func:`pq_encode`; persist the codes at scale), score candidates by
+    Asymmetric Distance Computation — the query's int8 form is dotted
+    against every centroid ONCE driver-side into an ``n_sub x n_cent``
+    lookup table, so scoring a vector is ``n_sub`` table lookups, never a
+    ``dim``-wide arithmetic pass — coarse-cut the top ``k*rerank_factor``
+    by reconstructed cosine, then re-score only those against the float
+    vectors. All coarse arithmetic is integer sums (LUT dots and
+    reconstruction norms) over the frozen integer codebook, so the coarse
+    scores are bit-identical across engines; the per-vector quantization
+    scale cancels from the reconstructed cosine exactly as in
+    :func:`int8_topk`. Returns ``(id, cos_sim)``."""
+    if k <= 0 or rerank_factor < 1:
+        raise ValueError("k must be positive and rerank_factor >= 1")
+    qq, _ = _q8(query)
+    dim = len(qq)
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    qarr = np.asarray(qq, dtype=np.int64)
+    qnorm = float(np.sqrt((qarr * qarr).sum()))
+    if qnorm == 0.0:
+        raise ValueError("zero-norm query vector: cosine is undefined")
+    cb = pq_codebook(dim, n_sub, n_cent)
+    lut = (cb * qarr.reshape(n_sub, 1, dim // n_sub)).sum(axis=2)
+    cn2 = (cb * cb).sum(axis=2)
+
+    qn_int = F.aggregate(
+        F.col("qvec"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long") * v.cast("long"),
+    )
+    # persisted barrier between encode and ADC scoring: without it
+    # CollapseProject inlines the whole 1024-op encode tree into the
+    # scoring lambdas, where the captured `codes` expression re-evaluates
+    # PER AGGREGATE ELEMENT (CLAUDE.md) and planning blows up. The codes
+    # frame is n_sub small ints per id — exactly the artifact you persist
+    # at 100 TB scale anyway. Micro-frame, LRU-evicted.
+    enc = (
+        pq_encode(df, dim, n_sub, n_cent, id_col, vec_col)
+        .where((F.size("qvec") == dim) & (qn_int > 0))
+        .select(id_col, "codes")
+        .persist()
+    )
+    scored = enc.select(
+        id_col,
+        "codes",
+        F.lit([int(x) for x in lut.reshape(-1)]).alias("_lut"),
+        F.lit([int(x) for x in cn2.reshape(-1)]).alias("_cn2"),
+    )
+    seq_subs = F.sequence(F.lit(0), F.lit(n_sub - 1))
+
+    def _gather(tbl_col):
+        return F.aggregate(
+            seq_subs,
+            F.lit(0).cast("long"),
+            lambda acc, sub: acc
+            + F.get(tbl_col, sub * n_cent + F.get(F.col("codes"), sub)),
+        )
+
+    num = _gather(F.col("_lut"))
+    den2 = _gather(F.col("_cn2"))
+    coarse = (
+        scored.select(
+            id_col,
+            F.when(
+                den2 > 0,
+                num.cast("double") / (F.sqrt(den2.cast("double")) * F.lit(qnorm)),
+            ).alias("pqcos"),
+        )
+        .where(F.col("pqcos").isNotNull())
+        .select(id_col, F.round("pqcos", 6).alias("pqcos_r"))
+        .orderBy(F.desc("pqcos_r"), F.asc(id_col))
+        .limit(k * rerank_factor)
+    )
+    rer = df.join(coarse.select(id_col), id_col, "left_semi")
+    return (
+        rer.select(
+            F.col(id_col),
+            cosine_col(F.col(vec_col), [float(x) for x in query]).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
