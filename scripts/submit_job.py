@@ -141,6 +141,34 @@ def main() -> None:
         help="append min_pair_dist via candidate-restricted positional decode",
     )
 
+    cl = sub.add_parser(
+        "classify",
+        help="hashed linear quality-classifier scores (and keep labels) "
+        "to parquet",
+    )
+    cl.add_argument("--input", required=True, help="docs parquet with doc_id,text")
+    cl.add_argument("--output", required=True, help="parquet output path")
+    cl.add_argument("--threshold-milli", type=int, default=None,
+                    help="keep rule: mean milli-weight > this (default 50)")
+    cl.add_argument(
+        "--weights", default=None,
+        help="optional parquet of (feature_id, weight_milli) — a trained "
+        "model's sparse weight vector; frozen formula weights if absent",
+    )
+    cl.add_argument("--keep-only", action="store_true",
+                    help="write only rows whose keep label is true")
+
+    se = sub.add_parser(
+        "shard-export",
+        help="deterministic global shuffle -> N balanced parquet shards "
+        "(shard=K/ directories) + per-shard audit stats",
+    )
+    se.add_argument("--input", required=True, help="docs parquet with doc_id,text")
+    se.add_argument("--output", required=True, help="shard root path")
+    se.add_argument("--shards", type=int, default=64)
+    se.add_argument("--salt", default="", help="reshuffle key; same salt => "
+                    "byte-identical shards on re-export")
+
     cd = sub.add_parser(
         "conv-dedup",
         help="conversation-level dedup report (novel/exact_dup/near_dup) to parquet",
@@ -351,6 +379,52 @@ def main() -> None:
             "rows": spark.read.parquet(args.output).count(),
             "queries": len(queries),
             "k": args.k,
+        }))
+    elif args.cmd == "classify":
+        from searchengine_spark.textops import classifier as _clf
+
+        docs = spark.read.parquet(args.input)
+        thr = (
+            args.threshold_milli
+            if args.threshold_milli is not None
+            else _clf.DEFAULT_THRESHOLD_MILLI
+        )
+        if args.weights:
+            weights = spark.read.parquet(args.weights)
+            scored = _clf.score_with_weight_table(
+                docs, weights, threshold_milli=thr
+            )
+        else:
+            scored = _clf.classifier_scores(docs, threshold_milli=thr)
+        if args.keep_only:
+            scored = scored.where("keep")
+        scored.write.mode("overwrite").parquet(args.output)
+        persisted = spark.read.parquet(args.output)
+        n_total = persisted.count()
+        n_keep = persisted.where("keep").count()
+        print(json.dumps({
+            "docs_scored": n_total,
+            "docs_kept": n_keep,
+            "threshold_milli": thr,
+            "weights": args.weights or "formula",
+        }))
+    elif args.cmd == "shard-export":
+        from searchengine_spark.textops import sharding as _shd
+
+        docs = spark.read.parquet(args.input)
+        _shd.export_shards(
+            docs, args.output, n_shards=args.shards, salt=args.salt
+        )
+        stats = _shd.shard_stats(
+            docs, n_shards=args.shards, salt=args.salt
+        ).collect()
+        n_docs = [r["n_docs"] for r in stats]
+        print(json.dumps({
+            "shards": len(stats),
+            "docs": int(sum(n_docs)),
+            "min_shard_docs": int(min(n_docs)) if n_docs else 0,
+            "max_shard_docs": int(max(n_docs)) if n_docs else 0,
+            "tokens": int(sum(r["n_tokens"] for r in stats)),
         }))
     elif args.cmd == "conv-dedup":
         from searchengine_spark.transcripts import conversation_dedup

@@ -58,6 +58,7 @@ from .similarity import (
     lsh_topk_indexed,
     pq_encode,
     pq_topk,
+    pq_train,
     quantize_embeddings,
     training_triplets,
 )
@@ -88,6 +89,7 @@ __all__ = [
     "int8_topk",
     "pq_encode",
     "pq_topk",
+    "pq_train",
     "quantize_embeddings",
     "training_triplets",
     "embedding_near_dup_pairs",

@@ -687,6 +687,20 @@ def pq_codebook(dim: int, n_sub: int = 8, n_cent: int = 16) -> np.ndarray:
     return vals.reshape(n_sub, n_cent, sd)
 
 
+def _pq_cb(
+    dim: int, n_sub: int, n_cent: int, codebook: np.ndarray | None
+) -> np.ndarray:
+    """Resolve the codebook: the frozen formula one, or a caller-supplied
+    trained array validated to (n_sub, n_cent, dim//n_sub) int64."""
+    if codebook is None:
+        return pq_codebook(dim, n_sub, n_cent)
+    cb = np.asarray(codebook, dtype=np.int64)
+    want = (n_sub, n_cent, dim // n_sub)
+    if cb.shape != want:
+        raise ValueError(f"codebook shape {cb.shape} != {want}")
+    return cb
+
+
 def pq_encode(
     df: DataFrame,
     dim: int,
@@ -694,6 +708,7 @@ def pq_encode(
     n_cent: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
 ) -> DataFrame:
     """``(id, qvec, codes array<int>)``: int8-quantize each vector
     (max-abs -> 127 — direction-normalized, which is exactly the
@@ -710,9 +725,13 @@ def pq_encode(
     boundary and referenced as bound columns inside the lambdas
     (CLAUDE.md: captured outer EXPRESSIONS re-evaluate per element;
     column references don't). Vectors whose length != dim get NULL codes
-    (F.get is NULL out of bounds) and fall out of downstream filters."""
+    (F.get is NULL out of bounds) and fall out of downstream filters.
+
+    ``codebook`` overrides the frozen formula codebook with a trained one
+    (:func:`pq_train`); shape must be ``(n_sub, n_cent, dim//n_sub)``
+    ints."""
     sd = dim // n_sub
-    cb = pq_codebook(dim, n_sub, n_cent)
+    cb = _pq_cb(dim, n_sub, n_cent, codebook)
     quant = quantize_embeddings(df, id_col, vec_col).select(
         id_col,
         "qvec",
@@ -756,6 +775,7 @@ def pq_topk(
     n_cent: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k with exact float rerank (the faiss
     IVF*,PQ* scale recipe's scoring half): encode the corpus
@@ -769,7 +789,10 @@ def pq_topk(
     reconstruction norms) over the frozen integer codebook, so the coarse
     scores are bit-identical across engines; the per-vector quantization
     scale cancels from the reconstructed cosine exactly as in
-    :func:`int8_topk`. Returns ``(id, cos_sim)``."""
+    :func:`int8_topk`. Returns ``(id, cos_sim)``.
+
+    ``codebook`` switches scoring to a trained integer codebook
+    (:func:`pq_train`) — same exactness guarantees, better recall."""
     if k <= 0 or rerank_factor < 1:
         raise ValueError("k must be positive and rerank_factor >= 1")
     qq, _ = _q8(query)
@@ -780,7 +803,7 @@ def pq_topk(
     qnorm = float(np.sqrt((qarr * qarr).sum()))
     if qnorm == 0.0:
         raise ValueError("zero-norm query vector: cosine is undefined")
-    cb = pq_codebook(dim, n_sub, n_cent)
+    cb = _pq_cb(dim, n_sub, n_cent, codebook)
     lut = (cb * qarr.reshape(n_sub, 1, dim // n_sub)).sum(axis=2)
     cn2 = (cb * cb).sum(axis=2)
 
@@ -796,7 +819,7 @@ def pq_topk(
     # frame is n_sub small ints per id — exactly the artifact you persist
     # at 100 TB scale anyway. Micro-frame, LRU-evicted.
     enc = (
-        pq_encode(df, dim, n_sub, n_cent, id_col, vec_col)
+        pq_encode(df, dim, n_sub, n_cent, id_col, vec_col, codebook=cb)
         .where((F.size("qvec") == dim) & (qn_int > 0))
         .select(id_col, "codes")
         .persist()
@@ -841,3 +864,108 @@ def pq_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train INTEGER PQ codebooks with deterministic Lloyd k-means, all
+    subspaces in one distributed pass per iteration (the production
+    build-time job that replaces :func:`pq_codebook`'s frozen stand-in).
+
+    The fit runs over the int8-quantized (direction-normalized) vectors —
+    the same representation :func:`pq_encode` assigns against — and the
+    updated centroids are rounded to the nearest INTEGER with exact
+    driver-side rational arithmetic (``Fraction``-free: long sums from
+    Spark, half-away division in Python ints), so the result is
+    bit-reproducible across partitionings and keeps ADC scoring in exact
+    int64 (CLAUDE.md: integer-scaled intermediate scores).
+
+    Per iteration: (a) one zero-shuffle argmin-assign projection over the
+    flat codebook literal (same expression shape as :func:`pq_encode`),
+    (b) ONE partially-aggregated ``groupBy(sub, cell, pos)`` sum/count —
+    ``n_sub * n_cent * sub_dim`` rows to the driver, independent of
+    corpus size. Cells that lose every member keep their previous
+    centroid. Init = subvectors of the ``n_cent`` smallest ids."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sd = dim // n_sub
+    quant = quantize_embeddings(df, id_col, vec_col).where(
+        F.size("qvec") == dim
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: F.slice("qvec", s * sd + 1, sd),
+    )
+    subs = quant.select(
+        id_col, F.posexplode(chunks).alias("sub", "subvec")
+    ).persist()  # consumed n_iter times; (id, sub, 8 ints) micro-rows
+
+    init = (
+        quant.orderBy(id_col).limit(n_cent).select(id_col, "qvec").collect()
+    )
+    if len(init) < n_cent:
+        raise ValueError(
+            f"need >= {n_cent} vectors to init {n_cent} centroids"
+        )
+    cents = (
+        np.array([r["qvec"] for r in sorted(init, key=lambda r: r[0])],
+                 dtype=np.int64)
+        .reshape(n_cent, n_sub, sd)
+        .transpose(1, 0, 2)
+        .copy()
+    )  # (n_sub, n_cent, sd)
+
+    seq_cent = F.sequence(F.lit(0), F.lit(n_cent - 1))
+    seq_j = F.sequence(F.lit(0), F.lit(sd - 1))
+    for _ in range(n_iter):
+        cb_flat = F.lit([int(x) for x in cents.reshape(-1)])
+        framed = subs.select("sub", "subvec", cb_flat.alias("_cb"))
+
+        def _d2(c):
+            def step(acc, j):
+                diff = F.get(F.col("subvec"), j).cast("long") - F.get(
+                    F.col("_cb"),
+                    (F.col("sub") * n_cent + c) * sd + j,
+                ).cast("long")
+                return acc + diff * diff
+
+            return F.aggregate(seq_j, F.lit(0).cast("long"), step)
+
+        dists = F.transform(seq_cent, _d2)
+        assigned = framed.select(
+            "sub",
+            "subvec",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        upd = (
+            assigned.select(
+                "sub", "cell", F.posexplode("subvec").alias("pos", "val")
+            )
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in upd:
+            s, n = int(r["s"]), int(r["n"])
+            # round half AWAY from zero in exact integer arithmetic
+            q, rem = divmod(abs(s), n)
+            mean = q + (1 if 2 * rem >= n else 0)
+            if s < 0:
+                mean = -mean
+            new[r["sub"], r["cell"], r["pos"]] = max(-127, min(127, mean))
+        cents = new
+    subs.unpersist()
+    return cents

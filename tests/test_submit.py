@@ -346,3 +346,84 @@ def test_spark_submit_write_audit_publish(spark, tmp_path):
     assert pub["main_at"] == staged["snapshot_id"]
     change2 = submit("changelog", "--index", out, "--from-snapshot", str(base))
     assert change2["n_added"] == second.count()
+
+
+def test_spark_submit_curation_commands(spark, tmp_path):
+    """classify / shard-export through REAL spark-submit: the curation
+    stages land as parquet and agree with the in-process operators."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.textops import classifier as clf
+    from searchengine_spark.textops import sharding as shd
+
+    src = str(tmp_path / "docs")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    docs.write.parquet(src)
+
+    pkg_zip = shutil.make_archive(
+        str(tmp_path / "searchengine_spark_pyfiles"), "zip", REPO,
+        "searchengine_spark",
+    )
+
+    def submit(*argv) -> dict:
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT, "--master", "local[2]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.ui.showConsoleProgress=false",
+                "--py-files", pkg_zip,
+                os.path.join(REPO, "scripts", "submit_job.py"), *argv,
+            ],
+            capture_output=True, text=True, timeout=600,
+            cwd=str(tmp_path),
+            env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return [
+            json.loads(l) for l in proc.stdout.splitlines()
+            if l.startswith("{")
+        ][-1]
+
+    cl_out = str(tmp_path / "classified")
+    rep = submit("classify", "--input", src, "--output", cl_out)
+    want = {
+        (r["doc_id"], r["n_grams"], r["w_sum_milli"], r["keep"])
+        for r in clf.classifier_scores(docs).collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(cl_out)
+        .select("doc_id", "n_grams", "w_sum_milli", "keep")
+        .collect()
+    }
+    assert got == want
+    assert rep["docs_scored"] == len(want)
+    assert rep["docs_kept"] == sum(1 for t in want if t[3])
+
+    ko_out = str(tmp_path / "classified_keep")
+    rep2 = submit("classify", "--input", src, "--output", ko_out,
+                  "--keep-only", "--threshold-milli", "0")
+    kept = spark.read.parquet(ko_out)
+    assert kept.where(~F.col("keep")).count() == 0
+    assert rep2["docs_kept"] == rep2["docs_scored"] == kept.count()
+
+    sh_out = str(tmp_path / "shards")
+    rep3 = submit("shard-export", "--input", src, "--output", sh_out,
+                  "--shards", "8")
+    assert rep3["shards"] == 8 and rep3["docs"] == docs.count()
+    # shard 0 reads back in the same deterministic order as the
+    # in-process export path
+    want_ids = [
+        r["doc_id"] for r in shd.read_shard(spark, sh_out, 0).collect()
+    ]
+    a = shd.shard_assignments(docs, n_shards=8)
+    expect = [
+        r["doc_id"]
+        for r in a.where("shard = 0").orderBy("order_key").collect()
+    ]
+    assert want_ids == expect and len(want_ids) > 0

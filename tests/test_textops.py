@@ -1893,3 +1893,31 @@ def test_pq_topk_excludes_zero_vectors_and_validates(spark):
         sim.pq_topk(df, [0.0] * 64, 5)
     with pytest.raises(ValueError, match="divisible"):
         sim.pq_topk(df, [1.0] * 63, 5)
+
+
+def test_pq_train_improves_recall_and_is_partitioning_invariant(spark, embeddings):
+    from searchengine_spark.textops import similarity as sim
+
+    qv = [float(x) for x in embeddings.where("vec_id = 0").collect()[0]["embedding"]]
+    base = embeddings.where("vec_id <> 0")
+    cb = sim.pq_train(base, 64, n_iter=2)
+    assert cb.shape == (8, 16, 8)
+    assert cb.min() >= -127 and cb.max() <= 127
+    cb2 = sim.pq_train(base.repartition(11), 64, n_iter=2)
+    assert (cb == cb2).all(), "trained codebook depends on partitioning"
+
+    exact = {r["vec_id"] for r in sim.brute_force_topk(base, qv, 10).collect()}
+    frozen = {
+        r["vec_id"] for r in sim.pq_topk(base, qv, 10, rerank_factor=4).collect()
+    }
+    trained = {
+        r["vec_id"]
+        for r in sim.pq_topk(
+            base, qv, 10, rerank_factor=4, codebook=cb
+        ).collect()
+    }
+    assert len(trained & exact) >= len(frozen & exact), (
+        "trained codebook recall regressed below the frozen formula's"
+    )
+    with pytest.raises(ValueError, match="codebook shape"):
+        sim.pq_topk(base, qv, 10, codebook=cb[:, :4])
