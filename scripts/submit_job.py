@@ -418,9 +418,13 @@ def main() -> None:
         stats = _shd.shard_stats(
             docs, n_shards=args.shards, salt=args.salt
         ).collect()
-        n_docs = [r["n_docs"] for r in stats]
+        # groupBy drops empty shards; the audit must surface them (an
+        # empty shard=K/ directory is the worst case it exists to catch)
+        by_shard = {int(r["shard"]): int(r["n_docs"]) for r in stats}
+        n_docs = [by_shard.get(s, 0) for s in range(args.shards)]
         print(json.dumps({
-            "shards": len(stats),
+            "shards": args.shards,
+            "empty_shards": sum(1 for n in n_docs if n == 0),
             "docs": int(sum(n_docs)),
             "min_shard_docs": int(min(n_docs)) if n_docs else 0,
             "max_shard_docs": int(max(n_docs)) if n_docs else 0,

@@ -130,8 +130,12 @@ def parse_json_col(
     blob in a 100 TB scan degrades one row, never the job. Pure
     zero-shuffle projection; ``from_json`` is a codegen'd JVM expression,
     not a UDF."""
+    from pyspark.sql.types import StructType
+
     parsed = F.from_json(F.col(json_col), schema_ddl)
-    names = [f.strip().split()[0] for f in schema_ddl.split(",")]
+    # parse the DDL properly: naive comma-splitting breaks on
+    # parameterized/nested types (DECIMAL(10,2), MAP<STRING, INT>)
+    names = [f.name for f in StructType.fromDDL(schema_ddl).fields]
     keep = [c for c in df.columns if not (drop and c == json_col)]
     return df.select(
         *keep,

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import word_ngrams
+from .hashing import md5_prefix48
 from .quality import _raw_tokens
 
 # feature space + frozen stand-in weight constants (shared verbatim with
@@ -52,23 +53,23 @@ W_RANGE = 2001  # milli-weights span [-1000, 1000]
 DEFAULT_THRESHOLD_MILLI = 50  # keep docs with mean weight > 0.05
 
 
-def doc_grams(text_col):
-    """Unigram + word-bigram feature stream (instances, duplicates kept)
-    from a text column — fastText's default n=2 word-ngram features over
-    the engine's analyzer-parity raw tokens (stop words KEPT: function
-    words are load-bearing classifier features)."""
-    toks = _raw_tokens(text_col)
-    return F.concat(toks, word_ngrams(toks, 2))
+def doc_grams(tokens_col):
+    """Unigram + word-bigram feature stream (instances, duplicates kept) —
+    fastText's default n=2 word-ngram features. ``tokens_col`` must be a
+    BOUND tokens column (project ``_raw_tokens`` behind a select boundary
+    first): ``word_ngrams`` slices inside an F.transform lambda, and a
+    captured tokenization EXPRESSION would re-run the whole
+    lower/regexp/split per element — O(n_tokens²) per doc (CLAUDE.md).
+    Stop words are KEPT: function words are load-bearing classifier
+    features, unlike index terms."""
+    return F.concat(tokens_col, word_ngrams(tokens_col, 2))
 
 
 def feature_id(gram_col):
     """Hashing trick: 48-bit md5 prefix of the gram, mod FEATURE_DIM.
     Same construction as the MinHash shingle ids (dedup.py) so the
     cross-engine hash arithmetic exists in one shape only."""
-    return (
-        F.conv(F.substring(F.md5(gram_col), 1, 12), 16, 10).cast("long")
-        % F.lit(FEATURE_DIM)
-    )
+    return md5_prefix48(gram_col) % F.lit(FEATURE_DIM)
 
 
 def formula_weight_milli(fid_col):
@@ -91,14 +92,17 @@ def classifier_scores(
     feature instances, w_sum_milli their exact integer weight sum, keep
     the thresholded label (empty docs are dropped, like a filter that
     cannot vouch for them)."""
-    grams = doc_grams(F.col(text_col))
+    toked = df.select(
+        F.col(id_col), _raw_tokens(F.col(text_col)).alias("_toks")
+    )
+    grams = doc_grams(F.col("_toks"))
     w_sum = F.aggregate(
         grams,
         F.lit(0).cast("long"),
         lambda acc, g: acc + formula_weight_milli(feature_id(g)),
     )
     n = F.size(grams).cast("long")
-    return df.select(
+    return toked.select(
         F.col(id_col),
         n.alias("n_grams"),
         w_sum.alias("w_sum_milli"),
@@ -120,9 +124,11 @@ def score_with_weight_table(
     explodes, BROADCAST-joins the weight table (O(feature dim) rows, never
     a shuffle of the corpus side), and one doc-keyed aggregate pools the
     sums. Features absent from the table weigh 0."""
-    grams = df.select(
-        F.col(id_col), F.explode(doc_grams(F.col(text_col))).alias("gram")
-    ).select(F.col(id_col), feature_id(F.col("gram")).alias("fid"))
+    grams = (
+        df.select(F.col(id_col), _raw_tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(doc_grams(F.col("_toks"))).alias("gram"))
+        .select(F.col(id_col), feature_id(F.col("gram")).alias("fid"))
+    )
     joined = grams.join(
         F.broadcast(weights.select("feature_id", "weight_milli")),
         grams["fid"] == F.col("feature_id"),

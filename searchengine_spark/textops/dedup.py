@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .hashing import md5_prefix48
 
 # --- shared constants (mirrored into the DuckDB oracle SQL) ---
 SHINGLE_N = 3
@@ -417,8 +418,7 @@ def minhash_signatures(df: DataFrame, tokens_col: str = "tokens", id_col: str = 
     (a*x'+b) mod p with x' = x mod p. All JVM-side expressions.
     """
     sh = shingle_df(df, tokens_col, id_col)
-    x = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long")
-         % F.lit(MINHASH_P))
+    x = md5_prefix48(F.col("shingle")) % F.lit(MINHASH_P)
     hashed = sh.select(
         F.col(id_col),
         F.array(

@@ -42,6 +42,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .hashing import md5_prefix48
 
 N_BUCKETS = 1024  # B; shared with the oracle SQL
 DSIR_SMOOTH = 1.0  # add-lambda smoothing mass per bucket
@@ -73,10 +74,7 @@ def gram_instances(
 def _bucket(col: F.Column, n_buckets: int) -> F.Column:
     """48-bit md5-prefix hash mod B (cross-engine identical; see module
     docstring). 12 hex chars fit a long with headroom."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
-        % F.lit(n_buckets)
-    ).alias("bucket")
+    return (md5_prefix48(col) % F.lit(n_buckets)).alias("bucket")
 
 
 def hashed_gram_features(

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .quality import _raw_tokens
+from .hashing import prefix48
 
 DEFAULT_SHARDS = 64
 
@@ -39,10 +40,7 @@ def shard_assignments(
     by id). Both engine-portable md5 arithmetic — the same order falls out
     of any SQL engine, which is what makes the shuffle auditable."""
     keyed = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    shard = (
-        F.conv(F.substring(keyed, 1, 12), 16, 10).cast("long")
-        % F.lit(int(n_shards))
-    )
+    shard = prefix48(keyed) % F.lit(int(n_shards))
     return df.withColumn("shard", shard).withColumn("order_key", keyed)
 
 
@@ -80,19 +78,28 @@ def export_shards(
     a = shard_assignments(df, id_col, n_shards, salt)
     (
         a.repartition(int(n_shards), "shard")
-        .sortWithinPartitions("order_key", id_col)
+        # leading "shard": hash-partitioning puts 2+ shard values in one
+        # task whenever murmur3 buckets collide, and the partitioned
+        # writer REQUIRES ordering by the partition column — sorting on
+        # it here satisfies that requirement directly instead of letting
+        # the writer stack a second shard-only sort on top (which both
+        # re-sorts every row and, under spill, leaves the per-file
+        # (order_key, id) order resting on sort-stability)
+        .sortWithinPartitions("shard", "order_key", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )
 
 
-def read_shard(spark, path: str, shard: int) -> DataFrame:
+def read_shard(spark, path: str, shard: int, id_col: str = "doc_id") -> DataFrame:
     """Read one shard back in its deterministic order (partition-pruned
     directory read; the sort is re-asserted because parquet row order is
-    only stable within files)."""
+    only stable within files). The ``id_col`` tie-break matches the
+    export sort — without it, duplicate-id rows (same md5 order_key)
+    could legally come back in different orders on different reads."""
     return (
         spark.read.parquet(path)
         .where(F.col("shard") == int(shard))
-        .orderBy("order_key")
+        .orderBy("order_key", id_col)
     )

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .hashing import md5_prefix48
 
 KMV_K = 256  # sketch size; shared with the oracle SQL
 _HASH_SPACE = 1 << 48  # md5 48-bit prefix space
@@ -38,7 +39,7 @@ def kmv_hash(col: F.Column) -> F.Column:
     """48-bit md5-prefix hash as a long — cross-engine identical (DuckDB:
     ``('0x' || substr(md5(x), 1, 12))::BIGINT``; same idiom as
     textops/dsir feature bucketing)."""
-    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+    return md5_prefix48(col)
 
 
 def _estimate(n_seen: F.Column, hk: F.Column, k: int) -> F.Column:

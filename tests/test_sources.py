@@ -119,3 +119,17 @@ def test_parse_json_col(spark):
     # prefix + keep the raw column
     kept = parse_json_col(df, "props", "k INT", prefix="p_", drop=False)
     assert set(kept.columns) == {"event_id", "props", "p_k"}
+
+
+def test_parse_json_col_parameterized_and_nested_types(spark):
+    """DDL with parameterized/nested types must parse (a comma-split on
+    the schema string used to break DECIMAL(10,2) and MAP<...>)."""
+    from searchengine_spark.sources import parse_json_col
+
+    rows = [(1, '{"price": "12.34", "k": 5, "m": {"a": 1}}')]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    out = parse_json_col(
+        df, "props", "price DECIMAL(10,2), k INT, m MAP<STRING, INT>"
+    ).collect()[0]
+    assert str(out["price"]) == "12.34"
+    assert out["k"] == 5 and out["m"] == {"a": 1}
