@@ -205,6 +205,7 @@ def main() -> None:
         "quality_classifier",
         "shard_stats",
         "ann_pq_top10",
+        "ann_ivfpq_top10",
     ):
         extras_times[name], _ = timed(
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()

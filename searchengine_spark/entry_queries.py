@@ -3210,6 +3210,31 @@ def ann_ivf_top10(spark, sf_dir):
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
 
 
+_IVFPQ_FACTOR = 16
+
+
+def ann_ivfpq_top10(spark, sf_dir):
+    """IVF-PQ ANN (textops/similarity.py::ivfpq_topk — the faiss IVFx,PQy
+    recipe): same deterministic 8 centroids and 3-probe cell prune as
+    ann_ivf_top10, then PQ-ADC coarse scoring + float rerank within the
+    probed cells. Graded like ann_ivf_top10: on this fixture the probed
+    cells contain the exact top-10 and the rerank pool is wide enough
+    that ADC ordering drops none of them, so the result must EQUAL the
+    exact brute-force top-10 (ANN_COSINE_SQL). ADC pruning quality at
+    tighter pools is pinned by pytest instead."""
+    import numpy as np
+
+    qv = _query_vec(spark, sf_dir)
+    cents = _emb(spark, sf_dir).orderBy("vec_id").limit(8).collect()
+    centroids = np.array([[float(x) for x in r["embedding"]] for r in cents])
+    base = _emb(spark, sf_dir).where(F.col("vec_id") != _ANN_QUERY_ID)
+    res = sim.ivfpq_topk(
+        base, centroids, qv, 10, n_probe=3, rerank_factor=_IVFPQ_FACTOR,
+        n_sub=_PQ_NSUB, n_cent=_PQ_NCENT,
+    )
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
 _PCA_DIM = 64
 _PCA_ITER = 7  # (n·d)^7 · 1e6 stays inside HUGEINT at graded scale
 
@@ -7663,6 +7688,7 @@ QUERIES = {
     # oracled since r2/r3 (exact-SQL or construction-derived twins — see
     # each entry's docstring for the independence argument):
     "ann_ivf_top10": ann_ivf_top10,
+    "ann_ivfpq_top10": ann_ivfpq_top10,
     "emb_pca_top10": emb_pca_top10,
     "doc_fingerprints": doc_fingerprints_q,
     "wordbreak_en": wordbreak_en_q,
@@ -7826,6 +7852,7 @@ ORACLES = {
     # top-10 at the graded scales, so the exact brute-force SQL is the
     # oracle — any recall regression becomes a driver-visible hash mismatch
     "ann_ivf_top10": ANN_COSINE_SQL,
+    "ann_ivfpq_top10": ANN_COSINE_SQL,
     "emb_pca_top10": _emb_pca_sql(),
     "ann_lsh_top10": _ann_lsh_sql(),
     "emb_near_dup_lsh": _emb_near_dup_lsh_sql(),

@@ -969,3 +969,40 @@ def pq_train(
         cents = new
     subs.unpersist()
     return cents
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query: list,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank_factor: int = 4,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ (the faiss ``IVFx,PQy`` scale recipe, composed from the
+    repo's two halves): restrict the scan to the ``n_probe`` coarse cells
+    nearest the query (:func:`nearest_cell_expr`; at 100 TB the encoded
+    corpus is persisted PARTITIONED BY cell — same directory-pruning
+    shape as :func:`build_lsh_index` — so unprobed cells are never read),
+    then PQ-ADC coarse-score only those cells' codes and float-rerank the
+    top ``k * rerank_factor`` (:func:`pq_topk`). Probe order is
+    deterministic (stable argsort, lowest cell id on ties), matching the
+    cell-assignment tie-break."""
+    if n_probe <= 0:
+        raise ValueError("n_probe must be positive")
+    q = np.asarray(query, dtype=np.float64)
+    qd = ((centroids - q) ** 2).sum(axis=1)
+    probe_cells = [int(i) for i in np.argsort(qd, kind="stable")[:n_probe]]
+    assigned = df.withColumn(
+        "_cell", nearest_cell_expr(F.col(vec_col), centroids)
+    )
+    cands = assigned.where(F.col("_cell").isin(probe_cells)).drop("_cell")
+    return pq_topk(
+        cands, query, k, rerank_factor, n_sub, n_cent, id_col, vec_col,
+        codebook=codebook,
+    )

@@ -1921,3 +1921,33 @@ def test_pq_train_improves_recall_and_is_partitioning_invariant(spark, embedding
     )
     with pytest.raises(ValueError, match="codebook shape"):
         sim.pq_topk(base, qv, 10, codebook=cb[:, :4])
+
+
+def test_ivfpq_composition_properties(spark, embeddings):
+    """IVF-PQ = cell prune + PQ pipeline: probing every cell must equal
+    pq_topk on the full frame; fewer probes yield a subset of the probed
+    cells' members; results are partitioning-invariant."""
+    import numpy as np
+
+    from searchengine_spark.textops import similarity as sim
+
+    qv = [float(x) for x in embeddings.where("vec_id = 0").collect()[0]["embedding"]]
+    base = embeddings.where("vec_id <> 0")
+    cents = base.orderBy("vec_id").limit(8).collect()
+    centroids = np.array([[float(x) for x in r["embedding"]] for r in cents])
+
+    allprobe = sim.ivfpq_topk(base, centroids, qv, 10, n_probe=8).collect()
+    full = sim.pq_topk(base, qv, 10).collect()
+    assert [tuple(r) for r in allprobe] == [tuple(r) for r in full]
+
+    two = sim.ivfpq_topk(base, centroids, qv, 10, n_probe=2)
+    ids = [r["vec_id"] for r in two.collect()]
+    again = [
+        r["vec_id"]
+        for r in sim.ivfpq_topk(
+            base.repartition(9), centroids, qv, 10, n_probe=2
+        ).collect()
+    ]
+    assert ids == again and len(ids) > 0
+    with pytest.raises(ValueError, match="n_probe"):
+        sim.ivfpq_topk(base, centroids, qv, 10, n_probe=0)
