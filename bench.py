@@ -206,6 +206,7 @@ def main() -> None:
         "shard_stats",
         "ann_pq_top10",
         "ann_ivfpq_top10",
+        "curation_funnel",
     ):
         extras_times[name], _ = timed(
             lambda n=name: eq.QUERIES[n](spark, sf_dir).count()

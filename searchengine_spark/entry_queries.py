@@ -1118,6 +1118,104 @@ WHERE n_tokens >= {_QF_PARAMS["min_tokens"]}
 """
 
 
+def curation_funnel_q(spark, sf_dir):
+    """End-to-end curation funnel — the composed pipeline a training-data
+    team actually runs, as ONE replayable report: raw corpus -> quality
+    gates (quality_filter) -> classifier keep (classifier_scores) ->
+    exact dedup (keep smallest doc_id per md5(text)). Returns (stage,
+    n_docs, n_tokens) per stage; every stage reuses the operator whose
+    standalone entry is already oracled, and the oracle chains the same
+    stages as CTEs, so the whole funnel — not just its parts — is
+    DuckDB-hash-checked. At scale persist each stage frame; here the
+    frames are lineage-chained (test-scale corpus, one scan each)."""
+    from .textops import classifier as clf
+    from .textops.quality import _raw_tokens
+
+    docs = _docs(spark, sf_dir)
+    quality = q.quality_filter(docs, **_QF_PARAMS)
+    ckeep = clf.classifier_scores(quality).where("keep").select("doc_id")
+    cdocs = quality.join(ckeep, "doc_id", "left_semi")
+    reps = (
+        cdocs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ddocs = cdocs.join(reps, "doc_id", "left_semi")
+
+    def st(name, df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.size(_raw_tokens(F.col("text"))).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    return (
+        st("raw", docs)
+        .unionByName(st("quality", quality))
+        .unionByName(st("classifier", cdocs))
+        .unionByName(st("exact_dedup", ddocs))
+    )
+
+
+def _curation_funnel_sql() -> str:
+    from .textops import classifier as clf
+
+    thr = clf.DEFAULT_THRESHOLD_MILLI
+    return f"""
+WITH rawtok AS (
+  SELECT doc_id, text,
+         list_filter(
+           string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                              '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> '') AS raw
+  FROM documents
+),
+qf AS ({QUALITY_FILTER_SQL}),
+quality AS (SELECT r.* FROM rawtok r JOIN qf USING (doc_id)),
+cgrams AS (
+  SELECT doc_id, unnest(raw) AS gram FROM quality
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(raw) - 1),
+           i -> array_to_string(list_slice(raw, i, i + 1), ' ')
+         )) AS gram
+  FROM quality
+),
+cw AS (
+  SELECT doc_id,
+         (({clf.W_A} * (('0x' || substr(md5(gram), 1, 12))::BIGINT
+                        % {clf.FEATURE_DIM}) + {clf.W_B})
+          % {clf.W_P}) % {clf.W_RANGE} - 1000 AS wm
+  FROM cgrams
+),
+ckeep AS (
+  SELECT doc_id FROM cw GROUP BY doc_id
+  HAVING sum(wm) * 1000 > {thr} * count(*)
+),
+classifier AS (SELECT q.* FROM quality q JOIN ckeep USING (doc_id)),
+reps AS (
+  SELECT min(doc_id) AS doc_id FROM classifier GROUP BY md5(text)
+),
+dedup AS (SELECT c.* FROM classifier c JOIN reps USING (doc_id))
+SELECT 'raw' AS stage, count(*)::BIGINT AS n_docs,
+       coalesce(sum(len(raw)), 0)::BIGINT AS n_tokens FROM rawtok
+UNION ALL
+SELECT 'quality', count(*)::BIGINT, coalesce(sum(len(raw)), 0)::BIGINT
+FROM quality
+UNION ALL
+SELECT 'classifier', count(*)::BIGINT, coalesce(sum(len(raw)), 0)::BIGINT
+FROM classifier
+UNION ALL
+SELECT 'exact_dedup', count(*)::BIGINT, coalesce(sum(len(raw)), 0)::BIGINT
+FROM dedup
+"""
+
+
 def token_counts_q(spark, sf_dir):
     return q.token_count_bpe(_docs(spark, sf_dir))
 
@@ -7630,6 +7728,7 @@ QUERIES = {
     "dup_score": dup_score_q,
     "text_quality": text_quality_q,
     "quality_filter": quality_filter_q,
+    "curation_funnel": curation_funnel_q,
     "token_counts": token_counts_q,
     "quality_classifier": quality_classifier_q,
     "shard_stats": shard_stats_q,
@@ -7791,6 +7890,7 @@ ORACLES = {
     "dup_score": _dup_score_sql(),
     "text_quality": TEXT_QUALITY_SQL,
     "quality_filter": QUALITY_FILTER_SQL,
+    "curation_funnel": _curation_funnel_sql(),
     "token_counts": TOKEN_COUNTS_SQL,
     "quality_classifier": _quality_classifier_sql(),
     "shard_stats": SHARD_STATS_SQL,
