@@ -21,8 +21,14 @@ reports:
   calib    = (kernel_high/kernel_low) / (high/low)
   eff_norm = eff_raw / calib       # tenancy-discount-normalized
 
+``--mode query`` measures the OTHER half of the engine the same way:
+batched-BM25 throughput (queries/sec, ``search_bm25_batch`` — one postings
+scan per batch over the union vocabulary) against ONE prebuilt artifact at
+both parallelism levels — evidence that serving, not just building, scales
+with executors.
+
 Usage: python scripts/scaling_run.py [--convs 60000] [--low 4] [--high 16]
-       [--trials 3] [--no-calibrate]
+       [--trials 3] [--no-calibrate] [--mode build|query]
 """
 
 from __future__ import annotations
@@ -63,6 +69,49 @@ print("CHILD_RESULT " + json.dumps({{
     "turns_per_sec": round(n_turns / secs, 1),
     "postings": sum(s["n_postings"] for s in idx.snapshot["segments"]),
     "bytes": sum(s["bytes"] for s in idx.snapshot["segments"]),
+}}))
+spark.stop()
+"""
+
+
+CHILD_QUERY = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from searchengine_spark.session import get_spark
+from searchengine_spark.index.artifact import load_artifact
+
+cpus = int(sys.argv[1]); art = sys.argv[2]; repeats = int(sys.argv[3])
+spark = get_spark(f"qscaling-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=2 * cpus)
+spark.sparkContext.setLogLevel("ERROR")
+idx = load_artifact(spark, art)
+
+# the reference query set's ranked members (FIXTURES.md section 2) as ONE
+# batched-BM25 workload: one postings scan over the union vocabulary per
+# batch — the cluster-scale query shape (query/ranked.py::search_bm25_batch)
+WORKLOAD = [
+    "spark shuffle error",
+    "elizabeth pride prejudice",
+    "function error timeout retry",
+    "important concept computer science",
+    "zqmarkerbeta function",
+    "checkpoint snapshot resume",
+    "elizabeth darcy garden",
+    "merge sort algorithm",
+]
+
+def run_batch():
+    return idx.search_bm25_batch(WORKLOAD, k=10).collect()
+
+rows = len(run_batch())  # warm: python workers, codegen, block metadata
+t0 = time.perf_counter()
+for _ in range(repeats):
+    rows = len(run_batch())
+secs = time.perf_counter() - t0
+n_q = repeats * len(WORKLOAD)
+print("CHILD_RESULT " + json.dumps({{
+    "cpus": cpus, "queries": n_q, "sec": round(secs, 3),
+    "queries_per_sec": round(n_q / secs, 2), "batch_rows": rows,
 }}))
 spark.stop()
 """
@@ -133,13 +182,13 @@ def run_calibration(low: int, high: int, n_docs: int = 800, iters: int = 8) -> d
     }
 
 
-def run_child(cpus: int, src: str, out: str) -> dict:
+def _run_template(template: str, cpus: int, argv: list[str]) -> dict:
     # constant memory PER CORE (1 GiB), like a real cluster where each added
     # executor brings its own heap — a fixed total heap across levels would
     # bias the comparison against the higher parallelism
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=f"{max(4, cpus)}g")
     proc = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), src, out],
+        [sys.executable, "-c", template.format(repo=REPO), str(cpus), *argv],
         capture_output=True, text=True, timeout=3600, env=env,
     )
     for line in proc.stdout.splitlines():
@@ -147,6 +196,14 @@ def run_child(cpus: int, src: str, out: str) -> dict:
             return json.loads(line[len("CHILD_RESULT "):])
     sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:])
     raise RuntimeError(f"child (local[{cpus}]) produced no result")
+
+
+def run_child(cpus: int, src: str, out: str) -> dict:
+    return _run_template(CHILD, cpus, [src, out])
+
+
+def run_query_child(cpus: int, art: str, repeats: int) -> dict:
+    return _run_template(CHILD_QUERY, cpus, [art, str(repeats)])
 
 
 def main() -> None:
@@ -169,6 +226,13 @@ def main() -> None:
                     "before each trial")
     ap.add_argument("--no-bench-md", action="store_true",
                     help="print JSON only; don't append to BENCH.md")
+    ap.add_argument("--mode", choices=["build", "query"], default="build",
+                    help="build = north-rule index-build throughput; "
+                    "query = batched-BM25 throughput over ONE prebuilt "
+                    "artifact (second-axis evidence: the query path's "
+                    "scan+shuffle also scales)")
+    ap.add_argument("--repeats", type=int, default=4,
+                    help="query mode: timed batch repetitions per level")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="scaling_")
@@ -193,6 +257,14 @@ def main() -> None:
             sys.stderr.write(gen.stderr[-4000:])
             raise RuntimeError("input generation failed")
 
+        art_dir = os.path.join(work, "artifact")
+        if args.mode == "query":
+            # one untimed full-width build; every query child reads the SAME
+            # committed artifact (what a cluster does: the index is built
+            # once, then served at whatever executor count is deployed)
+            run_child(32, src, art_dir)
+
+        metric = "turns_per_sec" if args.mode == "build" else "queries_per_sec"
         for t in range(args.trials):
             rec = {"load_start": settle(args.settle)}
             if not args.no_calibrate:
@@ -202,14 +274,17 @@ def main() -> None:
             )
             res = {}
             for cpus in order:
-                out_dir = os.path.join(work, f"idx{cpus}_{t}")
                 la = settle(args.settle)
-                res[cpus] = run_child(cpus, src, out_dir)
+                if args.mode == "build":
+                    out_dir = os.path.join(work, f"idx{cpus}_{t}")
+                    res[cpus] = run_child(cpus, src, out_dir)
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                else:
+                    res[cpus] = run_query_child(cpus, art_dir, args.repeats)
                 res[cpus]["load_before"] = la
-                shutil.rmtree(out_dir, ignore_errors=True)
             rec["load_end"] = loadavg()
             lo, hi = res[args.low], res[args.high]
-            eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (
+            eff = (hi[metric] / lo[metric]) / (
                 args.high / args.low
             )
             rec.update({"low": lo, "high": hi, "eff": round(eff, 3)})
@@ -231,11 +306,15 @@ def main() -> None:
         return vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
 
     result = {
+        "mode": args.mode,
         "trials": [t["eff"] for t in trials],
         "median_efficiency": round(median([t["eff"] for t in trials]), 3),
         "ideal": args.high / args.low,
-        "turns": trials[0]["low"]["turns"],
     }
+    if args.mode == "build":
+        result["turns"] = trials[0]["low"]["turns"]
+    else:
+        result["queries_per_level"] = trials[0]["low"]["queries"]
     if any("eff_norm" in t for t in trials):
         result["normalized_trials"] = [t.get("eff_norm") for t in trials]
         result["median_normalized"] = round(
@@ -251,22 +330,34 @@ def main() -> None:
     stamp = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
     rows = "\n".join(
         f"| {i} | {t['load_start']:.1f} | "
-        f"{t['low']['turns_per_sec']:,} | {t['high']['turns_per_sec']:,} | "
+        f"{t['low'][metric]:,} | {t['high'][metric]:,} | "
         f"{t['eff']} | {t.get('calib', {}).get('calib_eff', '-')} | "
         f"{t.get('eff_norm', '-')} |"
         for i, t in enumerate(trials)
     )
+    if args.mode == "build":
+        what = (
+            f"Same artifact build over the same "
+            f"{trials[0]['low']['turns']:,}-turn transcripts parquet"
+        )
+        unit = "t/s"
+    else:
+        what = (
+            f"Batched-BM25 workload (8 ranked queries x {args.repeats} "
+            f"timed batches, k=10) over ONE prebuilt artifact of the "
+            f"{args.convs:,}-conversation transcripts corpus"
+        )
+        unit = "q/s"
     md = (
         f"\n## Scaling run {stamp} UTC ({len(trials)} trials, "
-        f"{args.low}->{args.high} cores)\n\n"
-        f"Same artifact build over the same {trials[0]['low']['turns']:,}-"
-        f"turn transcripts parquet, fresh JVM per level, level order "
+        f"{args.low}->{args.high} cores, mode={args.mode})\n\n"
+        f"{what}, fresh JVM per level, level order "
         f"alternated per trial. `calib` = in-window host CPU-scaling of the "
         f"standalone analyze kernel (multiprocessing, same core counts) "
         f"measured immediately before each Spark pair; `eff_norm` = "
         f"eff / calib.\n\n"
-        f"| trial | load@start | local[{args.low}] t/s | "
-        f"local[{args.high}] t/s | eff | calib | eff_norm |\n"
+        f"| trial | load@start | local[{args.low}] {unit} | "
+        f"local[{args.high}] {unit} | eff | calib | eff_norm |\n"
         f"|---|---|---|---|---|---|---|\n{rows}\n\n"
         f"**Median raw efficiency {result['median_efficiency']}"
         + (
