@@ -43,7 +43,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
-from .blocks import BLOCK_SCHEMA, BLOCK_SIZE, pack_term_run, unpack_block
+from .blocks import (
+    BLOCK_SCHEMA,
+    BLOCK_SIZE,
+    pack_term_run,
+    unpack_block,
+    unpack_blocks_batch,
+)
 from .engine import Index
 from .ordinals import assign_doc_ordinals, segment_base
 
@@ -51,6 +57,17 @@ PACKED_SCHEMA = f"part_id int, {BLOCK_SCHEMA}"
 DECODED_SCHEMA = (
     "doc_ord long, term string, tf int, positions array<int>, dl int"
 )
+# non-positional decode omits the positions column entirely: materializing
+# a batch-long object column of Nones pandas-side costs more than the
+# whole varbyte decode (profiled: 3.6 s of 8 s on a 3.6M-posting scan);
+# callers whose contract includes a null positions column add it JVM-side
+# with F.lit(None).cast("array<int>") for free
+DECODED_SCHEMA_NOPOS = "doc_ord long, term string, tf int, dl int"
+
+
+def _null_positions():
+    """JVM-side null positions column (see DECODED_SCHEMA_NOPOS note)."""
+    return F.lit(None).cast("array<int>").alias("positions")
 N_BUCKETS = 16  # term-hash directory partitions per segment
 
 
@@ -449,19 +466,54 @@ def _make_packer(block_size: int, positional: bool):
 
 
 def _make_decoder(positional: bool):
-    """mapInPandas fn: block rows -> exploded (doc_ord, term, tf, positions, dl)."""
+    """mapInPandas fn: block rows -> exploded postings.
+
+    Non-positional (schema ``DECODED_SCHEMA_NOPOS``) is fully
+    batch-vectorized: ONE concatenated varbyte decode per column per Arrow
+    batch (``blocks.unpack_blocks_batch``) and NO positions column — the
+    per-block loop paid ~35 µs of numpy dispatch per tiny decode call plus
+    a batch-long object column of ``None`` positions, together ~8x the
+    batch form's cost on wide scans (BENCH.md session-15). This is the
+    barrier every BM25 / WAND / boolean / batch query crosses.
+
+    Positional (schema ``DECODED_SCHEMA``) keeps the per-block loop:
+    positions are ragged per-posting arrays (object dtype either way, and
+    the position payload dominates those scans regardless)."""
+
+    if not positional:
+
+        def decode_nopos(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                u = unpack_blocks_batch(
+                    pdf["docs"].to_numpy(),
+                    pdf["tfs"].to_numpy(),
+                    pdf["dls"].to_numpy(),
+                    pdf["first_ord"].to_numpy(),
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_ord": u["ords"],
+                        "term": np.repeat(pdf["term"].to_numpy(), u["counts"]),
+                        "tf": u["tfs"].astype(np.int32),
+                        "dl": u["dls"].astype(np.int32),
+                    }
+                )
+
+        return decode_nopos
 
     def decode(batches):
         for pdf in batches:
             ords_l, terms_l, tfs_l, dls_l, pos_l = [], [], [], [], []
             for row in pdf.to_dict("records"):
-                u = unpack_block(row, with_positions=positional)
+                u = unpack_block(row, with_positions=True)
                 n = len(u["ords"])
                 ords_l.append(u["ords"])
                 tfs_l.append(u["tfs"])
                 dls_l.append(u["dls"])
                 terms_l.append(np.repeat(row["term"], n))
-                if positional and u["pos"] is not None:
+                if u["pos"] is not None:
                     pos_l.extend(u["pos"])
                 else:
                     pos_l.extend([None] * n)
@@ -850,7 +902,7 @@ class ArtifactIndex(Index):
         if not (positional and self.positional):
             nopos = blocks.select(
                 "term", "first_ord", "docs", "tfs", "dls"
-            ).mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA)
+            ).mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA_NOPOS)
             # delete filter in ORDINAL space, before doc_ord is dropped:
             # tombstones are (doc_id, doc_ord) pairs, and upsert replaces a
             # doc under the SAME doc_id with a new ordinal — a doc_id-level
@@ -858,7 +910,7 @@ class ArtifactIndex(Index):
             return (
                 self.filter_deleted_ords(nopos)
                 .join(self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord")
-                .select("doc_id", "term", "tf", "positions", "dl")
+                .select("doc_id", "term", "tf", _null_positions(), "dl")
             )
         return self._decode(blocks)
 
@@ -874,11 +926,11 @@ class ArtifactIndex(Index):
             return self.postings
         nopos = self.blocks.select(
             "term", "first_ord", "docs", "tfs", "dls"
-        ).mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA)
+        ).mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA_NOPOS)
         return (
             self.filter_deleted_ords(nopos)
             .join(self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord")
-            .select("doc_id", "term", "tf", "positions", "dl")
+            .select("doc_id", "term", "tf", _null_positions(), "dl")
         )
 
     def docs_for_ordinals(self, ords) -> DataFrame:
@@ -953,15 +1005,19 @@ class ArtifactIndex(Index):
 
     def _decode(self, blocks: DataFrame, filtered: bool = True) -> DataFrame:
         decoded = blocks.mapInPandas(
-            _make_decoder(self.positional), schema=DECODED_SCHEMA
+            _make_decoder(self.positional),
+            schema=DECODED_SCHEMA if self.positional else DECODED_SCHEMA_NOPOS,
         )
         # ordinal-space delete filter (see postings_for_terms note);
         # filtered=False gives the RAW decode (get_index_segment's dump)
         if filtered:
             decoded = self.filter_deleted_ords(decoded)
+        pos_col = (
+            F.col("positions") if self.positional else _null_positions()
+        )
         return decoded.join(
             self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord"
-        ).select("doc_id", "term", "tf", "positions", "dl")
+        ).select("doc_id", "term", "tf", pos_col, "dl")
 
     def search_phrase(self, phrase) -> DataFrame:
         if not self.positional:
@@ -1372,7 +1428,8 @@ def subcompact(
         ["positions"] if cfg["positional"] else []
     )
     decoded = src.blocks.where(F.col("seg").isin(segs)).mapInPandas(
-        _make_decoder(cfg["positional"]), schema=DECODED_SCHEMA
+        _make_decoder(cfg["positional"]),
+        schema=DECODED_SCHEMA if cfg["positional"] else DECODED_SCHEMA_NOPOS,
     )
     p = (
         src.filter_deleted_ords(decoded)
@@ -1621,7 +1678,8 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
     )
     # re-pack directly from decoded surviving postings (no re-analysis)
     decoded = src.blocks.mapInPandas(
-        _make_decoder(cfg["positional"]), schema=DECODED_SCHEMA
+        _make_decoder(cfg["positional"]),
+        schema=DECODED_SCHEMA if cfg["positional"] else DECODED_SCHEMA_NOPOS,
     )
     p = (
         src.filter_deleted_ords(decoded)

@@ -116,6 +116,36 @@ def pack_term_run(
     return out
 
 
+def unpack_blocks_batch(docs_col, tfs_col, dls_col, first_ords) -> dict:
+    """Vectorized unpack of MANY block rows at once (no positions): ONE
+    concatenated varbyte decode per column (``varbyte.decode_concat`` /
+    ``decode_plain_concat``) instead of 3 tiny numpy calls per block.
+    Per-block numpy dispatch (~35 µs/call) dominates wide decode scans —
+    the batch form is ~8x faster on a 28k-block scan (BENCH.md
+    session-15). Bit-identical to :func:`unpack_block` per row.
+
+    Returns ``{"ords", "tfs", "dls", "counts"}`` as flat int64 arrays plus
+    per-block posting counts (for ``np.repeat`` of per-block columns)."""
+    n = len(docs_col)
+
+    def cat(col):
+        lens = np.fromiter(map(len, col), dtype=np.int64, count=n)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        return b"".join(col), offs
+
+    dbuf, doffs = cat(docs_col)
+    rel, counts = varbyte.decode_concat(dbuf, doffs)
+    ords = rel + np.repeat(np.asarray(first_ords, dtype=np.int64), counts)
+    tfs, tcounts = varbyte.decode_plain_concat(*cat(tfs_col))
+    dls, lcounts = varbyte.decode_plain_concat(*cat(dls_col))
+    if not (
+        np.array_equal(counts, tcounts) and np.array_equal(counts, lcounts)
+    ):
+        raise ValueError("posting-count mismatch across block columns")
+    return {"ords": ords, "tfs": tfs, "dls": dls, "counts": counts}
+
+
 def unpack_block(row, with_positions: bool = True) -> dict:
     """Decode one block row (dict-like / pandas row) back to arrays."""
     ords = varbyte.decode(row["docs"]) + row["first_ord"]

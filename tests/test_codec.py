@@ -7,6 +7,7 @@ from hypothesis import given
 from hypothesis import strategies as st
 
 from searchengine_spark.codec import decode, decode_raw, encode, encode_raw
+from searchengine_spark.codec import varbyte
 
 
 class TestGoldenVectors:
@@ -60,3 +61,109 @@ def test_compression_ratio_floor():
     # BASELINE.md: naive bytes > 1.5x compressed bytes on dense posting lists
     ids = np.cumsum(np.random.default_rng(42).integers(1, 30, size=10_000))
     assert len(encode_raw(ids)) > 1.5 * len(encode(ids))
+
+
+# --- concatenated-stream (batch) decoders --------------------------------
+
+
+def _cat(blobs):
+    offs = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=offs[1:])
+    return b"".join(blobs), offs
+
+
+class TestConcatDecoders:
+    """decode_concat / decode_plain_concat must be bit-identical to the
+    per-stream decoders — they are the block-decode barrier's batch form
+    (one numpy pass per column instead of one tiny call per block)."""
+
+    def test_plain_concat_matches_per_stream(self):
+        rng = np.random.default_rng(3)
+        streams = [
+            rng.integers(0, 300, size=int(rng.integers(0, 40)))
+            for _ in range(200)
+        ] + [np.array([], dtype=np.int64), np.array([0]), np.array([2**62])]
+        blobs = [varbyte.encode_plain(s) for s in streams]
+        vals, counts = varbyte.decode_plain_concat(*_cat(blobs))
+        want = [varbyte.decode_plain(b) for b in blobs]
+        assert counts.tolist() == [len(w) for w in want]
+        assert np.array_equal(vals, np.concatenate(want))
+
+    def test_delta_concat_matches_per_stream_large_ordinals(self):
+        # seg << 40 bases: the int64-wide path (CLAUDE.md silent-truncation
+        # lesson) must survive the batch form too
+        rng = np.random.default_rng(4)
+        streams = [
+            np.sort(rng.choice(1 << 22, size=int(rng.integers(0, 50)),
+                               replace=False)) + (int(s) << 40)
+            for s, _ in enumerate(range(100))
+        ] + [np.array([], dtype=np.int64), np.array([0, 0, 5])]
+        blobs = [varbyte.encode(s) for s in streams]
+        vals, counts = varbyte.decode_concat(*_cat(blobs))
+        want = [varbyte.decode(b) for b in blobs]
+        assert counts.tolist() == [len(w) for w in want]
+        assert np.array_equal(vals, np.concatenate(want))
+
+    def test_concat_empty_input(self):
+        vals, counts = varbyte.decode_plain_concat(b"", np.array([0, 0, 0]))
+        assert vals.size == 0 and counts.tolist() == [0, 0]
+
+    def test_concat_truncated_stream_raises(self):
+        good = varbyte.encode_plain([7])
+        bad = varbyte.encode_plain([300])[:-1]  # drop the terminator byte
+        data = bad + good
+        offs = np.array([0, len(bad), len(bad) + len(good)])
+        with pytest.raises(ValueError, match="truncated"):
+            varbyte.decode_plain_concat(data, offs)
+
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=2**50), max_size=30
+            ).map(sorted),
+            max_size=30,
+        )
+    )
+    def test_delta_concat_property(self, streams):
+        blobs = [varbyte.encode(s) for s in streams]
+        vals, counts = varbyte.decode_concat(*_cat(blobs))
+        assert counts.tolist() == [len(s) for s in streams]
+        assert vals.tolist() == [x for s in streams for x in s]
+
+
+def test_unpack_blocks_batch_matches_unpack_block():
+    """The mapInPandas non-positional decode barrier's kernel: batch unpack
+    must equal the per-block form posting-for-posting (ords carry segment
+    bases; counts equal the packed n column)."""
+    import pandas as pd
+
+    from searchengine_spark.index.blocks import (
+        pack_term_run,
+        unpack_block,
+        unpack_blocks_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for t in range(25):
+        n = int(rng.integers(1, 300))
+        ords = np.sort(rng.choice(1 << 20, size=n, replace=False)) + (3 << 40)
+        tfs = rng.integers(1, 9, size=n)
+        dls = rng.integers(1, 500, size=n)
+        pos = [
+            np.sort(rng.choice(1000, size=int(tf), replace=False))
+            for tf in tfs
+        ]
+        rows.extend(pack_term_run(f"t{t}", ords, tfs, dls, pos))
+    pdf = pd.DataFrame(rows)
+    u = unpack_blocks_batch(
+        pdf["docs"].to_numpy(),
+        pdf["tfs"].to_numpy(),
+        pdf["dls"].to_numpy(),
+        pdf["first_ord"].to_numpy(),
+    )
+    per = [unpack_block(r, with_positions=False) for r in pdf.to_dict("records")]
+    assert np.array_equal(u["ords"], np.concatenate([p["ords"] for p in per]))
+    assert np.array_equal(u["tfs"], np.concatenate([p["tfs"] for p in per]))
+    assert np.array_equal(u["dls"], np.concatenate([p["dls"] for p in per]))
+    assert np.array_equal(u["counts"], pdf["n"].to_numpy())
