@@ -152,6 +152,16 @@ def _concat_groups(buf: np.ndarray, offsets: np.ndarray):
     streams laid back to back, plus each stream's value count and first
     group index. Validates that every non-empty stream ends on a
     terminator byte — otherwise a group would silently span two streams."""
+    if (
+        offsets.size < 1
+        or offsets[0] != 0
+        or offsets[-1] != buf.size
+        or (np.diff(offsets) < 0).any()
+    ):
+        # loud misuse guard: offsets that don't span the buffer would
+        # otherwise decode trailing bytes into orphan values not covered
+        # by any stream's count
+        raise ValueError("offsets must be monotone, start at 0, and span the buffer")
     payload = (buf & 0x7F).astype(np.int64)
     is_last = (buf & 0x80) == 0
     ends = offsets[1:]

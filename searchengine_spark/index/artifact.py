@@ -68,6 +68,17 @@ DECODED_SCHEMA_NOPOS = "doc_ord long, term string, tf int, dl int"
 def _null_positions():
     """JVM-side null positions column (see DECODED_SCHEMA_NOPOS note)."""
     return F.lit(None).cast("array<int>").alias("positions")
+
+
+def decode_barrier(df: DataFrame, positional: bool) -> DataFrame:
+    """The ONE way to cross the block-decode barrier: pairs the decoder
+    with its schema by construction (they were previously paired by
+    convention at every call site — a mismatched pair compiles fine and
+    fails only at execution time with an Arrow schema error)."""
+    return df.mapInPandas(
+        _make_decoder(positional),
+        schema=DECODED_SCHEMA if positional else DECODED_SCHEMA_NOPOS,
+    )
 N_BUCKETS = 16  # term-hash directory partitions per segment
 
 
@@ -900,19 +911,25 @@ class ArtifactIndex(Index):
         back null; callers asking for it must use the default."""
         blocks = self.blocks_for_terms(terms)
         if not (positional and self.positional):
-            nopos = blocks.select(
-                "term", "first_ord", "docs", "tfs", "dls"
-            ).mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA_NOPOS)
-            # delete filter in ORDINAL space, before doc_ord is dropped:
-            # tombstones are (doc_id, doc_ord) pairs, and upsert replaces a
-            # doc under the SAME doc_id with a new ordinal — a doc_id-level
-            # filter here would kill the live replacement too
-            return (
-                self.filter_deleted_ords(nopos)
-                .join(self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord")
-                .select("doc_id", "term", "tf", _null_positions(), "dl")
-            )
+            return self._nopos_decode(blocks)
         return self._decode(blocks)
+
+    def _nopos_decode(self, blocks: DataFrame) -> DataFrame:
+        """Shared non-positional decode pipeline (postings_for_terms /
+        all_postings): position bytes never leave disk, the delete filter
+        runs in ORDINAL space before doc_ord is dropped — tombstones are
+        (doc_id, doc_ord) pairs, and upsert replaces a doc under the SAME
+        doc_id with a new ordinal, so a doc_id-level filter here would
+        kill the live replacement too — and the contract's null positions
+        column is a free JVM literal."""
+        nopos = decode_barrier(
+            blocks.select("term", "first_ord", "docs", "tfs", "dls"), False
+        )
+        return (
+            self.filter_deleted_ords(nopos)
+            .join(self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord")
+            .select("doc_id", "term", "tf", _null_positions(), "dl")
+        )
 
     def all_postings(self, positional: bool = True) -> DataFrame:
         """Full decode for corpus-wide exports. ``positional=False``
@@ -924,14 +941,7 @@ class ArtifactIndex(Index):
         callers may add on top is a harmless no-op then."""
         if positional and self.positional:
             return self.postings
-        nopos = self.blocks.select(
-            "term", "first_ord", "docs", "tfs", "dls"
-        ).mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA_NOPOS)
-        return (
-            self.filter_deleted_ords(nopos)
-            .join(self.docs_tbl.select("doc_ord", "doc_id"), "doc_ord")
-            .select("doc_id", "term", "tf", _null_positions(), "dl")
-        )
+        return self._nopos_decode(self.blocks)
 
     def docs_for_ordinals(self, ords) -> DataFrame:
         """Point-lookup hydration: ``(doc_ord, doc_id)`` for the given
@@ -1004,10 +1014,7 @@ class ArtifactIndex(Index):
         )
 
     def _decode(self, blocks: DataFrame, filtered: bool = True) -> DataFrame:
-        decoded = blocks.mapInPandas(
-            _make_decoder(self.positional),
-            schema=DECODED_SCHEMA if self.positional else DECODED_SCHEMA_NOPOS,
-        )
+        decoded = decode_barrier(blocks, self.positional)
         # ordinal-space delete filter (see postings_for_terms note);
         # filtered=False gives the RAW decode (get_index_segment's dump)
         if filtered:
@@ -1427,9 +1434,8 @@ def subcompact(
     cols = ["term", "doc_ord", "tf", "dl"] + (
         ["positions"] if cfg["positional"] else []
     )
-    decoded = src.blocks.where(F.col("seg").isin(segs)).mapInPandas(
-        _make_decoder(cfg["positional"]),
-        schema=DECODED_SCHEMA if cfg["positional"] else DECODED_SCHEMA_NOPOS,
+    decoded = decode_barrier(
+        src.blocks.where(F.col("seg").isin(segs)), cfg["positional"]
     )
     p = (
         src.filter_deleted_ords(decoded)
@@ -1677,10 +1683,7 @@ def compact(spark: SparkSession, path: str, out_path: str) -> ArtifactIndex:
         ["positions"] if cfg["positional"] else []
     )
     # re-pack directly from decoded surviving postings (no re-analysis)
-    decoded = src.blocks.mapInPandas(
-        _make_decoder(cfg["positional"]),
-        schema=DECODED_SCHEMA if cfg["positional"] else DECODED_SCHEMA_NOPOS,
-    )
+    decoded = decode_barrier(src.blocks, cfg["positional"])
     p = (
         src.filter_deleted_ords(decoded)
         .withColumnRenamed("doc_ord", "old_ord")

@@ -124,14 +124,12 @@ def _score_blocks(aidx, blocks: DataFrame, qdf: DataFrame) -> DataFrame:
     tombstoned docs filtered (they must not seed θ either — a deleted
     high-scorer would prune blocks that surviving docs need). No doc-table
     join happens here: doc_id recovery is deferred to after the top-k cut."""
-    from ..index.artifact import DECODED_SCHEMA_NOPOS, _make_decoder
+    from ..index.artifact import decode_barrier
 
     # NB: "pos" deliberately excluded — scoring never reads positions, and
     # pruning the column here keeps position bytes out of the parquet scan.
     block_cols = ["term", "first_ord", "docs", "tfs", "dls"]
-    decoded = blocks.select(*block_cols).mapInPandas(
-        _make_decoder(False), schema=DECODED_SCHEMA_NOPOS
-    )
+    decoded = decode_barrier(blocks.select(*block_cols), False)
     k1, b = float(aidx.k1), float(aidx.b)
     avgdl = float(aidx.avgdl) or 1.0
     tf = F.col("tf").cast("double")
@@ -412,13 +410,14 @@ def _gate_terms(g, theta):
 def _gate_wide_buckets(spark, aidx, cand, wide_bids, wlog) -> set:
     """Exact posting buckets of the given wide blocks (one decode job —
     wide blocks are rare-term blocks, so this is bounded postings)."""
-    from ..index.artifact import DECODED_SCHEMA_NOPOS, _make_decoder
+    from ..index.artifact import decode_barrier
 
     bdf = spark.createDataFrame([(b,) for b in wide_bids], "bid string")
+    wide = cand.join(F.broadcast(bdf), "bid", "left_semi").select(
+        "term", "first_ord", "docs", "tfs", "dls"
+    )
     rows = (
-        cand.join(F.broadcast(bdf), "bid", "left_semi")
-        .select("term", "first_ord", "docs", "tfs", "dls")
-        .mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA_NOPOS)
+        decode_barrier(wide, False)
         .select(F.shiftright("doc_ord", wlog).alias("bk"))
         .distinct()
         .collect()
@@ -480,13 +479,13 @@ def _gate_keep_ids(spark, aidx, cand, meta, g, theta, wlog):
         F.explode(F.sequence("bk0", "bk1")).alias("bk")
     )
     if n_wide:
-        from ..index.artifact import DECODED_SCHEMA_NOPOS, _make_decoder
+        from ..index.artifact import decode_barrier
 
-        d_wide = (
-            cand.join(s_wide_ids, "bid", "left_semi")
-            .select("term", "first_ord", "docs", "tfs", "dls")
-            .mapInPandas(_make_decoder(False), schema=DECODED_SCHEMA_NOPOS)
-            .select(F.shiftright("doc_ord", wlog).alias("bk"))
+        wide = cand.join(s_wide_ids, "bid", "left_semi").select(
+            "term", "first_ord", "docs", "tfs", "dls"
+        )
+        d_wide = decode_barrier(wide, False).select(
+            F.shiftright("doc_ord", wlog).alias("bk")
         )
         d_buckets = d_buckets.union(d_wide)
     d_buckets = d_buckets.distinct()

@@ -167,3 +167,11 @@ def test_unpack_blocks_batch_matches_unpack_block():
     assert np.array_equal(u["tfs"], np.concatenate([p["tfs"] for p in per]))
     assert np.array_equal(u["dls"], np.concatenate([p["dls"] for p in per]))
     assert np.array_equal(u["counts"], pdf["n"].to_numpy())
+
+
+def test_concat_offsets_must_span_buffer():
+    blob = varbyte.encode_plain([1, 2, 3])
+    with pytest.raises(ValueError, match="span the buffer"):
+        varbyte.decode_plain_concat(blob + b"\x01", np.array([0, len(blob)]))
+    with pytest.raises(ValueError, match="span the buffer"):
+        varbyte.decode_concat(blob, np.array([0, len(blob), len(blob) - 1]))
