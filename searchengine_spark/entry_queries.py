@@ -7670,7 +7670,7 @@ FROM pr ORDER BY pair_id
 """
 
 
-QUERIES = {
+_QUERIES_UNORDERED = {
     "ft_term_stats": ft_term_stats,
     "ft_keyword": ft_keyword,
     "ft_fuzzy": ft_fuzzy,
@@ -7831,6 +7831,117 @@ QUERIES = {
     "media_features": media_features_q,
     "media_resize": media_resize_q,
     "media_frames": media_frames_q,
+}
+
+# --- Driver sampling order (round 4) -------------------------------------
+# The driver grades only the FIRST 50 keys of queries() (verified in
+# VERDICT.md round 3: CORRECTNESS_r03's key set == the first 50 QUERIES
+# keys).  Rounds 1-3 therefore re-sampled the same long-green ft_* head
+# while 72 entries never received a driver CORRECTNESS row.  Reorder so
+# the head-50 covers (a) the four SURVEY §2 operators whose last driver
+# row is r02 (wordbreak A7/A8, PageRank R1, combined-rank R3) and (b) the
+# 46 highest-complexity never-sampled entries; the remaining 26
+# never-sampled entries sit at positions 51-76 so the round-5 rotation is
+# a head swap.  Dict ORDER is the only thing this block changes — the
+# entries and their oracles are untouched, and the local contract suite
+# (tests/test_entry_contract.py) replays all 148 regardless of order.
+_HEAD_R04 = [
+    # §2 stragglers: driver-green in r02 only — refresh to current round
+    "wordbreak_en",
+    "wordbreak_cjk",
+    "pagerank_top20",
+    "combined_rank_top20",
+    # never driver-sampled, highest-complexity oracles first
+    "media_resize",
+    "media_frames",
+    "ann_pq_top10",
+    "ann_ivfpq_top10",
+    "emb_pca_top10",
+    "dsir_weights",
+    "dsir_select_top50",
+    "tr_pack_sequences",
+    "tr_conv_dedup",
+    "bpe_merges",
+    "bpe_counts",
+    "hll_card_terms",
+    "cms_heavy_terms",
+    "card_sketch_shingles",
+    "tr_conversation_pack",
+    "tr_conv_stats",
+    "tr_conv_search",
+    "tr_context",
+    "tr_tool_paths",
+    "tr_tool_loops",
+    "tr_tool_errors",
+    "tr_recency_top10",
+    "tr_fielded_top10",
+    "tr_bm25f_top10",
+    "tr_dismax_top10",
+    "tr_decay_top10",
+    "tr_rank_eval",
+    "ft_ltr_features",
+    "ft_ltr_prox",
+    "ft_doc_vectors",
+    "ft_suggest",
+    "semantic_dedup",
+    "lm_perplexity",
+    "quality_classifier",
+    "curation_funnel",
+    "dedup_incremental",
+    "graph_triangles",
+    "graph_kcore",
+    "graph_linkpred",
+    "graph_walks",
+    "walk_skipgrams",
+    "walk_ppmi",
+    "ppr_top20",
+    "events_asof",
+    "events_range_join",
+    "ann_int8_top10",
+]
+# never-sampled entries deferred to round 5 (positions 51-76)
+_NEXT_R05 = [
+    "span_pairs",
+    "dup_score",
+    "shard_stats",
+    "pii_scrub",
+    "markup_strip",
+    "boilerplate_strip",
+    "training_mix",
+    "temperature_mix",
+    "doc_chunks",
+    "sent_chunks",
+    "corpus_profile",
+    "repetition_signals",
+    "contamination_overlap",
+    "lang_id",
+    "events_props_rollup",
+    "events_funnel",
+    "events_retention",
+    "graph_bfs_depth",
+    "graph_labelprop",
+    "ft_collapse",
+    "eval_ngram_overlap",
+    "emb_hard_negatives",
+    "emb_training_triplets",
+    "mmr_top5",
+    "source_curation",
+    "ccnet_buckets",
+]
+
+assert len(_HEAD_R04) == 50, len(_HEAD_R04)
+_prefix = _HEAD_R04 + _NEXT_R05
+assert len(set(_prefix)) == len(_prefix)
+assert all(k in _QUERIES_UNORDERED for k in _prefix), [
+    k for k in _prefix if k not in _QUERIES_UNORDERED
+]
+QUERIES = {
+    **{k: _QUERIES_UNORDERED[k] for k in _prefix},
+    **{
+        k: v
+        for k, v in _QUERIES_UNORDERED.items()
+        if k not in set(_prefix)
+    },
 }
 
 ORACLES = {

