@@ -146,22 +146,27 @@ def decode_plain(data: bytes) -> np.ndarray:
     return vals
 
 
+def _validate_concat_offsets(offsets: np.ndarray, buf_size: int) -> None:
+    """Loud misuse guard shared by the ``*_concat`` decoders: offsets that
+    don't span the buffer would otherwise decode trailing bytes into orphan
+    values not covered by any stream's count. Runs for EMPTY buffers too —
+    malformed offsets paired with zero data must fail just as loudly."""
+    if (
+        offsets.size < 1
+        or offsets[0] != 0
+        or offsets[-1] != buf_size
+        or (np.diff(offsets) < 0).any()
+    ):
+        raise ValueError("offsets must be monotone, start at 0, and span the buffer")
+
+
 def _concat_groups(buf: np.ndarray, offsets: np.ndarray):
     """Shared machinery for the ``*_concat`` decoders: per-group (=
     per-value) payloads of a buffer holding MANY independent varbyte
     streams laid back to back, plus each stream's value count and first
     group index. Validates that every non-empty stream ends on a
     terminator byte — otherwise a group would silently span two streams."""
-    if (
-        offsets.size < 1
-        or offsets[0] != 0
-        or offsets[-1] != buf.size
-        or (np.diff(offsets) < 0).any()
-    ):
-        # loud misuse guard: offsets that don't span the buffer would
-        # otherwise decode trailing bytes into orphan values not covered
-        # by any stream's count
-        raise ValueError("offsets must be monotone, start at 0, and span the buffer")
+    _validate_concat_offsets(offsets, buf.size)
     payload = (buf & 0x7F).astype(np.int64)
     is_last = (buf & 0x80) == 0
     ends = offsets[1:]
@@ -195,9 +200,10 @@ def decode_plain_concat(data: bytes, offsets) -> tuple[np.ndarray, np.ndarray]:
     buf = np.frombuffer(data, dtype=np.uint8)
     offsets = np.asarray(offsets, dtype=np.int64)
     if buf.size == 0:
+        _validate_concat_offsets(offsets, 0)
         return (
             np.empty(0, dtype=np.int64),
-            np.zeros(max(offsets.size - 1, 0), dtype=np.int64),
+            np.zeros(offsets.size - 1, dtype=np.int64),
         )
     vals, counts, _ = _concat_groups(buf, offsets)
     return vals, counts
@@ -208,16 +214,34 @@ def decode_concat(data: bytes, offsets) -> tuple[np.ndarray, np.ndarray]:
     each stream's delta base restarts at 0 (first value absolute), exactly
     like per-stream :func:`decode`. One global cumsum over all gaps, then a
     per-stream base subtraction — bit-identical to
-    ``np.concatenate([decode(s) for s in streams])``."""
+    ``np.concatenate([decode(s) for s in streams])``.
+
+    Precondition: the SUM of all streams' maxima must stay under 2**63 —
+    the global cumsum runs across stream boundaries, so many streams each
+    carrying a large absolute first value (e.g. seg<<40 ordinal bases)
+    can wrap int64 even though each per-stream ``decode()`` would be
+    fine. In-engine this cannot happen (blocks encode ordinals relative
+    to ``first_ord``, so per-stream values are block-local), and the
+    guard below raises loudly if a future caller feeds absolute
+    seg-based ordinals through the batch path."""
     buf = np.frombuffer(data, dtype=np.uint8)
     offsets = np.asarray(offsets, dtype=np.int64)
     if buf.size == 0:
+        _validate_concat_offsets(offsets, 0)
         return (
             np.empty(0, dtype=np.int64),
-            np.zeros(max(offsets.size - 1, 0), dtype=np.int64),
+            np.zeros(offsets.size - 1, dtype=np.int64),
         )
     gaps, counts, firsts = _concat_groups(buf, offsets)
     cs = np.cumsum(gaps)
+    if cs[-1] < 0:
+        # gaps are non-negative, so a negative running total means the
+        # global cumsum wrapped int64 (this module has had a
+        # silent-truncation bug before — fail loudly, never wrap)
+        raise OverflowError(
+            "decode_concat: global cumsum wrapped int64; "
+            "sum of stream maxima must stay under 2**63"
+        )
     # base value accumulated before each stream's first group; firsts == 0
     # (or an empty stream) contributes nothing — np.where evaluates the
     # cs[-1] branch harmlessly, repeat() drops empty streams entirely

@@ -175,3 +175,32 @@ def test_concat_offsets_must_span_buffer():
         varbyte.decode_plain_concat(blob + b"\x01", np.array([0, len(blob)]))
     with pytest.raises(ValueError, match="span the buffer"):
         varbyte.decode_concat(blob, np.array([0, len(blob), len(blob) - 1]))
+
+
+def test_concat_empty_buffer_still_validates_offsets():
+    """ADVICE r3: the empty-buffer early return must not skip the offsets
+    misuse guard — malformed offsets with zero data fail just as loudly."""
+    for fn in (varbyte.decode_plain_concat, varbyte.decode_concat):
+        with pytest.raises(ValueError, match="span the buffer"):
+            fn(b"", np.array([0, 3]))  # doesn't span (buffer is empty)
+        with pytest.raises(ValueError, match="span the buffer"):
+            fn(b"", np.array([1, 0]))  # doesn't start at 0 / non-monotone
+        with pytest.raises(ValueError, match="span the buffer"):
+            fn(b"", np.array([], dtype=np.int64))  # no streams at all
+        vals, counts = fn(b"", np.array([0, 0, 0]))
+        assert vals.size == 0 and counts.tolist() == [0, 0]
+
+
+def test_decode_concat_int64_wrap_raises():
+    """ADVICE r3: many streams with large ABSOLUTE values (seg<<40-style
+    bases) can wrap the global cumsum even though each per-stream decode
+    is fine. The batch path must raise, never silently wrap."""
+    stream = varbyte.encode([1 << 62])
+    blobs = [stream, stream]  # sum = 2**63 → wraps negative
+    with pytest.raises(OverflowError, match="wrapped int64"):
+        varbyte.decode_concat(*_cat(blobs))
+    # just under the edge still decodes exactly
+    ok = [varbyte.encode([(1 << 62) - 1]), varbyte.encode([1 << 61])]
+    vals, counts = varbyte.decode_concat(*_cat(ok))
+    assert vals.tolist() == [(1 << 62) - 1, 1 << 61]
+    assert counts.tolist() == [1, 1]
