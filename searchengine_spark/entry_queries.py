@@ -1124,40 +1124,68 @@ def curation_funnel_q(spark, sf_dir):
     gates (quality_filter) -> classifier keep (classifier_scores) ->
     exact dedup (keep smallest doc_id per md5(text)). Returns (stage,
     n_docs, n_tokens) per stage; every stage reuses the operator whose
-    standalone entry is already oracled, and the oracle chains the same
+    standalone entry is already oracled (quality_flag/classifier_keep_col
+    are those operators' gate expressions), and the oracle chains the same
     stages as CTEs, so the whole funnel — not just its parts — is
-    DuckDB-hash-checked. At scale persist each stage frame; here the
-    frames are lineage-chained (test-scale corpus, one scan each)."""
+    DuckDB-hash-checked. ONE corpus scan + one md5-group shuffle of
+    per-doc flags: stage membership is monotone (raw ⊇ quality ⊇
+    classifier ⊇ dedup-rep), so all four (n_docs, n_tokens) pairs fall
+    out of conditional aggregates — no stage frame is ever re-executed
+    or persisted."""
     from .textops import classifier as clf
-    from .textops.quality import _raw_tokens
+    from .textops.quality import _raw_tokens, quality_flag
 
     docs = _docs(spark, sf_dir)
-    quality = q.quality_filter(docs, **_QF_PARAMS)
-    ckeep = clf.classifier_scores(quality).where("keep").select("doc_id")
-    cdocs = quality.join(ckeep, "doc_id", "left_semi")
-    reps = (
-        cdocs.groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # ONE pass (r3 verdict: the four-branch union re-executed the
+    # quality+classifier lineage per stage count): every stage membership
+    # is a per-doc flag, so compute all four (n_docs, n_tokens) pairs with
+    # conditional aggregates in a single scan. Tokens are bound behind a
+    # projection boundary first (doc_grams' captured-expression contract).
+    toked = docs.select(
+        "doc_id",
+        F.md5("text").alias("_h"),
+        _raw_tokens(F.col("text")).alias("_toks"),
+        quality_flag(F.col("text"), **_QF_PARAMS).alias("_q"),
     )
-    ddocs = cdocs.join(reps, "doc_id", "left_semi")
-
-    def st(name, df):
-        return df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(
-                F.sum(F.size(_raw_tokens(F.col("text"))).cast("long")),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_tokens"),
-        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
-
-    return (
-        st("raw", docs)
-        .unionByName(st("quality", quality))
-        .unionByName(st("classifier", cdocs))
-        .unionByName(st("exact_dedup", ddocs))
+    flagged = toked.select(
+        "doc_id",
+        "_h",
+        F.size("_toks").cast("long").alias("_ntok"),
+        "_q",
+        (F.col("_q") & clf.classifier_keep_col(F.col("_toks"))).alias("_c"),
+    )
+    # dedup stage = smallest-doc_id classifier survivor per md5(text):
+    # group partials on _h (map-side combine, only flags+counts shuffle),
+    # struct-min picks the representative and its token count.
+    per_h = flagged.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("g_raw"),
+        F.sum("_ntok").alias("gt_raw"),
+        F.sum(F.when(F.col("_q"), 1).otherwise(0)).alias("g_q"),
+        F.sum(F.when(F.col("_q"), F.col("_ntok")).otherwise(0)).alias("gt_q"),
+        F.sum(F.when(F.col("_c"), 1).otherwise(0)).alias("g_c"),
+        F.sum(F.when(F.col("_c"), F.col("_ntok")).otherwise(0)).alias("gt_c"),
+        F.min(F.when(F.col("_c"), F.struct("doc_id", "_ntok"))).alias("g_rep"),
+    )
+    tot = per_h.agg(
+        *(
+            F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(f"n_{c}")
+            for c in ("g_raw", "gt_raw", "g_q", "gt_q", "g_c", "gt_c")
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("g_rep").isNotNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_d"),
+        F.coalesce(F.sum(F.col("g_rep")["_ntok"]), F.lit(0))
+        .cast("long")
+        .alias("t_d"),
+    )
+    return tot.selectExpr(
+        """stack(4,
+           'raw', n_g_raw, n_gt_raw,
+           'quality', n_g_q, n_gt_q,
+           'classifier', n_g_c, n_gt_c,
+           'exact_dedup', n_d, t_d) AS (stage, n_docs, n_tokens)"""
     )
 
 

@@ -81,6 +81,23 @@ def formula_weight_milli(fid_col):
     ) - F.lit(1000)
 
 
+def classifier_keep_col(tokens_col, threshold_milli: int = DEFAULT_THRESHOLD_MILLI):
+    """``classifier_scores``' keep label as ONE inline boolean expression
+    over a BOUND tokens column (same contract as ``doc_grams``): feature
+    instances exist (empty docs can't be vouched for) and the exact
+    integer mean milli-weight clears the threshold. Lets pipelines (the
+    curation funnel) carry the classifier verdict as a per-doc flag
+    without a join against the score frame."""
+    grams = doc_grams(tokens_col)
+    w_sum = F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + formula_weight_milli(feature_id(g)),
+    )
+    n = F.size(grams).cast("long")
+    return (n > 0) & ((w_sum * F.lit(1000)) > (F.lit(int(threshold_milli)) * n))
+
+
 def classifier_scores(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -36,11 +36,14 @@ def _raw_tokens(text_col):
     return F.filter(split, lambda x: x != "")
 
 
-def text_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-doc quality features: token counts, stop-word ratio, word length,
-    punctuation density. All JVM expressions (whole-stage codegen)."""
+def _quality_feature_exprs(text_col):
+    """The text_quality feature expressions, by name — shared between the
+    feature projection (text_quality) and the inline gate (quality_flag)
+    so thresholds can never drift from the features they were tuned on.
+    Ratios are rounded to 4 dp HERE, before any thresholding, matching
+    the SQL oracle which also gates on the rounded values."""
     stop_arr = F.lit(sorted(STOP_WORDS))
-    raw = _raw_tokens(F.col(text_col))
+    raw = _raw_tokens(text_col)
     content = F.filter(raw, lambda x: ~F.array_contains(stop_arr, x))
     n_raw = F.size(raw).cast("long")
     n_content = F.size(content).cast("long")
@@ -49,21 +52,28 @@ def text_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     # marks (a per-character array + rlike filter here was measurable at
     # scale — every char became an array element)
     n_punct = (
-        F.length(F.col(text_col))
-        - F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, ""))
+        F.length(text_col) - F.length(F.regexp_replace(text_col, PUNCT_RE, ""))
     ).cast("long")
-    return df.select(
-        F.col(id_col),
-        n_raw.alias("n_tokens_raw"),
-        n_content.alias("n_tokens"),
-        F.round(
+    return {
+        "n_tokens_raw": n_raw,
+        "n_tokens": n_content,
+        "stopword_ratio": F.round(
             F.when(n_raw > 0, (n_raw - n_content) / n_raw).otherwise(F.lit(0.0)), 4
-        ).alias("stopword_ratio"),
-        F.round(
+        ),
+        "avg_token_len": F.round(
             F.when(n_content > 0, total_len / n_content).otherwise(F.lit(0.0)), 4
-        ).alias("avg_token_len"),
-        n_punct.alias("n_punct"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        ),
+        "n_punct": n_punct,
+        "n_chars": F.length(text_col).cast("long"),
+    }
+
+
+def text_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token counts, stop-word ratio, word length,
+    punctuation density. All JVM expressions (whole-stage codegen)."""
+    feats = _quality_feature_exprs(F.col(text_col))
+    return df.select(
+        F.col(id_col), *(expr.alias(name) for name, expr in feats.items())
     )
 
 
@@ -164,6 +174,27 @@ def lang_id(
     )
 
 
+def quality_flag(
+    text_col,
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.6,
+    min_avg_token_len: float = 2.0,
+    max_punct_per_token: float = 0.5,
+):
+    """Boolean column: the quality_filter gates as ONE inline expression
+    over the text column — usable as a WHERE predicate (quality_filter) or
+    as a per-doc stage flag (curation funnel) without materializing the
+    feature frame. Gates apply to the same 4-dp-rounded ratios the
+    feature projection (and the SQL oracle) emit."""
+    f = _quality_feature_exprs(text_col)
+    return (
+        (f["n_tokens"] >= min_tokens)
+        & (f["stopword_ratio"] <= max_stopword_ratio)
+        & (f["avg_token_len"] >= min_avg_token_len)
+        & (f["n_punct"] <= max_punct_per_token * f["n_tokens_raw"])
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -175,21 +206,20 @@ def quality_filter(
 ) -> DataFrame:
     """Training-data corpus filter: keep docs passing all quality gates
     (C4/Gopher-style heuristics re-expressed over text_quality's features).
-    Returns the surviving rows of ``df`` with its ORIGINAL columns only
-    (left-semi join against the gate) — one JVM-expression pass, filter
-    applied before any downstream shuffle; call ``text_quality`` directly
-    if you also need the feature columns."""
-    feats = text_quality(df, id_col, text_col)
-    keep = feats.where(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("stopword_ratio") <= max_stopword_ratio)
-        & (F.col("avg_token_len") >= min_avg_token_len)
-        & (
-            F.col("n_punct")
-            <= max_punct_per_token * F.col("n_tokens_raw")
+    Returns the surviving rows of ``df`` with its ORIGINAL columns — a
+    plain WHERE over the inline gate expression, so the filter pushes to
+    the scan with no join at all (it was previously a left-semi join of
+    ``df`` against its own feature projection: two scans plus a shuffle);
+    call ``text_quality`` directly if you also need the feature columns."""
+    return df.where(
+        quality_flag(
+            F.col(text_col),
+            min_tokens=min_tokens,
+            max_stopword_ratio=max_stopword_ratio,
+            min_avg_token_len=min_avg_token_len,
+            max_punct_per_token=max_punct_per_token,
         )
     )
-    return df.join(keep, id_col, "left_semi")
 
 
 def _word_ngrams(tokens_col, n: int):
