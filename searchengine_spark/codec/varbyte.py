@@ -280,6 +280,63 @@ def encode_position_lists(pos_lists) -> bytes:
     return b"".join(parts)
 
 
+def decode_position_lists_concat(data: bytes, offsets):
+    """Batch decode of MANY concatenated :func:`encode_position_lists`
+    payloads in ONE vectorized pass — the positional twin of
+    :func:`decode_concat` (same motivation: per-block numpy dispatch
+    dominates wide positional scans).
+
+    ``offsets`` is an int64 array of n+1 byte offsets into ``data``
+    (``offsets[-1] == len(data)``; empty payloads allowed — they decode to
+    zero docs, matching ``decode_position_lists(b"") == []``). Returns
+    ``(flat_positions, lengths, n_docs)``:
+
+    - ``flat_positions``: all docs' position values back to back,
+    - ``lengths``: per-DOC position counts across all payloads in order
+      (``np.split(flat_positions, np.cumsum(lengths)[:-1])`` reproduces
+      each doc's array bit-identically to the per-payload decoder),
+    - ``n_docs``: per-payload doc counts.
+
+    Each payload is one plain-varbyte stream ``[n, lengths..., gaps...]``
+    with gaps restarting absolute at every doc boundary, so one global
+    cumsum over ALL gaps plus a per-doc base subtraction recovers every
+    position — exactly the decode_concat trick, one level more ragged."""
+    vals, counts = decode_plain_concat(data, offsets)
+    n_streams = counts.size
+    starts = np.zeros(n_streams + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    n_docs = np.zeros(n_streams, dtype=np.int64)
+    nonempty = counts > 0
+    n_docs[nonempty] = vals[starts[:-1][nonempty]]
+    if (n_docs < 0).any() or (nonempty & (counts < 1 + n_docs)).any():
+        raise ValueError("corrupt position payload: bad doc-count header")
+    total_docs = int(n_docs.sum())
+    # grouped arange: for each payload, indices of its length header words
+    doc_base = np.cumsum(n_docs) - n_docs
+    ar = np.arange(total_docs, dtype=np.int64) - np.repeat(doc_base, n_docs)
+    lengths = vals[np.repeat(starts[:-1] + 1, n_docs) + ar]
+    if (lengths < 0).any():
+        raise ValueError("corrupt position payload: negative length")
+    g_counts = np.where(nonempty, counts - 1 - n_docs, 0)
+    # per-payload sum of lengths must equal its gap count
+    lcum = np.zeros(total_docs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=lcum[1:])
+    per_stream_lens = lcum[doc_base + n_docs] - lcum[doc_base]
+    if not np.array_equal(per_stream_lens, g_counts):
+        raise ValueError("corrupt position payload: lengths/gaps mismatch")
+    total_gaps = int(g_counts.sum())
+    if total_gaps == 0:
+        return np.empty(0, dtype=np.int64), lengths, n_docs
+    gap_base = np.cumsum(g_counts) - g_counts
+    gar = np.arange(total_gaps, dtype=np.int64) - np.repeat(gap_base, g_counts)
+    gaps = vals[np.repeat(starts[:-1] + 1 + n_docs, g_counts) + gar]
+    cs = np.cumsum(gaps)
+    doc_starts = lcum[:-1]  # global start of each doc's gap run
+    base = np.where(doc_starts > 0, cs[np.maximum(doc_starts - 1, 0)], 0)
+    flat = cs - np.repeat(base, lengths)
+    return flat, lengths, n_docs
+
+
 def decode_position_lists(data: bytes) -> list:
     """Inverse of encode_position_lists -> list of int64 arrays."""
     buf = np.frombuffer(data, dtype=np.uint8)

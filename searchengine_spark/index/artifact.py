@@ -38,6 +38,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +50,7 @@ from .blocks import (
     pack_term_run,
     unpack_block,
     unpack_blocks_batch,
+    unpack_blocks_batch_pos,
 )
 from .engine import Index
 from .ordinals import assign_doc_ordinals, segment_base
@@ -487,9 +489,12 @@ def _make_decoder(positional: bool):
     batch form's cost on wide scans (BENCH.md session-15). This is the
     barrier every BM25 / WAND / boolean / batch query crosses.
 
-    Positional (schema ``DECODED_SCHEMA``) keeps the per-block loop:
-    positions are ragged per-posting arrays (object dtype either way, and
-    the position payload dominates those scans regardless)."""
+    Positional (schema ``DECODED_SCHEMA``) is batch-vectorized the same
+    way (``blocks.unpack_blocks_batch_pos`` — the ragged position payload
+    decodes via one offsets-of-offsets concat pass, so the only remaining
+    per-posting Python cost is slicing the flat array into the object
+    column Arrow needs); blocks with a missing position payload (legacy /
+    mixed input) fall back to the per-block loop for that Arrow batch."""
 
     if not positional:
 
@@ -514,29 +519,71 @@ def _make_decoder(positional: bool):
 
         return decode_nopos
 
+    def decode_rows(pdf):
+        # per-block fallback for Arrow batches containing blocks without a
+        # position payload (legacy / mixed input)
+        ords_l, terms_l, tfs_l, dls_l, pos_l = [], [], [], [], []
+        for row in pdf.to_dict("records"):
+            u = unpack_block(row, with_positions=True)
+            n = len(u["ords"])
+            ords_l.append(u["ords"])
+            tfs_l.append(u["tfs"])
+            dls_l.append(u["dls"])
+            terms_l.append(np.repeat(row["term"], n))
+            if u["pos"] is not None:
+                pos_l.extend(u["pos"])
+            else:
+                pos_l.extend([None] * n)
+        if not ords_l:
+            return None
+        return pd.DataFrame(
+            {
+                "doc_ord": np.concatenate(ords_l),
+                "term": np.concatenate(terms_l),
+                "tf": np.concatenate(tfs_l).astype(np.int32),
+                "positions": pos_l,
+                "dl": np.concatenate(dls_l).astype(np.int32),
+            }
+        )
+
     def decode(batches):
         for pdf in batches:
-            ords_l, terms_l, tfs_l, dls_l, pos_l = [], [], [], [], []
-            for row in pdf.to_dict("records"):
-                u = unpack_block(row, with_positions=True)
-                n = len(u["ords"])
-                ords_l.append(u["ords"])
-                tfs_l.append(u["tfs"])
-                dls_l.append(u["dls"])
-                terms_l.append(np.repeat(row["term"], n))
-                if u["pos"] is not None:
-                    pos_l.extend(u["pos"])
-                else:
-                    pos_l.extend([None] * n)
-            if not ords_l:
+            if not len(pdf):
                 continue
+            pos_col = pdf["pos"].to_numpy()
+            if any(p is None or len(p) == 0 for p in pos_col):
+                out = decode_rows(pdf)
+                if out is not None:
+                    yield out
+                continue
+            u = unpack_blocks_batch_pos(
+                pdf["docs"].to_numpy(),
+                pdf["tfs"].to_numpy(),
+                pdf["dls"].to_numpy(),
+                pos_col,
+                pdf["first_ord"].to_numpy(),
+            )
+            # Arrow-native list column: one (offsets, values) pair for the
+            # whole batch instead of one Python ndarray object per posting
+            # — ~20-60x cheaper to build than np.split AND free to
+            # serialize (the object column paid a second per-posting pass
+            # inside the Arrow serializer). Offsets are int32 by Arrow's
+            # list<int> layout; an Arrow batch is ~10k block rows, so the
+            # flat position count stays far under 2^31.
+            plens = u["pos_lengths"]
+            offs = np.zeros(plens.size + 1, dtype=np.int64)
+            np.cumsum(plens, out=offs[1:])
+            pos_arrow = pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32)),
+                pa.array(u["pos_flat"].astype(np.int32)),
+            )
             yield pd.DataFrame(
                 {
-                    "doc_ord": np.concatenate(ords_l),
-                    "term": np.concatenate(terms_l),
-                    "tf": np.concatenate(tfs_l).astype(np.int32),
-                    "positions": pos_l,
-                    "dl": np.concatenate(dls_l).astype(np.int32),
+                    "doc_ord": u["ords"],
+                    "term": np.repeat(pdf["term"].to_numpy(), u["counts"]),
+                    "tf": u["tfs"].astype(np.int32),
+                    "positions": pd.arrays.ArrowExtensionArray(pos_arrow),
+                    "dl": u["dls"].astype(np.int32),
                 }
             )
 
@@ -1142,6 +1189,7 @@ def upsert_documents(
     path: str,
     *,
     source_desc: str = "upsert",
+    branch: str = "main",
 ) -> "ArtifactIndex":
     """Replace-or-insert documents by doc_id in ONE atomic snapshot commit
     (Iceberg MERGE semantics): the tombstones for any existing versions of
@@ -1152,10 +1200,19 @@ def upsert_documents(
     removes; time travel to the pre-upsert snapshot still reads the old
     versions. Compaction later purges the dead postings physically.
 
+    ``branch``: stage the upsert on an audit branch (write-audit-publish,
+    same contract as ``append_segment``): the matched prior versions are
+    resolved against the BRANCH head, the commit advances only that
+    branch, and main readers see neither the tombstones nor the new
+    segment until ``fast_forward(path, "main", branch)``.
+
     The reference has no update path (delete + re-add by hand); this is
     the lifecycle completion over the same tombstone machinery as B9.
     """
-    aidx = load_artifact(spark, path)
+    prev_head = head_snapshot(path, branch)
+    if prev_head is None:
+        raise FileNotFoundError(f"no artifact at {path}; build_artifact first")
+    aidx = load_artifact(spark, path, snapshot_id=prev_head["snapshot_id"])
     prev = aidx.snapshot
     cfg = dict(prev["config"])
     ids = corpus.select(F.col(cfg["doc_id_col"]).alias("doc_id")).distinct()
@@ -1206,9 +1263,9 @@ def upsert_documents(
         }
     )
     _commit_snapshot(path, snap)  # the single atomic flip
-    _advance_branch(path, "main", snap_id)
+    _advance_branch(path, branch, snap_id)
     matched.unpersist()
-    return load_artifact(spark, path)
+    return load_artifact(spark, path, snapshot_id=snap_id)
 
 
 def docs_added_between(

@@ -146,6 +146,40 @@ def unpack_blocks_batch(docs_col, tfs_col, dls_col, first_ords) -> dict:
     return {"ords": ords, "tfs": tfs, "dls": dls, "counts": counts}
 
 
+def unpack_blocks_batch_pos(
+    docs_col, tfs_col, dls_col, pos_col, first_ords
+) -> dict:
+    """Positional twin of :func:`unpack_blocks_batch`: vectorized unpack of
+    MANY block rows INCLUDING their ragged position payloads — one
+    concatenated decode per column (``varbyte.decode_position_lists_concat``
+    handles the offsets-of-offsets layout). Bit-identical per row to
+    :func:`unpack_block` with positions.
+
+    Requires every block to carry a non-empty ``pos`` payload (always true
+    for blocks packed positional); raises on a blocks/positions doc-count
+    mismatch instead of silently misaligning postings.
+
+    Returns the :func:`unpack_blocks_batch` dict plus ``pos_flat`` (all
+    positions back to back) and ``pos_lengths`` (per-POSTING position
+    counts; ``np.split(pos_flat, np.cumsum(pos_lengths)[:-1])`` yields one
+    array per posting)."""
+    u = unpack_blocks_batch(docs_col, tfs_col, dls_col, first_ords)
+    n = len(pos_col)
+    lens = np.fromiter(map(len, pos_col), dtype=np.int64, count=n)
+    if (lens == 0).any():
+        raise ValueError("unpack_blocks_batch_pos: empty position payload")
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat, plengths, n_docs = varbyte.decode_position_lists_concat(
+        b"".join(pos_col), offs
+    )
+    if not np.array_equal(n_docs, u["counts"]):
+        raise ValueError("posting-count mismatch between docs and positions")
+    u["pos_flat"] = flat
+    u["pos_lengths"] = plengths
+    return u
+
+
 def unpack_block(row, with_positions: bool = True) -> dict:
     """Decode one block row (dict-like / pandas row) back to arrays."""
     ords = varbyte.decode(row["docs"]) + row["first_ord"]

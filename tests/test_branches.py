@@ -207,3 +207,67 @@ def test_compact_rerun_same_out_path_is_idempotent(spark, art, tmp_path):
     again = compact(spark, art, out)  # scheduler retry: must not crash
     assert again.snapshot["snapshot_id"] > first.snapshot["snapshot_id"]
     assert again.search_keyword("shared").count() == 6
+
+
+def test_staged_upsert_invisible_to_main_and_crash_windows(spark, art, monkeypatch):
+    """VERDICT r3 #6: the adversarial reader-during-staging case, end to
+    end — a staging branch holds an UNPUBLISHED upsert (tombstone + new
+    segment in one snap) while main readers keep reading, plus the two
+    crash windows: (a) mid-commit during the staged upsert, (b) between
+    staging and publish."""
+    import searchengine_spark.index.artifact as am
+    from searchengine_spark.index.artifact import upsert_documents
+
+    main_before = head_snapshot(art)["snapshot_id"]
+    snaps_before = len(list_snapshots(art))
+    create_branch(art, "stage")
+
+    # (a) crash DURING the staged upsert: segment + tombstone files are
+    # on disk but the atomic snapshot flip never happens
+    real_commit = am._commit_snapshot
+
+    def boom(path, snap):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(am, "_commit_snapshot", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert_documents(
+            spark, _corpus(spark, [1, 50], marker="zqcrash"), art,
+            branch="stage",
+        )
+    monkeypatch.setattr(am, "_commit_snapshot", real_commit)
+    # no commit, no branch movement, nothing readable on either ref
+    assert len(list_snapshots(art)) == snaps_before
+    assert head_snapshot(art)["snapshot_id"] == main_before
+    assert head_snapshot(art, "stage")["snapshot_id"] == main_before
+    assert load_artifact(spark, art).search_keyword("zqcrash").count() == 0
+    assert load_artifact(spark, art, ref="stage").search_keyword("zqcrash").count() == 0
+
+    # stage the real upsert: replace d-1, insert d-50 — on the branch only
+    staged = upsert_documents(
+        spark, _corpus(spark, [1, 50], marker="zqstagedup"), art,
+        branch="stage",
+    )
+    assert staged.search_keyword("zqstagedup").count() == 2
+    # exactly ONE live version of the replaced d-1 at the branch head,
+    # and it is the staged replacement (AND of old-vs-new marker terms)
+    assert staged.search_keyword("token1").count() == 1
+    assert staged.search_and(["zqstagedup", "token1"]).count() == 1
+    assert staged.search_and(["base", "token1"]).count() == 0
+
+    # (b) crash between staging and publish == fast_forward never ran:
+    # concurrent main readers still see the OLD d-1 and no d-50
+    main = load_artifact(spark, art)
+    assert main.snapshot["snapshot_id"] == main_before
+    assert main.search_keyword("zqstagedup").count() == 0
+    assert main.search_keyword("token1").count() == 1
+    assert main.search_and(["base", "token1"]).count() == 1
+
+    # recovery: publish flips main to BOTH changes at once
+    new_head = fast_forward(art, "main", "stage")
+    assert new_head == staged.snapshot["snapshot_id"]
+    pub = load_artifact(spark, art)
+    assert pub.search_keyword("zqstagedup").count() == 2
+    assert pub.search_keyword("token1").count() == 1
+    assert pub.search_and(["zqstagedup", "token1"]).count() == 1
+    assert pub.search_and(["base", "token1"]).count() == 0

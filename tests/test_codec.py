@@ -169,6 +169,85 @@ def test_unpack_blocks_batch_matches_unpack_block():
     assert np.array_equal(u["counts"], pdf["n"].to_numpy())
 
 
+def test_unpack_blocks_batch_pos_matches_unpack_block():
+    """The POSITIONAL decode barrier's kernel (phrase/NEAR/rescore scans):
+    batch unpack with positions must equal the per-block form
+    posting-for-posting, position-array-for-position-array."""
+    import pandas as pd
+
+    from searchengine_spark.index.blocks import (
+        pack_term_run,
+        unpack_block,
+        unpack_blocks_batch_pos,
+    )
+
+    rng = np.random.default_rng(12)
+    rows = []
+    for t in range(25):
+        n = int(rng.integers(1, 300))
+        ords = np.sort(rng.choice(1 << 20, size=n, replace=False)) + (3 << 40)
+        tfs = rng.integers(1, 9, size=n)
+        dls = rng.integers(1, 500, size=n)
+        pos = [
+            np.sort(rng.choice(1000, size=int(tf), replace=False))
+            for tf in tfs
+        ]
+        rows.extend(pack_term_run(f"t{t}", ords, tfs, dls, pos))
+    pdf = pd.DataFrame(rows)
+    u = unpack_blocks_batch_pos(
+        pdf["docs"].to_numpy(),
+        pdf["tfs"].to_numpy(),
+        pdf["dls"].to_numpy(),
+        pdf["pos"].to_numpy(),
+        pdf["first_ord"].to_numpy(),
+    )
+    per = [unpack_block(r, with_positions=True) for r in pdf.to_dict("records")]
+    assert np.array_equal(u["ords"], np.concatenate([p["ords"] for p in per]))
+    assert np.array_equal(u["tfs"], np.concatenate([p["tfs"] for p in per]))
+    assert np.array_equal(u["dls"], np.concatenate([p["dls"] for p in per]))
+    want_pos = [arr for p in per for arr in p["pos"]]
+    got_pos = np.split(u["pos_flat"], np.cumsum(u["pos_lengths"])[:-1])
+    assert len(got_pos) == len(want_pos) == u["ords"].size
+    for g, w in zip(got_pos, want_pos):
+        assert np.array_equal(g, w)
+    # posting-count mismatch between docs and positions raises loudly
+    bad = pdf.copy()
+    bad.loc[bad.index[0], "pos"] = varbyte.encode_position_lists([[1]])
+    with pytest.raises(ValueError, match="mismatch|corrupt"):
+        unpack_blocks_batch_pos(
+            bad["docs"].to_numpy(),
+            bad["tfs"].to_numpy(),
+            bad["dls"].to_numpy(),
+            bad["pos"].to_numpy(),
+            bad["first_ord"].to_numpy(),
+        )
+
+
+def test_decode_position_lists_concat_property():
+    """Batch position-lists decode vs per-payload decode, including empty
+    payloads, zero-length docs, and zero-doc payloads."""
+    rng = np.random.default_rng(13)
+    payloads = [b"", varbyte.encode_position_lists([]), varbyte.encode_position_lists([[], []])]
+    for _ in range(150):
+        lists = [
+            np.sort(rng.choice(5000, size=int(rng.integers(0, 7)), replace=False))
+            for _ in range(int(rng.integers(0, 5)))
+        ]
+        payloads.append(varbyte.encode_position_lists(lists))
+    offs = np.zeros(len(payloads) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in payloads], out=offs[1:])
+    flat, lengths, n_docs = varbyte.decode_position_lists_concat(
+        b"".join(payloads), offs
+    )
+    per = [varbyte.decode_position_lists(p) for p in payloads]
+    assert n_docs.tolist() == [len(p) for p in per]
+    want = [arr for pl in per for arr in pl]
+    got = np.split(flat, np.cumsum(lengths)[:-1]) if lengths.size else []
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+
+
 def test_concat_offsets_must_span_buffer():
     blob = varbyte.encode_plain([1, 2, 3])
     with pytest.raises(ValueError, match="span the buffer"):
