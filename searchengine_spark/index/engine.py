@@ -246,14 +246,19 @@ class Index:
                 self._qstats_cache[t] = got.get(t, (0, 0))
         return {t: self._qstats_cache[t] for t in set(terms)}
 
-    def postings_for_terms(self, terms, positional: bool = True) -> DataFrame:
+    def postings_for_terms(
+        self, terms, positional: bool = True, spread: bool = False
+    ) -> DataFrame:
         """Postings restricted to the given terms. Query operators go through
         this hook so the artifact-backed index can apply the term filter to
         the *compressed block* scan (parquet predicate pushdown) before
         decoding — a ``.where`` above a decode ``mapInPandas`` would not push
         through the Python barrier. ``positional=False`` tells a backend the
         caller won't read ``positions`` (the artifact skips the position
-        bytes entirely); here positions live inline, nothing to save."""
+        bytes entirely); here positions live inline, nothing to save.
+        ``spread`` is the artifact backend's decode-skew knob (hot-term
+        block rows round-robined before the decode barrier); the logical
+        index has no compressed blocks, so it is a no-op here."""
         return self.filter_deleted(
             self.postings.where(F.col("term").isin(list(terms)))
         )
