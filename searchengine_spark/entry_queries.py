@@ -3500,15 +3500,13 @@ def _media_features_sql() -> str:
     feature functions directly on the payload bytes."""
     import hashlib as _hl
 
-    # Re-synthesize the payloads without Spark: sample_media_df's row
-    # recipe is deterministic; mirror it via the module's own synth_*
-    # helpers (tests/test_textops.py pins the recipe against drift).
+    # Re-synthesize the payloads without Spark: media_payload is the ONE
+    # shared row recipe (also used by sample_media_df), so the oracle can
+    # never drift from the Spark-side table.
     from .textops.multimodal import (
         audio_features,
         image_features,
-        synth_png,
-        synth_wav,
-        synth_y4m,
+        media_payload,
         video_features,
     )
 
@@ -3519,20 +3517,7 @@ def _media_features_sql() -> str:
     }
     vals = []
     for i in range(32):
-        kind = ("image", "audio", "video")[i % 3]
-        if i % 9 == 8:
-            payload = _hl.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
-        elif kind == "audio":
-            payload = synth_wav(220.0 + 10 * i, 0.05 + 0.01 * (i % 5))
-        elif kind == "image":
-            payload = synth_png(
-                24 + i, 16 + (i % 7), seed=i,
-                channels=(1, 3, 4)[i % 3], filter_type=i % 5,
-            )
-        else:
-            payload = synth_y4m(
-                32, 24, n_frames=4 + i % 5, motion_step=(i % 4) * 3, seed=i
-            )
+        kind, _mime, payload = media_payload(i)
         try:
             decode_fn[kind](payload)
             decoded = "TRUE"
@@ -3576,18 +3561,15 @@ def _media_resize_sql() -> str:
 
     from .textops.multimodal import (
         _luma_mean,
+        media_payload,
         resize_image_payload,
-        synth_png,
     )
 
     vals = []
     for i in range(32):
         if i % 3 != 0 or i % 9 == 8:
             continue
-        payload = synth_png(
-            24 + i, 16 + (i % 7), seed=i,
-            channels=(1, 3, 4)[i % 3], filter_type=i % 5,
-        )
+        _kind, _mime, payload = media_payload(i)
         img, png = resize_image_payload(payload, 16, 12)
         vals.append(
             f"('m-{i:05d}', 16, 12, {img.shape[2]}, "
@@ -3627,16 +3609,14 @@ def _media_frames_sql() -> str:
         decode_y4m,
         encode_png,
         frame_sample_indices,
-        synth_y4m,
+        media_payload,
     )
 
     vals = []
     for i in range(32):
         if i % 3 != 2 or i % 9 == 8:
             continue
-        payload = synth_y4m(
-            32, 24, n_frames=4 + i % 5, motion_step=(i % 4) * 3, seed=i
-        )
+        _kind, _mime, payload = media_payload(i)
         frames, _fps = decode_y4m(payload)
         t, h, w = frames.shape
         for idx in frame_sample_indices(t, 3):

@@ -11,13 +11,17 @@ Decode status per modality:
   PCM, mono-mixed; features are the true duration, RMS energy,
   zero-crossing rate, and peak amplitude (value-level tested against
   synthesized sine waves).
-- **image (PNG / BMP / PPM-PGM): REAL** — a from-scratch PNG decoder
-  (stdlib ``zlib`` inflate + numpy per-row unfiltering, all five PNG
-  filter types, color types gray/RGB/gray+alpha/RGBA at bit depth 8),
-  plus uncompressed 24/32-bit BMP and binary PPM/PGM; features are the
-  true dimensions, channel count, luma mean/std, and histogram entropy
-  (round-trip and value-level tested). JPEG/WebP/interlaced PNG raise in
-  strict mode (their entropy coders genuinely need external libs).
+- **image (PNG / BMP / PPM-PGM / baseline JPEG): REAL** — a from-scratch
+  PNG decoder (stdlib ``zlib`` inflate + numpy per-row unfiltering, all
+  five PNG filter types, color types gray/RGB/gray+alpha/RGBA at bit
+  depth 8), uncompressed 24/32-bit BMP, binary PPM/PGM, and a
+  from-scratch baseline-sequential JPEG codec (canonical Huffman +
+  dequant + orthonormal IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart
+  markers — see ``.jpeg``); features are the true dimensions, channel
+  count, luma mean/std, and histogram entropy (round-trip and
+  value-level tested). WebP/AVIF/progressive-JPEG/interlaced-PNG raise
+  in strict mode (arithmetic/ANS entropy coders genuinely need external
+  libs).
 - **video (YUV4MPEG2): REAL** — uncompressed y4m container parse + frame
   sampling with numpy; features are the true frame count/rate/geometry,
   luma stats, and inter-frame motion energy. Compressed video (mp4/webm)
@@ -273,17 +277,23 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """REAL image decode by magic-byte sniffing: PNG, BMP, binary PPM/PGM.
-    Formats whose entropy coding genuinely needs external libs (JPEG,
-    WebP, ...) raise NotImplementedError — an honest, narrow stub edge."""
+    """REAL image decode by magic-byte sniffing: PNG, BMP, binary PPM/PGM,
+    and baseline-sequential JPEG (from-scratch Huffman + dequant + IDCT,
+    see .jpeg). Formats whose entropy coding genuinely needs external
+    libs (WebP/AVIF arithmetic-ANS coders, progressive JPEG) raise
+    NotImplementedError — an honest, narrow stub edge."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "image codec not supported without external libs (JPEG/WebP/...)"
+        "image codec not supported without external libs (WebP/AVIF/...)"
     )
 
 
@@ -675,32 +685,86 @@ def synth_y4m(
     return b"".join(out)
 
 
+def synth_jpeg(
+    w: int, h: int, seed: int = 0, subsample: bool = False, quality: int = 90
+) -> bytes:
+    """Deterministic smooth RGB baseline JPEG (from-scratch encoder —
+    see .jpeg). Smooth content keeps quantization error small and the
+    byte stream stable across platforms (all arithmetic is exact numpy
+    float64 + integer rounding)."""
+    from .jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.clip(
+        np.stack(
+            [
+                128 + 80 * np.sin((xx + seed) / 9.0) + 20 * np.cos(yy / 7.0),
+                100 + 0.5 * xx + 0.8 * yy + (seed % 40),
+                200 - 60 * np.sin((xx + yy + 2 * seed) / 11.0),
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    return encode_jpeg(arr, quality=quality, subsample=subsample)
+
+
+def media_payload(i: int) -> tuple[str, str, bytes]:
+    """(kind, mime, payload) for row i of the deterministic media table —
+    the ONE recipe shared by :func:`sample_media_df` and the driver-side
+    oracle builders (entry_queries), so the construction-derived VALUES
+    oracles can never drift from the Spark-side table. Image rows cycle
+    PNG (all five row filters), baseline JPEG 4:4:4 (i % 12 == 3) and
+    JPEG 4:2:0 (i % 12 == 9); every 9th media row is an
+    unsupported-codec blob exercising the fallback path."""
+    kind = ("image", "audio", "video")[i % 3]
+    if i % 9 == 8:  # undecodable payloads: fallback/strict path
+        return (
+            kind,
+            "application/octet-stream",
+            hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5),
+        )
+    if kind == "audio":
+        return kind, "audio/wav", synth_wav(220.0 + 10 * i, 0.05 + 0.01 * (i % 5))
+    if kind == "image":
+        if i % 12 == 3:
+            return kind, "image/jpeg", synth_jpeg(24 + i, 16 + (i % 7), seed=i)
+        if i % 12 == 9:
+            return (
+                kind,
+                "image/jpeg",
+                synth_jpeg(24 + i, 16 + (i % 7), seed=i, subsample=True),
+            )
+        return (
+            kind,
+            "image/png",
+            synth_png(
+                24 + i, 16 + (i % 7), seed=i,
+                channels=(1, 3, 4)[i % 3], filter_type=i % 5,
+            ),
+        )
+    return (
+        kind,
+        "video/mp4",
+        synth_y4m(32, 24, n_frames=4 + i % 5, motion_step=(i % 4) * 3, seed=i),
+    )
+
+
 def sample_media_df(spark, n: int = 32) -> DataFrame:
     """Deterministic synthetic media table for plumbing tests. EVERY
     modality carries real decodable payloads (WAV sines, gradient PNGs
-    cycling all five row filters, y4m clips), except every 9th media row
-    which is an unsupported-codec blob exercising the fallback path."""
+    cycling all five row filters, baseline JPEGs in both 4:4:4 and 4:2:0,
+    y4m clips), except every 9th media row which is an unsupported-codec
+    blob exercising the fallback path. Row recipe: :func:`media_payload`."""
     rows = []
     for i in range(n):
-        kind = ("image", "audio", "video")[i % 3]
-        if i % 9 == 8:  # undecodable payloads: fallback/strict path
-            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
-        elif kind == "audio":
-            payload = synth_wav(220.0 + 10 * i, 0.05 + 0.01 * (i % 5))
-        elif kind == "image":
-            payload = synth_png(
-                24 + i, 16 + (i % 7), seed=i,
-                channels=(1, 3, 4)[i % 3], filter_type=i % 5,
-            )
-        else:
-            payload = synth_y4m(
-                32, 24, n_frames=4 + i % 5, motion_step=(i % 4) * 3, seed=i
-            )
+        kind, mime, payload = media_payload(i)
         rows.append(
             (
                 f"m-{i:05d}",
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                mime,
                 bytearray(payload),
                 64 + i if kind == "image" else None,
                 48 + i if kind == "image" else None,

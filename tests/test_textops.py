@@ -252,6 +252,61 @@ def test_png_decoder_roundtrip_all_filters():
             assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
 
 
+def test_jpeg_codec_roundtrip_all_modes():
+    """From-scratch baseline JPEG: decode(encode(img)) within quantization
+    error across 4:4:4 / 4:2:0 / restart-marker streams, grayscale and
+    RGB, odd dimensions; flat images at quality=100 roundtrip exactly;
+    non-baseline streams raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from searchengine_spark.textops.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        np.stack(
+            [
+                128 + 80 * np.sin(xx / 9.0) + 20 * np.cos(yy / 7.0),
+                100 + 0.5 * xx + 0.8 * yy,
+                200 - 60 * np.sin((xx + yy) / 11.0),
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for kw, tol in (
+        ({}, 6),
+        ({"subsample": True}, 16),
+        ({"restart_interval": 2}, 6),
+        ({"subsample": True, "restart_interval": 3}, 16),
+    ):
+        dec = decode_jpeg(encode_jpeg(img, quality=92, **kw))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= tol, (kw, err.max())
+    # grayscale
+    g = img[:, :, :1]
+    dg = decode_jpeg(encode_jpeg(g, quality=95))
+    assert np.abs(dg.astype(int) - g.astype(int)).max() <= 3
+    # flat image at q=100: DC-only blocks, exact roundtrip
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=100)) == flat).all()
+    # decode_image sniffs the JPEG magic
+    from searchengine_spark.textops.multimodal import decode_image
+
+    assert decode_image(encode_jpeg(flat)).shape == (16, 24, 3)
+    # corrupt / unsupported inputs fail loudly
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01")
+    blob = bytearray(encode_jpeg(flat))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # pretend progressive
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+
+
 def test_image_and_video_feature_values():
     import numpy as np
 
@@ -1658,9 +1713,9 @@ def test_resize_images_spark(spark):
     # are all kind video in the fixture recipe)
     assert sorted(out) == [f"m-{i:05d}" for i in range(18) if i % 3 == 0]
     for i in (0, 3, 6):
-        png = mm.synth_png(24 + i, 16 + (i % 7), seed=i,
-                           channels=(1, 3, 4)[i % 3], filter_type=i % 5)
-        img, expected_png = mm.resize_image_payload(png, 6, 5)
+        # i == 3 is a baseline-JPEG row (media_payload recipe)
+        _kind, _mime, payload = mm.media_payload(i)
+        img, expected_png = mm.resize_image_payload(payload, 6, 5)
         row = out[f"m-{i:05d}"]
         assert (row["width"], row["height"]) == (6, 5)
         assert hashlib.sha256(bytes(row["payload"])).hexdigest() == \
