@@ -982,6 +982,36 @@ class ArtifactIndex(Index):
             return self._nopos_decode(blocks)
         return self._decode(blocks)
 
+    def postings_for_terms_ords(
+        self, terms, spread: bool = False
+    ) -> DataFrame:
+        """ORDINAL-space postings for the given terms: (doc_ord, term, tf,
+        dl), delete-filtered, WITHOUT the doc_id join. The workload-scale
+        ranking path (search_bm25_batch) aggregates and cuts top-k in
+        ordinal space and hydrates doc_id only for the tiny survivor set —
+        joining the corpus-sized doc table under every posting before the
+        cut would shuffle it per batch (the WAND path's rule, applied to
+        the batch plan). ``spread`` as in :meth:`postings_for_terms`."""
+        blocks = self.blocks_for_terms(terms)
+        if spread:
+            n = self.spark.sparkContext.defaultParallelism
+            blocks = blocks.repartition(n)
+        nopos = decode_barrier(
+            blocks.select("term", "first_ord", "docs", "tfs", "dls"), False
+        )
+        return self.filter_deleted_ords(nopos)
+
+    def doc_ids_for_ordinals_df(self, ords_df: DataFrame) -> DataFrame:
+        """Plan-level hydration: join a SMALL (doc_ord, ...) frame against
+        the doc table without shuffling the doc table — the small side is
+        broadcast, the doc scan streams. The driver-side twin for
+        collected ordinals is :meth:`docs_for_ordinals` (adds seg
+        partition pruning); this form stays lazy for plans that must not
+        collect."""
+        return self.docs_tbl.select("doc_ord", "doc_id").join(
+            F.broadcast(ords_df), "doc_ord"
+        )
+
     def _nopos_decode(self, blocks: DataFrame) -> DataFrame:
         """Shared non-positional decode pipeline (postings_for_terms /
         all_postings): position bytes never leave disk, the delete filter

@@ -202,40 +202,94 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
     )
     union_terms = sorted({t for _, t, _, _ in rows})
     partial = _bm25_partial(index)
-    scored = (
-        index.postings_for_terms(union_terms, positional=False, spread=True)
-        .join(F.broadcast(qdf), "term")
-        .select(
-            "query_id",
-            "doc_id",
-            F.struct("term", partial.alias("partial")).alias("p"),
+
+    def _fold_score(key_col: str):
+        # per-doc partials summed in sorted-term order (bit-identity
+        # invariant; see search_bm25_weighted)
+        return (
+            lambda df: df.select(
+                "query_id",
+                key_col,
+                F.struct("term", partial.alias("partial")).alias("p"),
+            )
+            .groupBy("query_id", key_col)
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.array_distinct(F.collect_list("p"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["partial"],
+                ).alias("score")
+            )
         )
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.array_distinct(F.collect_list("p"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("score")
-        )
-    )
-    if k is None:
-        return scored.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+
     from pyspark.sql import Window
 
-    # Salted two-phase top-k: a single window partitioned by query_id caps
-    # the cut at |Q| tasks — with 8 queries over a large corpus the sort of
-    # every query's full candidate set ran on 8 cores no matter the
-    # cluster size (measured: the dominant non-scaling term of the batch
-    # at 1.1M turns). Phase 1 cuts top-k per (query_id, salt) — any doc
-    # with >= k better (score, doc_id) neighbors in its OWN salt cannot be
-    # in the query's global top-k, so the cut is exact — and phase 2
-    # re-cuts the <= |salts|*k survivors per query, a tiny window. Salt
-    # count tracks shuffle parallelism; it affects only the plan, never
-    # the result.
+    # Salt count tracks shuffle parallelism; it affects only the plan,
+    # never the result. (A single window partitioned by query_id capped
+    # the top-k cut at |Q| tasks — measured as a dominant non-scaling
+    # term of the batch at 1.1M turns.)
     n_salts = max(
         int(index.spark.conf.get("spark.sql.shuffle.partitions", "200")), 16
     )
+
+    ords_fn = getattr(index, "postings_for_terms_ords", None)
+    if ords_fn is not None and k is not None:
+        # ORDINAL-space flow (artifact backend): aggregate and cut in
+        # doc_ord space, hydrate doc_id only for the survivors. Joining
+        # the corpus-sized doc table under every posting BEFORE the cut
+        # would shuffle it once per batch — the same rule the WAND path
+        # enforces ("the corpus-sized doc table is only consulted AFTER
+        # the top-k cut"). Phase 1 cuts per (query_id, salt) by RANK on
+        # score alone: rank(D) > k means >= k docs in D's own salt score
+        # STRICTLY higher, so D cannot reach the global top-k under any
+        # tie-break — and keeping boundary ties (rank, not row_number)
+        # means no doc that could win the final (score, doc_id) ordering
+        # is lost before doc_id exists. Phase 2 hydrates the tiny
+        # survivor set (broadcast against the streamed doc scan — no doc
+        # shuffle) and applies the exact final cut.
+        scored = _fold_score("doc_ord")(
+            ords_fn(union_terms, spread=True).join(F.broadcast(qdf), "term")
+        )
+        w1 = Window.partitionBy("query_id", "_salt").orderBy(F.desc("score"))
+        cand = (
+            scored.withColumn(
+                "_salt", F.pmod(F.xxhash64("doc_ord"), F.lit(n_salts))
+            )
+            .withColumn("_rk", F.rank().over(w1))
+            .where(F.col("_rk") <= k)
+            .drop("_rk", "_salt")
+        )
+        hyd = (
+            index.doc_ids_for_ordinals_df(cand)
+            .select("query_id", "doc_id", "score")
+            # a doc_id duplicated across segments is two ordinals; the
+            # doc_id flow merges its identical per-term partials via
+            # array_distinct, so the twin rows here carry the SAME score —
+            # keep one (degenerate-corpus guard, identity otherwise)
+            .dropDuplicates(["query_id", "doc_id"])
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            hyd.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        )
+
+    # doc_id flow: logical index (postings carry doc_id natively — there
+    # is no doc join to avoid), or k=None full rankings
+    scored = _fold_score("doc_id")(
+        index.postings_for_terms(union_terms, positional=False, spread=True)
+        .join(F.broadcast(qdf), "term")
+    )
+    if k is None:
+        return scored.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    # Salted two-phase top-k: phase 1 per (query_id, salt) is exact here
+    # because doc_id is present for the full (score desc, doc_id asc)
+    # ordering — any doc with >= k better neighbors in its OWN salt
+    # cannot be in the global top-k; phase 2 re-cuts the tiny survivors.
     w1 = Window.partitionBy("query_id", "_salt").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
