@@ -268,13 +268,12 @@ def ltr_features(
             F.round(F.col("dl") / F.lit(avgdl), decimals).alias("dl_ratio_r"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("bm25_r"), F.asc("doc_id")
-    )
-    out = (
-        feats.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+    # salted two-phase cut (ranked.salted_topk_per_query): a plain
+    # query_id window caps the per-query candidate sort at |Q| tasks
+    from .ranked import salted_topk_per_query
+
+    out = salted_topk_per_query(
+        feats, k, [F.desc("bm25_r"), F.asc("doc_id")], "doc_id", index.spark
     )
     if proximity:
         # the cut frame feeds BOTH the output and the candidate restriction;

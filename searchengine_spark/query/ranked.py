@@ -83,6 +83,46 @@ def tfidf_idf(n_docs: int, df: int) -> float:
     return math.log10(n_docs / df + 1.0)
 
 
+def salted_topk_per_query(
+    df: DataFrame,
+    k: int,
+    order_cols: list,
+    salt_key: str,
+    spark,
+    query_col: str = "query_id",
+) -> DataFrame:
+    """EXACT per-query top-k as a salted two-phase cut. ``order_cols``
+    must be a TOTAL order over rows within a query (include a unique
+    tie-break column, e.g. doc_id asc); ``salt_key`` is any row-unique
+    column to salt on. Phase 1 cuts top-k per (query, salt) — a row with
+    >= k better-ordered rows in its OWN salt cannot reach the global
+    top-k — and phase 2 re-cuts the <= n_salts*k survivors. A single
+    window partitioned by the query column alone caps the cut at |Q|
+    tasks regardless of cluster size (measured as a dominant non-scaling
+    term of batch ranking at 1.1M turns); salt count tracks shuffle
+    parallelism and never affects the result."""
+    from pyspark.sql import Window
+
+    n_salts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 16
+    )
+    w1 = Window.partitionBy(query_col, "_salt").orderBy(*order_cols)
+    cand = (
+        df.withColumn(
+            "_salt", F.pmod(F.xxhash64(salt_key), F.lit(n_salts))
+        )
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w = Window.partitionBy(query_col).orderBy(*order_cols)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def search_bm25(
     index, query, k: int | None = None, allowed: DataFrame | None = None
 ) -> DataFrame:
@@ -286,28 +326,11 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
     )
     if k is None:
         return scored.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
-    # Salted two-phase top-k: phase 1 per (query_id, salt) is exact here
-    # because doc_id is present for the full (score desc, doc_id asc)
-    # ordering — any doc with >= k better neighbors in its OWN salt
-    # cannot be in the global top-k; phase 2 re-cuts the tiny survivors.
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    cand = (
-        scored.withColumn(
-            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
-        )
-        .withColumn("_rn", F.row_number().over(w1))
-        .where(F.col("_rn") <= k)
-        .drop("_rn", "_salt")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
-    )
+    # exact: doc_id is present, so (score desc, doc_id asc) is a total
+    # order within each query
+    return salted_topk_per_query(
+        scored, k, [F.desc("score"), F.asc("doc_id")], "doc_id", index.spark
+    ).orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
 
 def search_bm25_boolean(
