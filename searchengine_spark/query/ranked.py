@@ -94,7 +94,8 @@ def salted_topk_per_query(
     """EXACT per-query top-k as a salted two-phase cut. ``order_cols``
     must be a TOTAL order over rows within a query (include a unique
     tie-break column, e.g. doc_id asc); ``salt_key`` is any row-unique
-    column to salt on. Phase 1 cuts top-k per (query, salt) — a row with
+    column (name or Column — e.g. a struct of the tie-break columns) to
+    salt on. Phase 1 cuts top-k per (query, salt) — a row with
     >= k better-ordered rows in its OWN salt cannot reach the global
     top-k — and phase 2 re-cuts the <= n_salts*k survivors. A single
     window partitioned by the query column alone caps the cut at |Q|

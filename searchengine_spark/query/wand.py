@@ -575,13 +575,21 @@ def search_bm25_blockmax(aidx, query, k: int) -> DataFrame:
         cand.unpersist()
         return out
 
-    # seed θ from the highest-impact blocks of each term
+    # seed θ from the highest-impact blocks of each term. Two-phase cut
+    # (ranked.salted_topk_per_query): a window partitioned by term alone
+    # sorts a hot term's ENTIRE block-metadata list in one task (78M
+    # block rows for a 10^10-posting term at scale); the salted cut picks
+    # the identical n_seed blocks with cluster-wide parallelism.
+    from .ranked import salted_topk_per_query
+
     n_seed = math.ceil(k / aidx.block_size) + 1
-    w = Window.partitionBy("term").orderBy(
-        F.desc("ub"), F.asc("first_ord"), F.asc("block_seq")
-    )
-    seed = cand.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= n_seed
+    seed = salted_topk_per_query(
+        cand,
+        n_seed,
+        [F.desc("ub"), F.asc("first_ord"), F.asc("block_seq")],
+        F.struct("first_ord", "block_seq"),
+        spark,
+        query_col="term",
     )
     aligned = len(g) > 1 and n_cand_blocks >= _ALIGNED_MIN_BLOCKS
     if not aligned:
