@@ -244,24 +244,35 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
     union_terms = sorted({t for _, t, _, _ in rows})
     partial = _bm25_partial(index)
 
-    def _fold_score(key_col: str):
+    def _fold_score(key_col: str, dedup: bool = True):
         # per-doc partials summed in sorted-term order (bit-identity
-        # invariant; see search_bm25_weighted)
-        return (
-            lambda df: df.select(
-                "query_id",
-                key_col,
-                F.struct("term", partial.alias("partial")).alias("p"),
+        # invariant; see search_bm25_weighted). ``dedup=False`` for the
+        # ordinal flow: (doc_ord, term) is unique by construction (a
+        # doc_id duplicated across segments gets DISTINCT ordinals), so
+        # array_distinct is provably identity there — skip its per-group
+        # hash pass. The doc_id flow keeps it: cross-segment duplicate
+        # doc_ids would contribute identical twin partials.
+        def fold(df):
+            lst = F.collect_list("p")
+            if dedup:
+                lst = F.array_distinct(lst)
+            return (
+                df.select(
+                    "query_id",
+                    key_col,
+                    F.struct("term", partial.alias("partial")).alias("p"),
+                )
+                .groupBy("query_id", key_col)
+                .agg(
+                    F.aggregate(
+                        F.array_sort(lst),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["partial"],
+                    ).alias("score")
+                )
             )
-            .groupBy("query_id", key_col)
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.array_distinct(F.collect_list("p"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["partial"],
-                ).alias("score")
-            )
-        )
+
+        return fold
 
     from pyspark.sql import Window
 
@@ -288,7 +299,7 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
         # is lost before doc_id exists. Phase 2 hydrates the tiny
         # survivor set (broadcast against the streamed doc scan — no doc
         # shuffle) and applies the exact final cut.
-        scored = _fold_score("doc_ord")(
+        scored = _fold_score("doc_ord", dedup=False)(
             ords_fn(union_terms, spread=True).join(F.broadcast(qdf), "term")
         )
         w1 = Window.partitionBy("query_id", "_salt").orderBy(F.desc("score"))
