@@ -478,6 +478,17 @@ def _make_packer(block_size: int, positional: bool):
     return pack
 
 
+def _term_dictionary_col(term_col: pd.Series, counts: np.ndarray):
+    """Per-posting term column as a pandas Categorical (Arrow DICTIONARY
+    array): one string table of the batch's unique terms plus int codes,
+    instead of n_postings repeated Python string objects — ~10x smaller on
+    the wire (a wide scan repeats each term thousands of times) and a
+    plain int repeat pandas-side. Spark's Arrow deserializer decodes the
+    dictionary back to the declared string column."""
+    codes, uniques = pd.factorize(term_col)
+    return pd.Categorical.from_codes(np.repeat(codes, counts), categories=uniques)
+
+
 def _make_decoder(positional: bool):
     """mapInPandas fn: block rows -> exploded postings.
 
@@ -511,7 +522,7 @@ def _make_decoder(positional: bool):
                 yield pd.DataFrame(
                     {
                         "doc_ord": u["ords"],
-                        "term": np.repeat(pdf["term"].to_numpy(), u["counts"]),
+                        "term": _term_dictionary_col(pdf["term"], u["counts"]),
                         "tf": u["tfs"].astype(np.int32),
                         "dl": u["dls"].astype(np.int32),
                     }
@@ -580,7 +591,7 @@ def _make_decoder(positional: bool):
             yield pd.DataFrame(
                 {
                     "doc_ord": u["ords"],
-                    "term": np.repeat(pdf["term"].to_numpy(), u["counts"]),
+                    "term": _term_dictionary_col(pdf["term"], u["counts"]),
                     "tf": u["tfs"].astype(np.int32),
                     "positions": pd.arrays.ArrowExtensionArray(pos_arrow),
                     "dl": u["dls"].astype(np.int32),
