@@ -234,10 +234,21 @@ def decode_concat(data: bytes, offsets) -> tuple[np.ndarray, np.ndarray]:
         )
     gaps, counts, firsts = _concat_groups(buf, offsets)
     cs = np.cumsum(gaps)
-    if cs[-1] < 0:
-        # gaps are non-negative, so a negative running total means the
-        # global cumsum wrapped int64 (this module has had a
-        # silent-truncation bug before — fail loudly, never wrap)
+    # ANY wrap must raise — checking only cs[-1] < 0 misses totals that
+    # wrap past 2**64 back to non-negative (e.g. four streams each
+    # contributing 2**62), and np.diff(cs) wraps the same way the cumsum
+    # does. Robust form: view the running total as uint64 (COMPARISONS
+    # cannot wrap) — gaps are non-negative and < 2**64, so the first time
+    # the true total passes 2**64 the uint64 view strictly decreases; if
+    # it stays monotone, the view holds exact totals and the final (= max)
+    # element bounds the whole array, which must stay inside int64. This
+    # module has had a silent-truncation bug before — fail loudly.
+    cs_u = cs.view(np.uint64)
+    if (
+        (gaps < 0).any()
+        or (cs_u[1:] < cs_u[:-1]).any()
+        or cs_u[-1] > np.uint64((1 << 63) - 1)
+    ):
         raise OverflowError(
             "decode_concat: global cumsum wrapped int64; "
             "sum of stream maxima must stay under 2**63"

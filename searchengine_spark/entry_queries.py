@@ -7938,7 +7938,53 @@ _NEXT_R05 = [
 ]
 
 assert len(_HEAD_R04) == 50, len(_HEAD_R04)
-_prefix = _HEAD_R04 + _NEXT_R05
+
+# --- Driver sampling order (round 5) -------------------------------------
+# Final rotation: after this head runs, every one of the 148 entries has
+# at least one green driver CORRECTNESS row and none has a fail as its
+# latest row.  Composition (VERDICT r4 "Next round" item 1):
+#   * the 26 never-driver-sampled entries deferred from round 4
+#     (_NEXT_R05, positions 51-76 last round);
+#   * the 5 entries whose ONLY driver row is a r02 `no_oracle` FAILURE
+#     (they gained real DuckDB oracles in round 3 and replay green
+#     locally, but the standing driver record for them is a fail);
+#   * the 10 SURVEY §2-mapped ft_* basics the verdict named, so no §2
+#     operator's newest driver row ages past two rounds;
+#   * 9 re-greens whose last green row is r02 (the oldest on record).
+_HEAD_R05 = (
+    _NEXT_R05
+    + [
+        # only driver row on record is a r02 no_oracle fail — re-grade
+        "ann_lsh_top10",
+        "emb_near_dup_lsh",
+        "tr_bm25_top10",
+        "tr_phrase_planted",
+        "media_features",
+        # §2-mapped basics (last green r03) — refresh cadence
+        "ft_bm25_top20",
+        "ft_bm25_wand",
+        "ft_phrase",
+        "ft_tfidf_top20",
+        "ft_keyword",
+        "ft_and",
+        "ft_or",
+        "ft_delete_search",
+        "ft_df",
+        "ft_term_stats",
+        # oldest greens (last green r02)
+        "rel_tpch_q1",
+        "dedup_minhash_pairs",
+        "dedup_pipeline",
+        "simhash_pairs",
+        "ann_cosine_top10",
+        "ann_ivf_top10",
+        "doc_fingerprints",
+        "emb_near_dup",
+        "token_counts",
+    ]
+)
+assert len(_HEAD_R05) == 50, len(_HEAD_R05)
+_prefix = _HEAD_R05
 assert len(set(_prefix)) == len(_prefix)
 assert all(k in _QUERIES_UNORDERED for k in _prefix), [
     k for k in _prefix if k not in _QUERIES_UNORDERED

@@ -479,12 +479,19 @@ def _make_packer(block_size: int, positional: bool):
 
 
 def _term_dictionary_col(term_col: pd.Series, counts: np.ndarray):
-    """Per-posting term column as a pandas Categorical (Arrow DICTIONARY
-    array): one string table of the batch's unique terms plus int codes,
-    instead of n_postings repeated Python string objects — ~10x smaller on
-    the wire (a wide scan repeats each term thousands of times) and a
-    plain int repeat pandas-side. Spark's Arrow deserializer decodes the
-    dictionary back to the declared string column."""
+    """Per-posting term column as a pandas Categorical: the batch's unique
+    terms once plus int codes, so the expansion to n_postings rows is a
+    plain int ``np.repeat`` instead of repeating n_postings Python string
+    objects.
+
+    NOTE the win is pandas-side CPU only, NOT Arrow wire size: pyspark
+    4.1.2's ArrowStreamPandasSerializer expands CategoricalDtype to
+    ``categories.dtype`` (object strings) before building the Arrow array
+    (``sql/pandas/serializers.py:450``), and the declared string schema
+    pins ``arrow_type=pa.string()`` so an Arrow-native DictionaryArray
+    would be cast back to a flat string array anyway. The serializer's
+    ``astype`` expansion is a vectorized take on the category table, so
+    the object-repeat cost moves from our loop into one C-level pass."""
     codes, uniques = pd.factorize(term_col)
     return pd.Categorical.from_codes(np.repeat(codes, counts), categories=uniques)
 

@@ -314,11 +314,14 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
         hyd = (
             index.doc_ids_for_ordinals_df(cand)
             .select("query_id", "doc_id", "score")
-            # a doc_id duplicated across segments is two ordinals; the
-            # doc_id flow merges its identical per-term partials via
-            # array_distinct, so the twin rows here carry the SAME score —
-            # keep one (degenerate-corpus guard, identity otherwise)
-            .dropDuplicates(["query_id", "doc_id"])
+            # a doc_id duplicated across segments is two ordinals; in the
+            # engine the twin rows carry the SAME score (the doc_id flow
+            # merges identical per-term partials via array_distinct), but
+            # on a degenerate append-without-upsert corpus the twins can
+            # differ — reduce by MAX so the kept row is deterministic
+            # rather than whichever ordinal dropDuplicates saw first
+            .groupBy("query_id", "doc_id")
+            .agg(F.max("score").alias("score"))
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")

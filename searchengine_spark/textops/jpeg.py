@@ -99,6 +99,11 @@ HUFF_AC_CHROMA = (
      0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
 )
 
+# hard cap on total padded plane samples a decode may allocate (float64:
+# 2**27 samples = 1 GiB across all components — far above any test/media
+# payload, far below an executor OOM); crafted headers fail loudly instead
+_MAX_PLANE_ELEMS = 2**27
+
 # zig-zag scan order: ZIGZAG[i] = natural index of the i-th scanned coeff
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -305,6 +310,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         buf.append(b)
         p += 1
     intervals.append(bytes(buf))
+
+    # Sanity-bound the declared frame BEFORE allocating component planes:
+    # a small crafted payload declaring 65535x65535 would otherwise force
+    # multi-GB np.zeros allocations and an MCU loop of billions of
+    # pure-Python iterations (the bit reader 1-pads past the end, so the
+    # loop does NOT stop at payload exhaustion). Failure contract of the
+    # media paths is a catchable ValueError, never an executor OOM.
+    blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
+    total_entropy_bits = 8 * sum(len(iv) for iv in intervals)
+    # every block consumes >= 2 bits (a DC symbol and an AC EOB, each >= 1
+    # bit); T.81 F.2.2.5 lets the final EOB be truncated — allow 16 bits
+    if mcux * mcuy * blocks_per_mcu * 2 > total_entropy_bits + 16:
+        raise ValueError(
+            "JPEG entropy data too short for declared frame size "
+            f"({w}x{h}, {mcux * mcuy} MCUs)"
+        )
+    plane_elems = sum(
+        (mcuy * c["v"] * 8) * (mcux * c["h"] * 8) for c in comps
+    )
+    if plane_elems > _MAX_PLANE_ELEMS:
+        raise ValueError(
+            f"JPEG declared frame too large ({w}x{h}, "
+            f"{plane_elems} plane samples > {_MAX_PLANE_ELEMS})"
+        )
 
     planes = {
         c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))

@@ -283,3 +283,14 @@ def test_decode_concat_int64_wrap_raises():
     vals, counts = varbyte.decode_concat(*_cat(ok))
     assert vals.tolist() == [(1 << 62) - 1, 1 << 61]
     assert counts.tolist() == [1, 1]
+
+
+def test_decode_concat_double_wrap_past_uint64_raises():
+    """ADVICE r4: four streams each encoding 2**62 sum to 2**64 — the
+    cumsum wraps PAST int64 and lands non-negative (0), so a guard that
+    only checks cs[-1] < 0 misses it. Any wrap breaks monotonicity of the
+    non-negative-gap running total; the guard must catch that too."""
+    stream = varbyte.encode([1 << 62])
+    blobs = [stream] * 4  # sum = 2**64 → wraps back to 0 (non-negative)
+    with pytest.raises(OverflowError, match="wrapped int64"):
+        varbyte.decode_concat(*_cat(blobs))

@@ -80,18 +80,28 @@ def test_entry_smoke(spark):
 
 def test_driver_head50_covers_unsampled_entries():
     """The driver grades only the FIRST 50 queries() keys (VERDICT r3).
-    Pin the round-4 rotation: head-50 = the four §2 operators whose last
-    driver row was r02 + 46 never-driver-sampled entries, with the
-    remaining never-sampled entries at positions 51-76 for round 5."""
-    from searchengine_spark.entry_queries import _HEAD_R04, _NEXT_R05
+    Pin the round-5 rotation (VERDICT r4 item 1): head-50 = the 26
+    never-driver-sampled `_NEXT_R05` entries + the five entries whose
+    only driver row is a r02 no_oracle fail + 10 §2-mapped ft_* basics
+    + 9 oldest (r02-green) re-greens.  After this head runs, all 148
+    entries have a green driver row and none ends on a fail."""
+    from searchengine_spark.entry_queries import _HEAD_R05, _NEXT_R05
 
     keys = list(entry_mod.queries())
-    assert keys[:50] == _HEAD_R04
-    assert keys[50 : 50 + len(_NEXT_R05)] == _NEXT_R05
+    assert keys[:50] == _HEAD_R05
+    assert set(_NEXT_R05) <= set(_HEAD_R05)
+    for k in (
+        "ann_lsh_top10",
+        "emb_near_dup_lsh",
+        "tr_bm25_top10",
+        "tr_phrase_planted",
+        "media_features",
+    ):
+        assert k in _HEAD_R05, k
     assert len(keys) == len(set(keys))
     # every head-50 entry must still be oracled (no rows-only slipped in)
     oracled = set(entry_mod.oracle_sql())
-    assert set(_HEAD_R04) <= oracled
+    assert set(_HEAD_R05) <= oracled
 
 
 def test_no_module_global_name_collisions():

@@ -307,6 +307,44 @@ def test_jpeg_codec_roundtrip_all_modes():
         decode_jpeg(bytes(blob))
 
 
+def test_jpeg_crafted_huge_frame_raises_before_allocating():
+    """ADVICE r4: a tiny payload declaring a 65535x65535 SOF must raise a
+    catchable ValueError BEFORE allocating multi-GB planes or entering the
+    (billions-of-iterations) MCU loop — the bit reader 1-pads past the end
+    of the entropy data, so the loop would not stop on its own."""
+    import struct
+    import time
+
+    import numpy as np
+    import pytest as _pytest
+
+    from searchengine_spark.textops.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    blob = bytearray(encode_jpeg(flat))
+    sof = blob.find(b"\xff\xc0")
+    # SOF0 segment: FFC0 len(2) prec(1) h(2) w(2) — patch h and w
+    blob[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
+    t0 = time.monotonic()
+    with _pytest.raises(ValueError, match="entropy data too short"):
+        decode_jpeg(bytes(blob))
+    assert time.monotonic() - t0 < 2.0
+    # a frame whose padded planes exceed the allocation cap raises loudly
+    # even when the entropy payload is large enough to pass the first
+    # check (lower the cap so a legit 64x64 stream trips it)
+    from searchengine_spark.textops import jpeg as _jpeg
+
+    big = encode_jpeg(np.full((64, 64, 1), 9, np.uint8))
+    cap = _jpeg._MAX_PLANE_ELEMS
+    try:
+        _jpeg._MAX_PLANE_ELEMS = 32 * 32
+        with _pytest.raises(ValueError, match="frame too large"):
+            decode_jpeg(big)
+    finally:
+        _jpeg._MAX_PLANE_ELEMS = cap
+    assert (decode_jpeg(big)[..., 0] == 9).all()
+
+
 def test_image_and_video_feature_values():
     import numpy as np
 
