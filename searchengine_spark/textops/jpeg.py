@@ -8,14 +8,19 @@ genuinely do.
 
 Decoder (`decode_jpeg`): baseline sequential DCT (SOF0), 8-bit, 1 or 3
 components, arbitrary h/v sampling factors (4:4:4, 4:2:2, 4:2:0, ...),
-restart markers, byte stuffing. Progressive (SOF2), arithmetic coding,
-and 12-bit raise NotImplementedError — honest narrow edges.
+restart markers, byte stuffing — plus progressive DCT (SOF2, Huffman):
+spectral selection, successive approximation (DC/AC first + refinement
+passes, EOB runs), interleaved and non-interleaved scans, restarts
+(T.81 Annex G). Arithmetic coding and 12-bit raise NotImplementedError
+— honest narrow edges.
 
-Encoder (`encode_jpeg`): 4:4:4 / grayscale with the JPEG spec Annex K
-example quantization + Huffman tables (ITU T.81 §K.1/K.3 — public spec
-data, like the PNG/BMP constants elsewhere in this package), quality
-scaling per the familiar 50-point convention. Exists so tests and the
-media oracles can synthesize real JPEG payloads without any library.
+Encoder (`encode_jpeg`): 4:4:4 / 4:2:0 / grayscale with the JPEG spec
+Annex K example quantization + Huffman tables (ITU T.81 §K.1/K.3 —
+public spec data, like the PNG/BMP constants elsewhere in this
+package), quality scaling per the familiar 50-point convention;
+``progressive=True`` emits a multi-scan SOF2 stream (successive
+approximation Al=1 -> 0). Exists so tests and the media oracles can
+synthesize real JPEG payloads without any library.
 
 All IDCT/DCT math is exact orthonormal matrix multiplication — the same
 deterministic arithmetic driver-side (oracle construction) and
@@ -206,6 +211,34 @@ def _extend(v: int, s: int) -> int:
 # --- decoder ---------------------------------------------------------------
 
 
+def _entropy_intervals(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data (starting at ``pos``) at restart
+    markers, unstuffing 0xFF00. Returns (intervals, next_pos) with
+    ``next_pos`` at the 0xFF of the terminating marker (or EOF)."""
+    n = len(payload)
+    intervals: list[bytes] = []
+    buf = bytearray()
+    p = pos
+    while p < n:
+        b = payload[p]
+        if b == 0xFF and p + 1 < n:
+            nb = payload[p + 1]
+            if nb == 0x00:
+                buf.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nb <= 0xD7:  # RSTn
+                intervals.append(bytes(buf))
+                buf = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        buf.append(b)
+        p += 1
+    intervals.append(bytes(buf))
+    return intervals, p
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JPEG -> (H, W, channels) uint8 (1 or 3 ch).
 
@@ -263,7 +296,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (prec, h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: progressive, Huffman
+            return _decode_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF{marker - 0xC0})"
@@ -290,26 +325,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     # split entropy data at restart markers, unstuff 0xFF00
-    intervals: list[bytes] = []
-    buf = bytearray()
-    p = pos
-    while p < n:
-        b = payload[p]
-        if b == 0xFF and p + 1 < n:
-            nb = payload[p + 1]
-            if nb == 0x00:
-                buf.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nb <= 0xD7:  # RSTn
-                intervals.append(bytes(buf))
-                buf = bytearray()
-                p += 2
-                continue
-            break  # EOI or next marker
-        buf.append(b)
-        p += 1
-    intervals.append(bytes(buf))
+    intervals, _ = _entropy_intervals(payload, pos)
 
     # Sanity-bound the declared frame BEFORE allocating component planes:
     # a small crafted payload declaring 65535x65535 would otherwise force
@@ -384,7 +400,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         planes[cs][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_i += 1
 
-    # upsample each component to full resolution and crop
+    return _finish_planes(planes, comps, h, w, hmax, vmax)
+
+
+def _finish_planes(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample each component plane to full resolution, crop to (h, w),
+    convert YCbCr->RGB (3 comps) and clamp to uint8. Shared tail of the
+    baseline and progressive decoders."""
     full = []
     for c in comps:
         pl = planes[c["id"]]
@@ -403,6 +425,311 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     else:
         raise NotImplementedError(f"JPEG with {len(full)} components")
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# --- progressive decoder (T.81 Annex G, Huffman) ---------------------------
+
+
+def _comp_blocks(c, w, h, hmax, vmax) -> tuple[int, int]:
+    """(block rows, block cols) of a component's REAL (non-MCU-padded)
+    block raster — the unit grid of non-interleaved progressive scans
+    (T.81 A.2.2: ceil of the downsampled dimensions over 8)."""
+    cw = -(-(w * c["h"]) // hmax)
+    ch_ = -(-(h * c["v"]) // vmax)
+    return -(-ch_ // 8), -(-cw // 8)
+
+
+def _dc_unit(blk, reader, table, preds, cs, Ah, Al) -> None:
+    """One block's DC contribution: first pass (Ah=0) Huffman-decodes the
+    shifted-domain diff; refinement appends one magnitude bit."""
+    if Ah == 0:
+        if table is None:
+            raise ValueError("JPEG progressive DC scan missing DC table")
+        s = reader.read_symbol(table)
+        preds[cs] += _extend(reader.read_bits(s), s)
+        blk[0] = preds[cs] << Al
+    elif reader.read_bit():
+        blk[0] = int(blk[0]) | (1 << Al)
+
+
+def _ac_first(blk, reader, table, ss, se, al, eobrun) -> int:
+    """AC first pass (G.1.2.2): band coefficients at precision Al, with
+    end-of-band runs. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overflow")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(blk, reader, table, ss, se, al, eobrun) -> int:
+    """AC refinement pass (G.1.2.3): newly-nonzero coefficients arrive as
+    +-1<<Al; every previously-nonzero coefficient passed along the way
+    consumes one correction bit. Returns the remaining EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(table)
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement coded magnitude > 1"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history coefficients
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and reader.read_bit() and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    """Progressive (SOF2, Huffman) JPEG -> (H, W, channels) uint8.
+
+    Multi-scan: coefficients accumulate across DC/AC first + refinement
+    scans (spectral selection x successive approximation), then one
+    vectorized dequantize + IDCT pass reconstructs the planes. Restart
+    markers reset DC predictors and the EOB run per interval."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos, n = 2, len(payload)
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    coef: dict[int, np.ndarray] = {}
+    by_id: dict[int, dict] = {}
+    hmax = vmax = mcux = mcuy = 0
+    h = w = 0
+
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization table")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(
+                    bits, vals
+                )
+                p += 17 + nv
+        elif marker == 0xC2:  # SOF2
+            if frame is not None:
+                raise ValueError("multiple SOF in JPEG stream")
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = (prec, h, w, comps)
+            by_id = {c["id"]: c for c in comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            plane_elems = sum(
+                (mcuy * c["v"] * 8) * (mcux * c["h"] * 8) for c in comps
+            )
+            if plane_elems > _MAX_PLANE_ELEMS:
+                raise ValueError(
+                    f"JPEG declared frame too large ({w}x{h}, "
+                    f"{plane_elems} plane samples > {_MAX_PLANE_ELEMS})"
+                )
+            # coefficient store over the MCU-padded block grid (interleaved
+            # DC scans code the padding blocks; AC scans only the real ones)
+            for c in comps:
+                coef[c["id"]] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                )
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unexpected second frame type in progressive stream")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — one of many
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cs not in by_id:
+                    raise ValueError("JPEG scan references unknown component")
+                scomps.append((cs, tables >> 4, tables & 0x0F))
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            pos += seglen
+            intervals, pos = _entropy_intervals(payload, pos)
+            _decode_prog_scan(
+                intervals, restart_interval, scomps, ss, se, ah, al,
+                coef, by_id, mcux, mcuy, huff_dc, huff_ac, w, h, hmax, vmax,
+            )
+            continue  # pos already advanced past the entropy data
+        pos += seglen
+
+    if frame is None or not coef:
+        raise ValueError("JPEG missing SOF/SOS")
+    _, h, w, comps = frame
+    planes = {}
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG missing quantization table")
+        q = qt[c["tq"]].reshape(-1).astype(np.float64)
+        arr = coef[c["id"]]
+        nby, nbx, _ = arr.shape
+        flat = arr.reshape(-1, 64).astype(np.float64)
+        nat = np.zeros_like(flat)
+        nat[:, ZIGZAG] = flat  # zigzag position i -> natural index ZIGZAG[i]
+        nat *= q
+        blocks = nat.reshape(-1, 8, 8)
+        spatial = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A) + 128.0
+        planes[c["id"]] = (
+            spatial.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+    return _finish_planes(planes, comps, h, w, hmax, vmax)
+
+
+def _decode_prog_scan(
+    intervals, restart_interval, scomps, ss, se, ah, al,
+    coef, by_id, mcux, mcuy, huff_dc, huff_ac, w, h, hmax, vmax,
+) -> None:
+    """Decode one progressive scan into the coefficient store."""
+    state = {
+        "reader": _BitReader(intervals[0]),
+        "interval": 0,
+        "eobrun": 0,
+        "preds": {cs: 0 for cs, _, _ in scomps},
+    }
+
+    def maybe_restart(unit_i: int) -> None:
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            state["interval"] += 1
+            if state["interval"] >= len(intervals):
+                raise ValueError("JPEG truncated at restart marker")
+            state["reader"] = _BitReader(intervals[state["interval"]])
+            state["eobrun"] = 0
+            state["preds"] = {cs: 0 for cs, _, _ in scomps}
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        unit = 0
+        if len(scomps) > 1:  # interleaved over MCUs, padding blocks coded
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(unit)
+                    unit += 1
+                    for cs, td, _ta in scomps:
+                        c = by_id[cs]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                _dc_unit(
+                                    coef[cs][my * c["v"] + by,
+                                             mx * c["h"] + bx],
+                                    state["reader"], huff_dc.get(td),
+                                    state["preds"], cs, ah, al,
+                                )
+        else:  # single component: its own real-block raster
+            ((cs, td, _ta),) = scomps
+            hb, wb = _comp_blocks(by_id[cs], w, h, hmax, vmax)
+            for by in range(hb):
+                for bx in range(wb):
+                    maybe_restart(unit)
+                    unit += 1
+                    _dc_unit(
+                        coef[cs][by, bx], state["reader"],
+                        huff_dc.get(td), state["preds"], cs, ah, al,
+                    )
+    else:
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ((cs, _td, ta),) = scomps
+        table = huff_ac.get(ta)
+        if table is None:
+            raise ValueError("JPEG progressive AC scan missing AC table")
+        hb, wb = _comp_blocks(by_id[cs], w, h, hmax, vmax)
+        unit = 0
+        for by in range(hb):
+            for bx in range(wb):
+                maybe_restart(unit)
+                unit += 1
+                blk = coef[cs][by, bx]
+                if ah == 0:
+                    state["eobrun"] = _ac_first(
+                        blk, state["reader"], table, ss, se, al,
+                        state["eobrun"],
+                    )
+                else:
+                    state["eobrun"] = _ac_refine(
+                        blk, state["reader"], table, ss, se, al,
+                        state["eobrun"],
+                    )
 
 
 # --- encoder ---------------------------------------------------------------
@@ -495,12 +822,21 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(H, W, 1|3) uint8 -> baseline JPEG bytes (Annex K tables scaled by
+    """(H, W, 1|3) uint8 -> JPEG bytes (Annex K tables scaled by
     ``quality``). ``subsample=True`` emits 4:2:0 (2x2 luma sampling, box-
     downsampled chroma); ``restart_interval`` emits DRI + RSTn markers
     every that many MCUs — both exist chiefly so the decoder's interleave
-    and restart paths have real streams to be tested against."""
+    and restart paths have real streams to be tested against.
+
+    ``progressive=True`` emits an SOF2 stream with a DC first+refine pair
+    and per-component AC spectral-selection first+refine scans (successive
+    approximation Al=1 -> 0); EOB runs are never aggregated across blocks
+    (valid per T.81, and the standard Annex K AC tables carry no EOBn
+    symbols for n > 1). Restart markers are not emitted in progressive
+    mode (``restart_interval`` is ignored; the decoder still handles
+    progressive restarts from other encoders)."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -548,6 +884,11 @@ def encode_jpeg(
     for ci, pl in enumerate(planes):
         sh, sv = samp[ci]
         padded.append(_pad_to(pl, mcuy * sv * 8, mcux * sh * 8))
+
+    if progressive:
+        return _encode_progressive(
+            padded, samp, qts, h, w, ch, mcux, mcuy
+        )
 
     bw = _BitWriter()
     pred = [0] * len(planes)
@@ -607,5 +948,207 @@ def encode_jpeg(
         out += part
         if i < len(entropy_parts) - 1:
             out += bytes([0xFF, 0xD0 + (i % 8)])  # RSTn
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive encoder ---------------------------------------------------
+
+
+def _tz_shift(v: int, al: int) -> int:
+    """Point transform for AC coefficients: magnitude shift preserving
+    sign (truncation toward zero, T.81 G.1.2.2) — NOT arithmetic >>,
+    which floors negatives."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _quant_zigzag(padded, qts):
+    """Per-component quantized coefficients in zigzag order over the
+    MCU-padded block grid: list of (nby, nbx, 64) int64 arrays."""
+    out = []
+    for ci, pl in enumerate(padded):
+        q = qts[0 if ci == 0 else 1].astype(np.float64)
+        nby, nbx = pl.shape[0] // 8, pl.shape[1] // 8
+        blocks = (
+            pl.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coeff = np.einsum("ij,njk,kl->nil", _A, blocks, _A.T)
+        quant = np.rint(coeff / q).astype(np.int64).reshape(-1, 64)
+        out.append(quant[:, ZIGZAG].reshape(nby, nbx, 64))
+    return out
+
+
+def _emit_extend(bw, v: int, s: int) -> None:
+    bw.write((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
+
+
+def _prog_ac_first_block(bw, zz, ss, se, al, enc_ac) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = _tz_shift(int(zz[k]), al)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _mag(v)
+        code, ln = enc_ac[(run << 4) | s]
+        bw.write(code, ln)
+        _emit_extend(bw, v, s)
+        run = 0
+    if run > 0:  # EOB, never aggregated across blocks
+        code, ln = enc_ac[0x00]
+        bw.write(code, ln)
+
+
+def _prog_ac_refine_block(bw, zz, ss, se, al, enc_ac) -> None:
+    """Mirror of :func:`_ac_refine` (libjpeg-style single-block EOB): ZRL
+    and (r,1) symbols carry the correction bits buffered since the last
+    emitted symbol; a trailing EOB flushes the rest."""
+    mags = [_tz_shift(abs(int(zz[k])), al) for k in range(ss, se + 1)]
+    eob_rel = 0  # index AFTER the last newly-nonzero coefficient
+    for i, t in enumerate(mags):
+        if t == 1:
+            eob_rel = i + 1
+    run, br = 0, []
+    for i in range(eob_rel):
+        t = mags[i]
+        if t == 0:
+            run += 1
+            continue
+        if t > 1:  # previously nonzero: correction bit, run unaffected
+            br.append(t & 1)
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        code, ln = enc_ac[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(0 if int(zz[ss + i]) < 0 else 1, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        run = 0
+    tail = [t & 1 for t in mags[eob_rel:] if t > 1]
+    if run > 0 or br or tail or eob_rel <= se - ss:
+        code, ln = enc_ac[0x00]
+        bw.write(code, ln)
+        for b in br + tail:
+            bw.write(b, 1)
+
+
+def _encode_progressive(padded, samp, qts, h, w, ch, mcux, mcuy) -> bytes:
+    """Assemble the SOF2 stream: DC first (Al=1) + DC refine, then per
+    component AC first/refine over two spectral bands for luma (1-5,
+    6-63) and the full band for chroma."""
+    czz = _quant_zigzag(padded, qts)
+    ncomp = len(padded)
+    enc_dc = [_build_encode_table(*HUFF_DC_LUMA)]
+    enc_ac = [_build_encode_table(*HUFF_AC_LUMA)]
+    if ch == 3:
+        enc_dc.append(_build_encode_table(*HUFF_DC_CHROMA))
+        enc_ac.append(_build_encode_table(*HUFF_AC_CHROMA))
+
+    def dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    ti = 0 if ci == 0 else 1
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(
+                                czz[ci][my * sv + by, mx * sh + bx, 0]
+                            ) >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s = _mag(diff)
+                            code, ln = enc_dc[ti][s]
+                            bw.write(code, ln)
+                            if s:
+                                _emit_extend(bw, diff, s)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bw.write(
+                                (int(czz[ci][my * sv + by, mx * sh + bx, 0])
+                                 >> al) & 1,
+                                1,
+                            )
+        bw.flush()
+        return bytes(bw.out)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        ti = 0 if ci == 0 else 1
+        c = {"h": samp[ci][0], "v": samp[ci][1]}
+        hb, wb = _comp_blocks(c, w, h, hmax, vmax)
+        fn = _prog_ac_first_block if ah == 0 else _prog_ac_refine_block
+        for by in range(hb):
+            for bx in range(wb):
+                fn(bw, czz[ci][by, bx], ss, se, al, enc_ac[ti])
+        bw.flush()
+        return bytes(bw.out)
+
+    # scan script: (comp ids, Ss, Se, Ah, Al, entropy bytes)
+    all_ids = list(range(ncomp))
+    scans = [
+        (all_ids, 0, 0, 0, 1, dc_first(1)),
+        (all_ids, 0, 0, 1, 0, dc_refine(0)),
+    ]
+    bands = {0: [(1, 5), (6, 63)]}  # luma split; chroma full-band
+    for ci in range(ncomp):
+        for ss, se in bands.get(ci, [(1, 63)]):
+            scans.append(([ci], ss, se, 0, 1, ac_scan(ci, ss, se, 0, 1)))
+    for ci in range(ncomp):
+        for ss, se in bands.get(ci, [(1, 63)]):
+            scans.append(([ci], ss, se, 1, 0, ac_scan(ci, ss, se, 1, 0)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qts):
+        z = np.zeros(64, dtype=np.uint8)
+        z[:] = q.reshape(-1)[ZIGZAG]
+        out += seg(0xDB, bytes([tq]) + z.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    tables = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if ch == 3:
+        tables += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tclass, (bits, vals) in tables:
+        out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(vals))
+    for comp_ids, ss, se, ah, al, data in scans:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | td])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += data
     out += b"\xff\xd9"
     return bytes(out)

@@ -302,9 +302,109 @@ def test_jpeg_codec_roundtrip_all_modes():
         decode_jpeg(b"\x00\x01")
     blob = bytearray(encode_jpeg(flat))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # pretend progressive
+    blob[sof + 1] = 0xC7  # pretend lossless (SOF7) — still unsupported
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
+    blob[sof + 1] = 0xC2  # pretend progressive: baseline scan header is
+    # invalid under SOF2 (DC scan must have Se=0) — loud, not silent
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) coding path: the multi-scan stream (DC first +
+    refine, per-band AC first + refine, successive approximation Al=1->0)
+    must decode to EXACTLY the pixels of the baseline stream at the same
+    quality — identical quantized coefficients travel both entropy
+    codings, and the baseline path is golden-tested, so bit-equality here
+    cross-checks the progressive encoder AND decoder against it."""
+    import numpy as np
+
+    from searchengine_spark.textops.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        np.stack(
+            [
+                128 + 80 * np.sin(xx / 9.0) + 20 * np.cos(yy / 7.0),
+                100 + 0.5 * xx + 0.8 * yy,
+                200 - 60 * np.sin((xx + yy) / 11.0),
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for kw in ({}, {"subsample": True}):
+        base = decode_jpeg(encode_jpeg(img, quality=92, **kw))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=92, progressive=True, **kw)
+        )
+        assert (base == prog).all(), kw
+    # grayscale and flat (EOB-everywhere) streams
+    g = img[:, :, :1]
+    assert (
+        decode_jpeg(encode_jpeg(g, quality=95, progressive=True))
+        == decode_jpeg(encode_jpeg(g, quality=95))
+    ).all()
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(flat, quality=100, progressive=True)) == flat
+    ).all()
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """Our encoder never aggregates EOB runs, but other encoders do —
+    drive `_ac_first` directly with a hand-built stream whose EOB1 symbol
+    (0x10, appended bit 1) ends block 0 and zeroes the next 2 blocks."""
+    import numpy as np
+
+    from searchengine_spark.textops.jpeg import (
+        _ac_first,
+        _BitReader,
+        _build_decode_table,
+        _build_encode_table,
+    )
+
+    # tiny table: symbols 0x01 (r=0,s=1), 0x10 (EOB1), 0x00 (EOB0)
+    bits = [0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    vals = [0x01, 0x10, 0x00]
+    dec = _build_decode_table(bits, vals)
+    enc = _build_encode_table(bits, vals)
+
+    class BW:
+        def __init__(self):
+            self.bits = []
+
+        def write(self, code, ln):
+            self.bits.extend((code >> i) & 1 for i in range(ln - 1, -1, -1))
+
+        def tobytes(self):
+            bs = self.bits + [1] * (-len(self.bits) % 8)
+            return bytes(
+                int("".join(map(str, bs[i : i + 8])), 2)
+                for i in range(0, len(bs), 8)
+            )
+
+    bw = BW()
+    # block 0: coeff 1 at k=1 (symbol 0x01, extend bit 1), then EOB1 with
+    # 1 appended bit = 1 -> run covers blocks 1..3 entirely
+    code, ln = enc[0x01]
+    bw.write(code, ln)
+    bw.write(1, 1)  # extend bits for value +1
+    code, ln = enc[0x10]
+    bw.write(code, ln)
+    bw.write(1, 1)  # appended run bit -> eobrun = 2^1 - 1 + 1 = 2,
+    # i.e. block 0's band ends now and blocks 1-2 are entirely zero
+    reader = _BitReader(bw.tobytes())
+    blocks = [np.zeros(64, dtype=np.int32) for _ in range(3)]
+    eobrun = 0
+    for blk in blocks:
+        eobrun = _ac_first(blk, reader, dec, 1, 63, 0, eobrun)
+    assert blocks[0][1] == 1
+    assert all(not b.any() for b in blocks[1:])
+    assert eobrun == 0
 
 
 def test_jpeg_crafted_huge_frame_raises_before_allocating():
