@@ -15,13 +15,13 @@ Decode status per modality:
   PNG decoder (stdlib ``zlib`` inflate + numpy per-row unfiltering, all
   five PNG filter types, color types gray/RGB/gray+alpha/RGBA at bit
   depth 8), uncompressed 24/32-bit BMP, binary PPM/PGM, and a
-  from-scratch baseline-sequential JPEG codec (canonical Huffman +
-  dequant + orthonormal IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart
-  markers — see ``.jpeg``); features are the true dimensions, channel
-  count, luma mean/std, and histogram entropy (round-trip and
-  value-level tested). WebP/AVIF/progressive-JPEG/interlaced-PNG raise
-  in strict mode (arithmetic/ANS entropy coders genuinely need external
-  libs).
+  from-scratch baseline-sequential + progressive JPEG codec (canonical
+  Huffman + dequant + orthonormal IDCT, 4:4:4/4:2:2/4:2:0 sampling,
+  restart markers, SOF2 multi-scan — see ``.jpeg``); features are the
+  true dimensions, channel count, luma mean/std, and histogram entropy
+  (round-trip and value-level tested). WebP/AVIF/arithmetic-JPEG/
+  interlaced-PNG raise in strict mode (arithmetic/ANS entropy coders
+  genuinely need external libs).
 - **video (YUV4MPEG2): REAL** — uncompressed y4m container parse + frame
   sampling with numpy; features are the true frame count/rate/geometry,
   luma stats, and inter-frame motion energy. Compressed video (mp4/webm)
@@ -278,10 +278,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode by magic-byte sniffing: PNG, BMP, binary PPM/PGM,
-    and baseline-sequential JPEG (from-scratch Huffman + dequant + IDCT,
-    see .jpeg). Formats whose entropy coding genuinely needs external
-    libs (WebP/AVIF arithmetic-ANS coders, progressive JPEG) raise
-    NotImplementedError — an honest, narrow stub edge."""
+    and baseline-sequential or progressive JPEG (from-scratch Huffman +
+    dequant + IDCT, see .jpeg). Formats whose entropy coding genuinely
+    needs external libs (WebP/AVIF arithmetic-ANS coders, arithmetic
+    JPEG) raise NotImplementedError — an honest, narrow stub edge."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
     if payload[:2] == b"BM":
