@@ -244,7 +244,7 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
     union_terms = sorted({t for _, t, _, _ in rows})
     partial = _bm25_partial(index)
 
-    def _fold_score(key_col: str, dedup: bool = True, salted: bool = False):
+    def _fold_score(key_col: str, dedup: bool = True):
         # per-doc partials summed in sorted-term order (bit-identity
         # invariant; see search_bm25_weighted). ``dedup=False`` for the
         # ordinal flow: (doc_ord, term) is unique by construction (a
@@ -252,28 +252,17 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
         # array_distinct is provably identity there — skip its per-group
         # hash pass. The doc_id flow keeps it: cross-segment duplicate
         # doc_ids would contribute identical twin partials.
-        # ``salted=True`` carries a precomputed ``_salt`` column through
-        # the group keys (functionally dependent on the doc key, so the
-        # grouping — and therefore every group's fold order and score —
-        # is unchanged); the ordinal flow clusters the input on
-        # (query_id, _salt) so this aggregate AND the phase-1 window
-        # pipeline over one exchange.
         def fold(df):
             lst = F.collect_list("p")
             if dedup:
                 lst = F.array_distinct(lst)
-            group_cols = (
-                ["query_id", "_salt", key_col]
-                if salted
-                else ["query_id", key_col]
-            )
-            sel = ["query_id"] + (["_salt"] if salted else []) + [key_col]
             return (
                 df.select(
-                    *sel,
+                    "query_id",
+                    key_col,
                     F.struct("term", partial.alias("partial")).alias("p"),
                 )
-                .groupBy(*group_cols)
+                .groupBy("query_id", key_col)
                 .agg(
                     F.aggregate(
                         F.array_sort(lst),
@@ -310,29 +299,27 @@ def search_bm25_batch(index, queries, k: int | None = None) -> DataFrame:
         # is lost before doc_id exists. Phase 2 hydrates the tiny
         # survivor set (broadcast against the streamed doc scan — no doc
         # shuffle) and applies the exact final cut.
-        # Single-exchange scoring: salt is a pure function of doc_ord, so
-        # it can be computed BEFORE the per-doc aggregate and carried
-        # through the group keys without changing any group (or its
-        # sorted-term fold order). One explicit repartition clustered on
-        # (query_id, _salt) then satisfies BOTH the aggregate (group keys
-        # are a superset of the partitioning) and the phase-1 window
-        # (partition keys equal it) — the old shape shuffled the
-        # per-posting partials into the groupBy and then re-shuffled the
-        # whole aggregated frame for the window. At 100 TB the scored
-        # frame is the largest intermediate in the plan; moving it once
-        # is the point.
-        posts = (
-            ords_fn(union_terms, spread=True)
-            .join(F.broadcast(qdf), "term")
-            .withColumn(
-                "_salt", F.pmod(F.xxhash64("doc_ord"), F.lit(n_salts))
-            )
-            .repartition(F.col("query_id"), F.col("_salt"))
+        # Scoring keeps TWO exchanges by measurement, not oversight: a
+        # single-exchange variant (salt computed pre-agg, one repartition
+        # on (query_id, _salt) serving both the aggregate and the phase-1
+        # window) read 15% SLOWER at 5.5M turns / local[8] (20.5 s vs
+        # 17.6 s per batch, session-17 A/B in BENCH.md) — the groupBy
+        # exchange hashes on (query_id, doc_ord) (millions of uniform
+        # keys), and Spark 4 plants a PARTIAL WindowGroupLimit above the
+        # second exchange so only per-map-partition top-k survivors of
+        # the (already aggregated, much smaller) scored frame re-shuffle;
+        # the clustering variant instead ships every posting row into
+        # |Q| x n_salts coarse buckets. A 16x-salt variant read worse
+        # still (the survivor set grows with n_salts).
+        scored = _fold_score("doc_ord", dedup=False)(
+            ords_fn(union_terms, spread=True).join(F.broadcast(qdf), "term")
         )
-        scored = _fold_score("doc_ord", dedup=False, salted=True)(posts)
         w1 = Window.partitionBy("query_id", "_salt").orderBy(F.desc("score"))
         cand = (
-            scored.withColumn("_rk", F.rank().over(w1))
+            scored.withColumn(
+                "_salt", F.pmod(F.xxhash64("doc_ord"), F.lit(n_salts))
+            )
+            .withColumn("_rk", F.rank().over(w1))
             .where(F.col("_rk") <= k)
             .drop("_rk", "_salt")
         )
