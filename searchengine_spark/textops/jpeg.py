@@ -834,9 +834,10 @@ def encode_jpeg(
     and per-component AC spectral-selection first+refine scans (successive
     approximation Al=1 -> 0); EOB runs are never aggregated across blocks
     (valid per T.81, and the standard Annex K AC tables carry no EOBn
-    symbols for n > 1). Restart markers are not emitted in progressive
-    mode (``restart_interval`` is ignored; the decoder still handles
-    progressive restarts from other encoders)."""
+    symbols for n > 1). ``restart_interval`` emits DRI + RSTn every that
+    many MCUs in DC scans / blocks in AC scans, resetting DC predictors
+    per interval — so the decoder's progressive restart path has real
+    streams to be tested against."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -887,7 +888,7 @@ def encode_jpeg(
 
     if progressive:
         return _encode_progressive(
-            padded, samp, qts, h, w, ch, mcux, mcuy
+            padded, samp, qts, h, w, ch, mcux, mcuy, restart_interval
         )
 
     bw = _BitWriter()
@@ -1044,12 +1045,51 @@ def _prog_ac_refine_block(bw, zz, ss, se, al, enc_ac) -> None:
             bw.write(b, 1)
 
 
-def _encode_progressive(padded, samp, qts, h, w, ch, mcux, mcuy) -> bytes:
+class _IntervalWriter:
+    """Bit writer that splits the stream into restart intervals: every
+    ``ri`` coding units the current interval is flushed and (decoder-side)
+    DC predictors / EOB runs reset. ``ri=0`` means one interval."""
+
+    def __init__(self, ri: int):
+        self.ri = ri
+        self.bw = _BitWriter()
+        self.parts: list[bytes] = []
+        self.unit = 0
+
+    def unit_boundary(self, reset_state=None) -> None:
+        """Call BEFORE coding each unit (MCU or block)."""
+        if self.ri and self.unit and self.unit % self.ri == 0:
+            self.bw.flush()
+            self.parts.append(bytes(self.bw.out))
+            self.bw = _BitWriter()
+            if reset_state is not None:
+                reset_state()
+        self.unit += 1
+
+    def done(self) -> list[bytes]:
+        self.bw.flush()
+        self.parts.append(bytes(self.bw.out))
+        return self.parts
+
+
+def _join_intervals(parts: list[bytes]) -> bytes:
+    out = bytearray(parts[0])
+    for i, part in enumerate(parts[1:]):
+        out += bytes([0xFF, 0xD0 + (i % 8)])
+        out += part
+    return bytes(out)
+
+
+def _encode_progressive(
+    padded, samp, qts, h, w, ch, mcux, mcuy, restart_interval: int = 0
+) -> bytes:
     """Assemble the SOF2 stream: DC first (Al=1) + DC refine, then per
     component AC first/refine over two spectral bands for luma (1-5,
-    6-63) and the full band for chroma."""
+    6-63) and the full band for chroma. ``restart_interval`` emits DRI +
+    RSTn every that many MCUs (DC scans) / blocks (AC scans)."""
     czz = _quant_zigzag(padded, qts)
     ncomp = len(padded)
+    ri = restart_interval
     enc_dc = [_build_encode_table(*HUFF_DC_LUMA)]
     enc_ac = [_build_encode_table(*HUFF_AC_LUMA)]
     if ch == 3:
@@ -1057,10 +1097,15 @@ def _encode_progressive(padded, samp, qts, h, w, ch, mcux, mcuy) -> bytes:
         enc_ac.append(_build_encode_table(*HUFF_AC_CHROMA))
 
     def dc_first(al: int) -> bytes:
-        bw = _BitWriter()
+        iw = _IntervalWriter(ri)
         preds = [0] * ncomp
+
+        def reset():
+            preds[:] = [0] * ncomp
+
         for my in range(mcuy):
             for mx in range(mcux):
+                iw.unit_boundary(reset)
                 for ci in range(ncomp):
                     ti = 0 if ci == 0 else 1
                     sh, sv = samp[ci]
@@ -1073,42 +1118,43 @@ def _encode_progressive(padded, samp, qts, h, w, ch, mcux, mcuy) -> bytes:
                             preds[ci] = v
                             s = _mag(diff)
                             code, ln = enc_dc[ti][s]
-                            bw.write(code, ln)
+                            iw.bw.write(code, ln)
                             if s:
-                                _emit_extend(bw, diff, s)
-        bw.flush()
-        return bytes(bw.out)
+                                _emit_extend(iw.bw, diff, s)
+        return _join_intervals(iw.done())
 
     def dc_refine(al: int) -> bytes:
-        bw = _BitWriter()
+        iw = _IntervalWriter(ri)
         for my in range(mcuy):
             for mx in range(mcux):
+                iw.unit_boundary()
                 for ci in range(ncomp):
                     sh, sv = samp[ci]
                     for by in range(sv):
                         for bx in range(sh):
-                            bw.write(
+                            iw.bw.write(
                                 (int(czz[ci][my * sv + by, mx * sh + bx, 0])
                                  >> al) & 1,
                                 1,
                             )
-        bw.flush()
-        return bytes(bw.out)
+        return _join_intervals(iw.done())
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
 
     def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
-        bw = _BitWriter()
+        # no cross-block encoder state to reset at restarts: EOB runs are
+        # never aggregated, so eobrun is 0 at every block boundary
+        iw = _IntervalWriter(ri)
         ti = 0 if ci == 0 else 1
         c = {"h": samp[ci][0], "v": samp[ci][1]}
         hb, wb = _comp_blocks(c, w, h, hmax, vmax)
         fn = _prog_ac_first_block if ah == 0 else _prog_ac_refine_block
         for by in range(hb):
             for bx in range(wb):
-                fn(bw, czz[ci][by, bx], ss, se, al, enc_ac[ti])
-        bw.flush()
-        return bytes(bw.out)
+                iw.unit_boundary()
+                fn(iw.bw, czz[ci][by, bx], ss, se, al, enc_ac[ti])
+        return _join_intervals(iw.done())
 
     # scan script: (comp ids, Ss, Se, Ah, Al, entropy bytes)
     all_ids = list(range(ncomp))
@@ -1142,6 +1188,8 @@ def _encode_progressive(padded, samp, qts, h, w, ch, mcux, mcuy) -> bytes:
         tables += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
     for tclass, (bits, vals) in tables:
         out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(vals))
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
     for comp_ids, ss, se, ah, al, data in scans:
         sos = bytes([len(comp_ids)])
         for ci in comp_ids:

@@ -336,8 +336,17 @@ def test_jpeg_progressive_roundtrip_matches_baseline():
         0,
         255,
     ).astype(np.uint8)
-    for kw in ({}, {"subsample": True}):
-        base = decode_jpeg(encode_jpeg(img, quality=92, **kw))
+    for kw in (
+        {},
+        {"subsample": True},
+        {"restart_interval": 2},
+        {"restart_interval": 3, "subsample": True},
+    ):
+        base = decode_jpeg(
+            encode_jpeg(
+                img, quality=92, subsample=kw.get("subsample", False)
+            )
+        )
         prog = decode_jpeg(
             encode_jpeg(img, quality=92, progressive=True, **kw)
         )
