@@ -721,6 +721,37 @@ def test_docs_for_ordinals_pushes_filters(aidx):
     assert "PartitionFilters" in plan and "seg" in plan
 
 
+def test_bm25_batch_plan_shape(aidx):
+    """Pin the session-17 serving-plan lessons (BENCH.md + CLAUDE.md):
+
+    1. scoring is groupBy-then-window — the aggregate's exchange hashes
+       on (query_id, doc_ord), NOT on a coarse (query_id, _salt) key
+       (the single-exchange variant measured 15% slower at 5.5M turns);
+    2. the post-hydration tail collapses to ONE partition, so the final
+       cut and result ordering add NO rangepartitioning exchange (no
+       range-boundary sampling job);
+    3. Spark 4's WindowGroupLimit pushdown is active on the phase-1 cut
+       (the reason the second scoring exchange is nearly free — only
+       per-map-partition top-k survivors re-shuffle).
+
+    >= 2 queries: a single-query batch constant-folds query_id and
+    degenerates the window partitioning (CLAUDE.md)."""
+    df = aidx.search_bm25_batch(
+        {"a": "spark shuffle error", "b": "merge sort algorithm"}, k=5
+    )
+    plan = _plan_of(df)
+    low = plan.lower()
+    assert "rangepartitioning" not in low, "range-sampling tail reappeared"
+    assert "singlepartition" in low, "single-task tail exchange missing"
+    assert "hashpartitioning(query_id" in low and "doc_ord" in low, (
+        "scoring exchange no longer clustered on (query_id, doc_ord)"
+    )
+    assert "windowgrouplimit" in low, "WindowGroupLimit pushdown inactive"
+    # and the plan still never scans the corpus docs table pre-cut more
+    # than the single post-cut hydration join requires
+    assert low.count("/docs") <= plan.count("/blocks")
+
+
 def test_boolean_phrase_over_artifact(lidx, aidx):
     assert (
         sorted(r["doc_id"] for r in aidx.search_and("error function").collect())
